@@ -1,0 +1,52 @@
+"""Tokenization and word counting (reference-parity semantics).
+
+Reference behavior being re-expressed (citations into /root/reference):
+- Tokenizer splits sentences on the regex ``\\W+`` and drops empty tokens
+  (src/main/java/flinkwordcount/StatefulWordCount.java:118-121); it does NOT
+  lowercase. ``"don't"`` -> ``["don", "t"]``.
+- CountWords keeps a per-word running total, summed with plain addition
+  (StatefulWordCount.java:160, Count.reduce at :173-179). In batch this is
+  exactly ``groupBy(word).count()``.
+
+Spark-first notes: explode+split+filter+groupBy stays entirely in built-in
+expressions -> whole-stage codegen; the groupBy plans a partial (map-side)
+aggregation before the hash exchange, so the shuffle carries one row per
+distinct word per partition, not one per token. At 100 TB the distinct-word
+domain is small relative to token count, so this partial-agg reduction is the
+whole ballgame; AQE coalesces the post-shuffle side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Reference tokenizer regex (StatefulWordCount.java:118).
+TOKEN_SPLIT_REGEX = r"\W+"
+
+
+def tokenize(df: DataFrame, text_col: str = "text", out_col: str = "word") -> DataFrame:
+    """One output row per non-empty ``\\W+``-separated token; other columns kept."""
+    return df.select(
+        "*", F.explode(F.split(F.col(text_col), TOKEN_SPLIT_REGEX)).alias(out_col)
+    ).filter(F.length(out_col) > 0)
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(word, cnt)`` — the batch equivalent of the reference's running count."""
+    return (
+        tokenize(df.select(text_col), text_col=text_col)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def top_k_words(df: DataFrame, k: int, text_col: str = "text") -> DataFrame:
+    """Top-k words by count, ties broken by word for determinism."""
+    return word_counts(df, text_col).orderBy(F.desc("cnt"), F.asc("word")).limit(k)
+
+
+def token_count_expr(text_col: str = "text") -> Column:
+    """Token count per row without exploding (size of the split array)."""
+    arr = F.split(F.col(text_col), TOKEN_SPLIT_REGEX)
+    return F.size(F.filter(arr, lambda w: F.length(w) > 0))

@@ -1,0 +1,61 @@
+"""SparkSession construction and tuning for the engine.
+
+The driver may hand us an existing session; ``tune()`` applies the runtime
+confs that are safe to set post-creation (timezone, AQE, shuffle sizing).
+``get_spark()`` builds a local session with the full config for tests/bench.
+
+Scale notes (100 TB / 1000-executor design):
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting and
+  dynamic broadcast conversion replace hand-tuned partition counts.
+- ``spark.sql.shuffle.partitions`` is only the pre-AQE upper bound; at cluster
+  scale set it ~2-3x total cores and let AQE coalesce.
+- Session timezone is pinned to UTC so timestamp semantics match the DuckDB
+  oracle (naive UTC) and are cluster-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs (safe on a live session).
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf locked by the host session; proceed with its value
+    return spark
+
+
+def get_spark(app_name: str = "flink_wordcount_spark", cpus: int | None = None) -> SparkSession:
+    """Local session used by tests and bench.py.
+
+    ``SPARK_GRAFT_CPUS`` (default 32) controls local parallelism; shuffle
+    partitions are sized to the core count — at tiny scale factors AQE
+    coalesces further, at large SFs raise it via conf.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return tune(builder.getOrCreate())
