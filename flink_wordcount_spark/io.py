@@ -35,7 +35,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     tune(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts arrives as raw nanos (see session.RUNTIME_CONFS); convert to a
+        # real timestamp at micro precision — integer `div`, not float math:
+        # 2024 epoch-nanos (~1.7e18) exceed double's 2^53 exact-integer range.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:

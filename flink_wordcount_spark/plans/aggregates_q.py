@@ -1,1 +1,221 @@
-"""(placeholder — filled in as the operator surface lands)"""
+"""Aggregation surface: hash aggregates, multi-dim (cube/rollup/grouping sets),
+distinct, collect, filtered and approximate aggregates.
+
+All shapes plan as partial (map-side) + final hash aggregation around one
+exchange on the grouping key — the scalable pattern; high-cardinality
+count(DISTINCT) rewrites to a two-phase expand+agg which Catalyst does
+automatically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from .catalog import query
+
+
+@query(
+    "agg_basic_stats",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price,
+           round(avg(o_totalprice), 4) AS avg_price,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price,
+           round(stddev_samp(o_totalprice), 4) AS sd_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_basic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT c_mktsegment,
+           count(DISTINCT c_nationkey) AS n_nations,
+           count(*) AS n_customers
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping-set combinations in one pass (Expand + agg)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.grouping_id().cast("bigint").alias("gid"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total,
+           CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS BIGINT) AS gid
+    FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.grouping_id().cast("bigint").alias("gid"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via SQL (DataFrame API exposes cube/rollup only)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT r.r_name, string_agg(DISTINCT n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set -> sort_array -> array_join: deterministic list aggregation."""
+    r, n = table(spark, sf_dir, "region"), table(spark, sf_dir, "nation")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.array_join(F.sort_array(F.collect_set("n_name")), ",").alias("nations"))
+    )
+
+
+@query(
+    "agg_filtered",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big,
+           round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2) AS disc_price,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_f
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation — one scan, many filtered measures."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_big"),
+        F.round(
+            F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))), 2
+        ).alias("disc_price"),
+        F.round(
+            F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(0.0)), 2
+        ).alias("qty_f"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@query("approx_distinct_quantile")  # rows-only: sketch results are engine-specific
+def approx_distinct_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct + approximate quantiles (sketches; exact values differ
+    by engine so the driver records the rows-only check — see SURVEY §2.2)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("apx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("apx_median_price"),
+    )
+
+
+@query(
+    "agg_quantile_disc",
+    oracle="""
+    WITH ranked AS (
+        SELECT l_returnflag, l_extendedprice,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           max(CASE WHEN rn = (n + 1) // 2 THEN l_extendedprice END) AS median_price,
+           max(CASE WHEN rn = (9 * (n - 1)) // 10 + 1 THEN l_extendedprice END) AS p90_price
+    FROM ranked GROUP BY l_returnflag
+    """,
+)
+def agg_quantile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete quantiles via rank — engine-neutral arithmetic (an
+    interpolated median of 2-decimal prices lands on half-cent boundaries
+    where float rounding diverges across engines, so we rank instead)."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+    at = lambda cond: F.max(F.when(cond, F.col("l_extendedprice")))  # noqa: E731
+    return ranked.groupBy("l_returnflag").agg(
+        at(F.col("rn") == F.floor((F.col("n") + 1) / 2)).alias("median_price"),
+        at(F.col("rn") == F.floor(9 * (F.col("n") - 1) / 10) + 1).alias("p90_price"),
+    )

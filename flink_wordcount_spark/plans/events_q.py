@@ -1,1 +1,173 @@
-"""(placeholder — filled in as the operator surface lands)"""
+"""Event-time windowing over the ``events`` table (batch form).
+
+These are the batch-checkable twins of the Structured Streaming queries in
+``streaming/`` (SURVEY §5.2.3: streaming is verified by batch replay): the
+same ``window()``/``session_window()`` expressions run identically in a
+``readStream`` pipeline with a watermark.
+
+Window starts are epoch-aligned in both engines (Spark aligns to the epoch;
+DuckDB ``time_bucket`` origin 2000-01-01 is itself epoch-aligned for the
+intervals used here), so bucket boundaries agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import table
+from .catalog import query
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@query(
+    "ev_tumbling_hour",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ev_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type."""
+    e = table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour")
+    return (
+        e.groupBy(win, "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format(F.col("window.start"), _TS_FMT).alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "ev_sliding_window",
+    oracle="""
+    WITH hops AS (
+        SELECT e.ts, e.value,
+               time_bucket(INTERVAL '30 minutes', e.ts) - o.o * INTERVAL '30 minutes' AS win_start
+        FROM events e CROSS JOIN (VALUES (0), (1)) o(o)
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM hops
+    WHERE ts >= win_start AND ts < win_start + INTERVAL '1 hour'
+    GROUP BY 1
+    """,
+)
+def ev_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour window, 30-minute hop (each event lands in 2 windows).
+
+    The oracle expands the hops explicitly — same set Spark's window() emits.
+    """
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format(F.col("window.start"), _TS_FMT).alias("win_start"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "ev_session_window",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM marked
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM sessions GROUP BY user_id, sess_id
+    """,
+)
+def ev_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user — ``session_window``
+    merges rows whose gap is < 30 min; the oracle reproduces that with the
+    gaps-and-islands pattern (lag + running sum of boundaries)."""
+    e = table(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        e.groupBy(sw, "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.date_format(F.col("session_window.start"), _TS_FMT).alias("session_start"),
+            F.date_format(F.col("session_window.end"), _TS_FMT).alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "ev_pivot_types",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(count(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS click,
+           CAST(count(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS view,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup')   AS BIGINT) AS signup,
+           CAST(count(*) FILTER (WHERE event_type = 'error')    AS BIGINT) AS error
+    FROM events GROUP BY 1
+    """,
+)
+def ev_pivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (stable schema at any scale)."""
+    e = table(spark, sf_dir, "events")
+    piv = (
+        e.select(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+    )
+    return piv.select(
+        "day",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+          for c in ("click", "view", "purchase", "signup", "error")],
+    )
+
+
+@query(
+    "ev_user_rollup",
+    oracle="""
+    SELECT user_id, event_type, count(*) AS n,
+           round(sum(value), 2) AS total_value,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def ev_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user per-type activity profile (hypertable-rollup shape)."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.date_format(F.min("ts"), _TS_FMT).alias("first_seen"),
+        F.date_format(F.max("ts"), _TS_FMT).alias("last_seen"),
+    )

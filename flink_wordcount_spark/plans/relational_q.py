@@ -1,1 +1,375 @@
-"""(placeholder — filled in as the operator surface lands)"""
+"""Batch relational core: TPC-H-flavored queries + the full join family.
+
+The reference has no joins/SQL at all (SURVEY §2.2 — verified absence); this
+module is the target surface the driver contract requires. All queries are
+built-in DataFrame expressions so Catalyst handles pushdown/pruning/join
+selection; dimension tables are broadcast explicitly where we know they are
+small at every scale factor (region/nation/supplier/customer vs the lineitem
+fact table).
+
+Scale notes: the fact-side joins key on l_orderkey/o_orderkey — at 100 TB both
+sides would be bucketed on orderkey to avoid the shuffle entirely; here AQE
+picks shuffle vs broadcast per measured sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from .catalog import query
+
+
+def _r(c, n=2):
+    return F.round(c, n)
+
+
+# ---------------------------------------------------------------- TPC-H-ish
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                   AS avg_qty,
+           round(avg(l_extendedprice), 4)                              AS avg_price,
+           round(avg(l_discount), 4)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide hash agg with filter pushed to the parquet scan."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r(F.sum("l_quantity")).alias("sum_qty"),
+            _r(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r(F.sum(disc_price)).alias("sum_disc_price"),
+            _r(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            _r(F.avg("l_quantity"), 4).alias("avg_qty"),
+            _r(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            _r(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dims broadcast into the fact, agg, top-k."""
+    c, o, li = (table(spark, sf_dir, t) for t in ("customer", "orders", "lineitem"))
+    return (
+        li.filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+        .join(
+            o.filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r JOIN nation n   ON n.n_regionkey = r.r_regionkey
+                  JOIN customer c ON c.c_nationkey = n.n_nationkey
+                  JOIN orders o   ON o.o_custkey = c.c_custkey
+                  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                                 AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: snowflake join chain; all dims broadcast, one fact shuffle."""
+    r, n, c, o, li, s = (
+        table(spark, sf_dir, t)
+        for t in ("region", "nation", "customer", "orders", "lineitem", "supplier")
+    )
+    dims = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(r.r_name == "ASIA")), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        li.join(
+            o.filter(
+                (o.o_orderdate >= F.lit("1996-01-01").cast("timestamp"))
+                & (o.o_orderdate < F.lit("1998-01-01").cast("timestamp"))
+            ),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.08
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan+filter+single-row agg; every predicate pushable."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.08))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _r(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           n.n_name
+    FROM customer c JOIN orders o   ON o.o_custkey = c.c_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20."""
+    c, o, li, n = (
+        table(spark, sf_dir, t) for t in ("customer", "orders", "lineitem", "nation")
+    )
+    return (
+        li.filter(li.l_returnflag == "R")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------- join family
+
+@query(
+    "join_inner",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, c = table(spark, sf_dir, "orders"), table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"), _r(F.sum("o_totalprice")).alias("total"))
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join keeps order-less customers (count = 0 rows present)."""
+    o, c = table(spark, sf_dir, "orders"), table(spark, sf_dir, "customer")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_acctbal < -900
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, c = table(spark, sf_dir, "orders"), table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .filter(c.c_acctbal < -900)
+        .select("o_orderkey", "c_name")
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT coalesce(cn.k, sn.k) AS nationkey,
+           coalesce(cn.n_cust, 0) AS n_cust,
+           coalesce(sn.n_supp, 0) AS n_supp
+    FROM (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1) cn
+    FULL OUTER JOIN (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1) sn
+    ON cn.k = sn.k
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, s = table(spark, sf_dir, "customer"), table(spark, sf_dir, "supplier")
+    cn = c.groupBy(F.col("c_nationkey").alias("ck")).agg(F.count(F.lit(1)).alias("n_cust"))
+    sn = s.groupBy(F.col("s_nationkey").alias("sk")).agg(F.count(F.lit(1)).alias("n_supp"))
+    return cn.join(sn, cn.ck == sn.sk, "full").select(
+        F.coalesce(cn.ck, sn.sk).alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi: customers with >=1 urgent order; no duplication, no payload."""
+    o, c = table(spark, sf_dir, "orders"), table(spark, sf_dir, "customer")
+    return c.join(
+        o.filter(o.o_orderpriority == "1-URGENT"),
+        c.c_custkey == o.o_custkey,
+        "leftsemi",
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, c = table(spark, sf_dir, "orders"), table(spark, sf_dir, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "leftanti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r, n = table(spark, sf_dir, "region"), table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "join_range",
+    oracle="""
+    SELECT o.o_orderkey, count(*) AS n_late_lines
+    FROM orders o JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY o.o_orderkey
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi key + range predicate in the join condition (late shipments).
+
+    Catalyst plans the equi part as the join key and evaluates the range
+    residual post-match — the scalable shape for mixed conditions.
+    """
+    o, li = table(spark, sf_dir, "orders"), table(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS")
+    )
+    return o.join(li, cond).groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_late_lines"))
+
+
+@query(
+    "join_theta",
+    oracle="""
+    SELECT a.s_nationkey AS nationkey, count(*) AS n_pairs
+    FROM supplier a JOIN supplier b
+      ON a.s_nationkey = b.s_nationkey AND a.s_acctbal < b.s_acctbal
+    GROUP BY a.s_nationkey
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self theta-join (inequality pairing), bounded per-nation."""
+    s = table(spark, sf_dir, "supplier")
+    a = s.select(F.col("s_nationkey").alias("nk"), F.col("s_acctbal").alias("bal_a"))
+    b = s.select(F.col("s_nationkey").alias("nk2"), F.col("s_acctbal").alias("bal_b"))
+    return (
+        a.join(b, (a.nk == b.nk2) & (a.bal_a < b.bal_b))
+        .groupBy(F.col("nk").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

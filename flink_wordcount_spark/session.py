@@ -26,6 +26,10 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # events.parquet stores TIMESTAMP(NANOS); Spark lacks a nanos timestamp
+    # type, so read as long and convert in io.table() (micros, floor-truncated
+    # exactly like DuckDB's ns->us read).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 
