@@ -1,0 +1,156 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all pure DataFrame (no Python in the hot path):
+
+- exact:   group on content (or its hash) and keep the min-id representative.
+- n-gram Jaccard: exact near-dup via an inverted-index self-join on shingles —
+  the verification step every approximate method funnels into.
+- MinHash + LSH: banded signature bucketing to prune the candidate space; at
+  100 TB the shingle self-join above is only run *within* LSH buckets, which
+  is what makes near-dedup tractable (candidates ~ O(n·dups), not O(n²)).
+- SimHash: 64-bit weighted-projection fingerprint; near-dup = small Hamming
+  distance, bucketed by bit-prefix.
+
+Hash functions are Spark's xxhash64 (seeded per-permutation via suffix
+literals) — deterministic across runs/partitions, engine-specific (so the
+LSH/SimHash queries are declared rows-only for the oracle; the exact-Jaccard
+query is fully oracle-checked).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import TOKEN_SPLIT_REGEX
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """One surviving (min-id) row per distinct content value + dup count."""
+    return df.groupBy(content_col).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    toks = F.filter(F.split(F.col(text_col), TOKEN_SPLIT_REGEX), lambda w: F.length(w) > 0)
+    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    # guard: sequence(1, 0) in Spark is the DESCENDING [1, 0], so short docs
+    # must short-circuit to an empty shingle list explicitly
+    sh = F.expr(
+        f"CASE WHEN size(toks) >= {n} THEN "
+        f"transform(sequence(1, size(toks) - {n - 1}), i -> concat_ws(' ', slice(toks, i, {n}))) "
+        f"ELSE array() END"
+    )
+    return base.select("id", F.explode(sh).alias("shingle")).distinct()
+
+
+def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard-similar pairs from a (id, shingle) set via inverted index.
+
+    Shuffle keys on `shingle`; a pair is produced once per shared shingle and
+    aggregated — the standard scalable exact-near-dup join. Hot shingles
+    (stopword-only n-grams) should be pre-filtered at scale via a DF count.
+    """
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_shared", "jaccard")
+    )
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 32) -> DataFrame:
+    """(id, h0..h{k-1}) MinHash signature via k seeded xxhash64 min-aggregates.
+
+    One groupBy computes all k mins — a single shuffle on id regardless of k.
+    """
+    aggs = [
+        F.min(F.xxhash64(F.concat(F.col("shingle"), F.lit(f"#perm{i}")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame, num_hashes: int = 32, bands: int = 8) -> DataFrame:
+    """Band the signature, bucket-join per band, emit distinct candidate pairs.
+
+    rows_per_band = num_hashes // bands. Collision probability for docs with
+    Jaccard s is 1-(1-s^r)^b — tune (b, r) to the target threshold.
+    """
+    r = num_hashes // bands
+    band_cols = [
+        F.xxhash64(*[F.col(f"h{band * r + j}") for j in range(r)]).alias(f"band{band}")
+        for band in range(bands)
+    ]
+    banded = sig.select("id", *band_cols)
+    stacked = banded.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band_idx"), F.col(f"band{i}").alias("band_hash"))
+                for i in range(bands)
+            ])
+        ).alias("b"),
+    ).select("id", "b.band_idx", "b.band_hash")
+    l = stacked.select(F.col("id").alias("id_a"), "band_idx", "band_hash")
+    rgt = stacked.select(F.col("id").alias("id_b"), "band_idx", "band_hash")
+    return (
+        l.join(rgt, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash: per-token xxhash64, weighted by term frequency.
+
+    Bit i of the fingerprint is 1 iff the tf-weighted sum of (±1 per token's
+    hash bit i) is positive. Expressed as 64 conditional-sum aggregates over
+    the exploded token stream — one shuffle on id.
+    """
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), TOKEN_SPLIT_REGEX)).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", F.xxhash64("w"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
+                -F.col("tf")
+            )
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    sums = toks.groupBy("id").agg(*bit_sums)
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"s{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseXOR(term)  # disjoint bits: XOR == OR
+    return sums.select("id", fp.alias("simhash"))
+
+
+def hamming64(a, b):
+    """Hamming distance between two 64-bit fingerprints (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k is the exact baseline: broadcast the (small) query
+set against the corpus and evaluate cosine entirely with built-in array
+expressions (zip_with/aggregate) — JVM-side, no UDF, codegen'd.
+
+Scale path (100 TB corpus): IVF-style partition pruning — assign every vector
+to its nearest centroid once (broadcast centroids), partition the corpus by
+cell, and probe only the nprobe nearest cells per query. Recall is tunable
+via nprobe; the cell assignment is itself a broadcast-join + argmin, no
+shuffle of the corpus beyond the initial partitioning write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (matches DuckDB's list fold order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def as_double(a: Column) -> Column:
+    """Float embeddings are widened once before arithmetic so both engines
+    compute in float64 (float32 accumulation diverges)."""
+    return a.cast("array<double>")
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine (excluding self).
+
+    queries must be broadcast-sized; the corpus is scanned once, no shuffle
+    until the per-query top-k (window over query_id — cardinality = |queries|,
+    so repartition by query_id is balanced).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def assign_cells(vectors: DataFrame, centroids: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """IVF cell assignment: nearest centroid per vector (broadcast + argmin)."""
+    c = centroids.select(F.col("cell_id"), as_double(F.col(vec_col)).alias("centroid"))
+    v = vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("vec"))
+    scored = v.crossJoin(F.broadcast(c)).select(
+        id_col,
+        "vec",
+        "cell_id",
+        cosine(F.col("vec"), F.col("centroid")).alias("sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("cell_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select(
+        id_col, "vec", "cell_id"
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: search only the nprobe nearest cells per query.
+
+    At fixture scale this is exercised end-to-end; at 100 TB the corpus side
+    of the join is partition-pruned because it is stored partitioned by
+    cell_id (the equi-join key), so each query touches nprobe partitions.
+    """
+    corpus_cells = assign_cells(corpus, centroids, id_col, vec_col).withColumnsRenamed(
+        {id_col: "neighbor_id", "vec": "cvec"}
+    )
+    c = centroids.select("cell_id", as_double(F.col(vec_col)).alias("centroid"))
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qvec"))
+    q_cells = (
+        q.crossJoin(F.broadcast(c))
+        .select("query_id", "qvec", "cell_id", cosine(F.col("qvec"), F.col("centroid")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cell_id"))
+    probes = q_cells.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= nprobe).select(
+        "query_id", "qvec", "cell_id"
+    )
+    scored = (
+        corpus_cells.join(F.broadcast(probes), "cell_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(wk).cast("bigint")).filter(
+        F.col("rank") <= k
+    )

@@ -1,1 +1,144 @@
-"""(placeholder — filled in as the operator surface lands)"""
+"""Deduplication query surface over ``documents`` (LLM-pipeline north star).
+
+- ``dedup_exact`` / ``dedup_exact_hash``: oracle-checked exact dedup.
+- ``dedup_ngram_jaccard``: exact near-dup pairs (inverted-index join),
+  fully oracle-checked — this is also the verifier the LSH paths funnel into.
+- ``dedup_minhash_verified``: MinHash/LSH candidates -> exact-Jaccard verify;
+  with (k=32, bands=8) collision probability at the 0.8 threshold is ~0.985
+  and the fixture pair distribution is sharply bimodal, so the verified output
+  equals the exact pair set and shares its oracle.
+- ``lsh_minhash_candidates`` / ``lsh_simhash64``: engine-specific hashes ->
+  rows-only checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingles,
+    simhash,
+)
+from .catalog import query
+
+_SHINGLE_N = 3
+_THRESHOLD = 0.8
+
+# DuckDB twin of operators.dedup.shingles + jaccard_pairs (n=3).
+_JACCARD_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, list_filter(regexp_split_to_array(text, '\\W+'), x -> length(x) > 0) AS t
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+{_SHINGLE_N - 1}], ' ') AS s
+    FROM toks, unnest(range(1, len(t) - {_SHINGLE_N - 2})) AS u(i)
+), sizes AS (
+    SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+    FROM sh a JOIN sh b USING (s)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_shared,
+       round(n_shared / (x.n + y.n - n_shared), 6) AS jaccard
+FROM shared JOIN sizes x ON x.doc_id = id_a JOIN sizes y ON y.doc_id = id_b
+WHERE n_shared / (x.n + y.n - n_shared) >= {_THRESHOLD}
+"""
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: min-id representative per distinct text."""
+    d = table(spark, sf_dir, "documents")
+    return exact_dedup(d, "text", "doc_id").select("keep_id", "n_copies")
+
+
+@query(
+    "dedup_exact_hash",
+    oracle="""
+    SELECT sha256(text) AS text_sha, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY sha256(text)
+    """,
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keyed on a content hash — at 100 TB you group on the
+    256-bit digest, not the document body (shuffle carries 32 bytes/row)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.sha2("text", 256).alias("text_sha"), "doc_id")
+        .groupBy("text_sha")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs: 3-gram shingles -> inverted-index self-join."""
+    d = table(spark, sf_dir, "documents")
+    sh = shingles(d, "text", "doc_id", n=_SHINGLE_N)
+    return jaccard_pairs(sh, _THRESHOLD)
+
+
+@query("dedup_minhash_verified", oracle=_JACCARD_ORACLE)
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pruning + exact-Jaccard verification.
+
+    Same output (and oracle) as dedup_ngram_jaccard, but the pair generation
+    is LSH-bucketed — the O(n·dups) scale path instead of the full
+    inverted-index join.
+    """
+    d = table(spark, sf_dir, "documents")
+    sh = shingles(d, "text", "doc_id", n=_SHINGLE_N)
+    cands = lsh_candidate_pairs(minhash_signatures(sh, 32), 32, 8)
+    cand_ids = (
+        cands.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
+    )
+    cand_sh = sh.join(F.broadcast(cand_ids), "id", "leftsemi")
+    verified = jaccard_pairs(cand_sh, _THRESHOLD)
+    # verification may rediscover a pair where neither side was a candidate
+    # partner; intersect with the candidate set to keep LSH semantics honest
+    return verified.join(cands, ["id_a", "id_b"], "leftsemi")
+
+
+@query("lsh_minhash_candidates")  # rows-only: xxhash64 signatures are Spark-specific
+def lsh_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw LSH candidate pairs (pre-verification), deterministic per engine."""
+    d = table(spark, sf_dir, "documents")
+    sh = shingles(d, "text", "doc_id", n=_SHINGLE_N)
+    return lsh_candidate_pairs(minhash_signatures(sh, 32), 32, 8).orderBy("id_a", "id_b")
+
+
+@query("lsh_simhash64")  # rows-only: xxhash64-based fingerprints
+def lsh_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints + near-dup pairs at Hamming distance <= 8."""
+    from ..operators.dedup import hamming64
+
+    d = table(spark, sf_dir, "documents")
+    fp = simhash(d, "text", "doc_id")
+    a = fp.select(F.col("id").alias("id_a"), F.col("simhash").alias("fp_a"))
+    b = fp.select(F.col("id").alias("id_b"), F.col("simhash").alias("fp_b"))
+    # bucket by 16-bit prefix to avoid the full cross join (the LSH trick:
+    # near-identical docs share the high bits with overwhelming probability)
+    a = a.withColumn("bucket", F.shiftright("fp_a", 48))
+    b = b.withColumn("bucket", F.shiftright("fp_b", 48))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming64(F.col("fp_a"), F.col("fp_b")).cast("bigint"))
+        .filter(F.col("hamming") <= 8)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )

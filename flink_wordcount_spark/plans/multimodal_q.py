@@ -1,1 +1,77 @@
-"""(placeholder — filled in as the operator surface lands)"""
+"""Multimodal-column query surface (binary payload plumbing).
+
+``mm_featurize`` runs the real Arrow-batched mapInPandas path; its byte-level
+features are reproducible relationally so it still gets a full oracle (the
+payload here is UTF-8 text, so DuckDB can recompute byte stats from chars).
+``mm_frame_sample`` fans one row out to many frames inside the Python worker —
+rows-only (blob folding is not reasonably SQL-expressible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..operators.multimodal import attach_binary, featurize, sample_frames
+from .catalog import query
+
+
+@query(
+    "mm_metadata",
+    oracle="""
+    SELECT doc_id,
+           'application/octet-stream' AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           lower(hex(encode(substring(text, 1, 8)))) AS header_hex
+    FROM documents
+    """,
+)
+def mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over opaque payloads (mime/size/header magic)."""
+    d = attach_binary(table(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.col("media_meta.mime").alias("mime"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.lower(F.hex(F.substring(F.col("payload"), 1, 8))).alias("header_hex"),
+    )
+
+
+@query(
+    "mm_featurize",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, list_transform(string_split(text, ''), c -> ascii(c)) AS bytes
+        FROM documents
+    )
+    SELECT c.doc_id,
+           CAST(len(c.bytes) AS BIGINT) AS n_bytes,
+           CAST(list_sum(c.bytes) AS BIGINT) AS byte_sum,
+           CAST(list_sum(c.bytes) AS BIGINT) / CAST(len(c.bytes) AS BIGINT) AS byte_mean,
+           lower(hex(encode(substring(d.text, 1, 8)))) AS header_hex
+    FROM chars c JOIN documents d ON d.doc_id = c.doc_id
+    """,
+)
+def mm_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction (mapInPandas) over binary payloads.
+
+    byte_mean is derived JVM-side as byte_sum/n_bytes (unrounded): quotients
+    of small ints hit exact decimal halves where numpy's banker's rounding
+    and DuckDB's diverge; the raw IEEE division is bit-identical.
+    """
+    d = attach_binary(table(spark, sf_dir, "documents"))
+    return featurize(d).select(
+        "doc_id",
+        "n_bytes",
+        "byte_sum",
+        (F.col("byte_sum") / F.col("n_bytes")).alias("byte_mean"),
+        "header_hex",
+    )
+
+
+@query("mm_frame_sample")  # rows-only: per-frame blob folding isn't SQL-shaped
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: payload -> every 4th 256-byte frame (video shape)."""
+    d = attach_binary(table(spark, sf_dir, "documents"))
+    return sample_frames(d, frame_size=256, every_k=4).orderBy("doc_id", "frame_idx")

@@ -1,1 +1,88 @@
-"""(placeholder — filled in as the operator surface lands)"""
+"""Similarity-search query surface over ``embeddings``.
+
+- ``embed_cosine_topk``: exact brute-force top-k, oracle-checked against
+  DuckDB ``list_cosine_similarity`` (both sides compute in float64 and rank
+  AFTER rounding to 6 decimals so ordering is engine-neutral).
+- ``lsh_ivf_topk``: IVF-pruned approximate top-k (deterministic centroids),
+  rows-only (approximate results are parameter-shaped, not SQL semantics).
+- ``embed_norm_stats``: vector arithmetic sanity surface, oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..operators.similarity import brute_force_topk, ivf_topk, norm, as_double
+from .catalog import query
+
+_N_QUERIES = 10
+_K = 5
+
+
+@query(
+    "embed_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+        FROM q CROSS JOIN c WHERE neighbor_id != query_id
+    ), ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {_K}
+    """,
+)
+def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline: brute-force cosine top-{k} for 10 query vectors."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return brute_force_topk(emb, queries, k=_K).select(
+        "query_id", "neighbor_id", "cos_sim", "rank"
+    )
+
+
+@query("lsh_ivf_topk")  # rows-only: approximate (recall depends on nprobe)
+def lsh_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned top-k: centroids = every 50th vector (deterministic),
+    nprobe=3 cells per query. The 100 TB path: corpus stored partitioned by
+    cell_id -> per-query partition pruning instead of a full scan."""
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = (
+        emb.filter(F.col("vec_id") % 50 == 0)
+        .select((F.col("vec_id") / 50).cast("int").alias("cell_id"), "embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return ivf_topk(emb, queries, centroids, k=_K, nprobe=3).select(
+        "query_id", "neighbor_id", "cos_sim", "rank"
+    )
+
+
+@query(
+    "embed_norm_stats",
+    oracle="""
+    SELECT label,
+           count(*) AS n,
+           round(avg(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                  x -> x * x)))), 4) AS avg_norm,
+           CAST(min(len(embedding)) AS INTEGER) AS dim_min,
+           CAST(max(len(embedding)) AS INTEGER) AS dim_max
+    FROM embeddings GROUP BY label
+    """,
+)
+def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector stats: L2 norm mean + dimensionality bounds."""
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(norm(as_double(F.col("embedding")))), 4).alias("avg_norm"),
+        F.min(F.size("embedding")).alias("dim_min"),
+        F.max(F.size("embedding")).alias("dim_max"),
+    )
