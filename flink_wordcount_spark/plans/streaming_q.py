@@ -1,1 +1,104 @@
-"""(placeholder — filled in as the operator surface lands)"""
+"""Driver-facing streaming queries — each runs a REAL Structured Streaming
+query (micro-batch engine + state store) synchronously and returns the final
+result table, which makes the streaming surface oracle-checkable via batch
+equivalence (SURVEY §5.2.3):
+
+- ``stream_wordcount_file``: the reference pipeline with deterministic file
+  replay standing in for the live source; complete-mode counts == batch SQL.
+- ``stream_wordcount_stateful``: same counts produced by the stateful API
+  (applyInPandasWithState running totals) — the CountWords parity path.
+- ``stream_events_tumbling``: event-time tumbling window aggregation on the
+  events stream; equals the batch window query.
+- ``stream_sentences_golden``: the seeded rate-source generator (sentences.py)
+  replayed deterministically; engine-specific hashes -> rows-only.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.text import tokenize
+from ..streaming.sentences import batch_golden
+from ..streaming.stateful import final_state_counts
+from ..streaming.wordcount import file_replay_wordcount, run_to_completion, stream_dir_for
+from .catalog import query
+
+_TOKENS_SQL = (
+    "SELECT word FROM (SELECT regexp_split_to_table(text, '\\W+') AS word "
+    "FROM documents) WHERE length(word) > 0"
+)
+_WC_ORACLE = f"SELECT word, count(*) AS cnt FROM ({_TOKENS_SQL}) GROUP BY word"
+
+
+@query("stream_wordcount_file", oracle=_WC_ORACLE)
+def stream_wordcount_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference pipeline, streamed: parquet replay -> tokenize -> stateful
+    count -> complete-mode sink; final state == batch word count."""
+    counts = file_replay_wordcount(spark, f"{sf_dir}/documents.parquet")
+    return run_to_completion(counts, output_mode="complete")
+
+
+@query("stream_wordcount_stateful", oracle=_WC_ORACLE)
+def stream_wordcount_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CountWords via the stateful API: per-key state in the state store,
+    emission logic in an Arrow-batched pandas fn (update mode, single-batch
+    replay -> one emitted row per word carrying the final running total)."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(
+        stream_dir_for(f"{sf_dir}/documents.parquet")
+    )
+    tokens = tokenize(stream.select(F.col("text").alias("sentence")), "sentence").select("word")
+    return run_to_completion(final_state_counts(tokens), output_mode="update")
+
+
+@query(
+    "stream_events_tumbling",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling windows over the events stream (file replay);
+    complete mode -> final windows equal the batch twin ev_tumbling_hour."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema  # ts: long (nanos)
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir_for(f"{sf_dir}/events.parquet"))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return run_to_completion(agg, output_mode="complete")
+
+
+@query("stream_sentences_golden")  # rows-only: xxhash64 generator is Spark-specific
+def stream_sentences_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-source parity: the seeded sentence generator (reference source
+    semantics — sample timestamps, skew knob off) replayed through a real
+    streaming query; deterministic counts from (seed, row_id) alone."""
+    n_rows, size = 2000, 20
+    path = os.path.join(tempfile.gettempdir(), f"fws_golden_{n_rows}x{size}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        batch_golden(spark, n_rows, sentence_size=size, sample_period=100).write.mode(
+            "overwrite"
+        ).parquet(path)
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    counts = tokenize(stream, text_col="sentence", out_col="word").groupBy("word").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return run_to_completion(counts, output_mode="complete").orderBy(F.desc("cnt"), F.asc("word"))

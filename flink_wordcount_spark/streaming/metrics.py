@@ -1,0 +1,93 @@
+"""Latency/throughput instrumentation (DummyLatencyCountingSink parity).
+
+Reference (DummyLatencyCountingSink.java): per sampled element log
+``LATENCY <sink_id> <sample_ts> <now_ms>``; every >=500ms log
+``THROUGHPUT <sink_id> <records> <now_ms> <records/s>``; scraped into CSVs
+``sink_id,timestamp,cur_time,latency`` (collect_latencies.sh:9-16).
+
+Spark equivalents:
+- throughput: StreamingQueryListener progress events already carry
+  inputRowsPerSecond/batch durations — recorded per micro-batch.
+- latency: a foreachBatch hook computes ``now - sample_ts`` for the sampled
+  rows (the 1-in-N records carrying a timestamp) — same metric, same CSV.
+
+Scale note: the recorder appends driver-side (metrics are tiny: one row per
+batch + one per sampled record); the data path itself never collects.
+"""
+
+from __future__ import annotations
+
+import csv
+import random
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+class ThroughputListener(StreamingQueryListener):
+    """Collects per-micro-batch throughput rows; ``to_csv`` dumps them with
+    the reference CSV dialect (one row per progress event)."""
+
+    def __init__(self) -> None:
+        self.rows: list[dict] = []
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API names)
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        p = event.progress
+        self.rows.append(
+            {
+                "sink_id": p.name or p.id,
+                "batch_id": p.batchId,
+                "cur_time": p.timestamp,
+                "num_input_rows": p.numInputRows,
+                "input_rows_per_second": p.inputRowsPerSecond,
+                "processed_rows_per_second": p.processedRowsPerSecond,
+            }
+        )
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def to_csv(self, path: str) -> None:
+        if not self.rows:
+            return
+        with Path(path).open("w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(self.rows[0]))
+            w.writeheader()
+            w.writerows(self.rows)
+
+
+class LatencyRecorder:
+    """foreachBatch hook: per sampled record, record sink-arrival latency.
+
+    CSV schema matches collect_latencies.sh:9-10:
+    ``sink_id,timestamp,cur_time,latency``.
+    """
+
+    def __init__(self, path: str, ts_col: str = "sample_ts") -> None:
+        self.path = Path(path)
+        self.ts_col = ts_col
+        # reference: random sink id in [0,1000) (DummyLatencyCountingSink.java:58-59)
+        self.sink_id = random.Random(0).randrange(1000)
+        self.path.write_text("sink_id,timestamp,cur_time,latency\n")
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        sampled = (
+            batch_df.filter(F.col(self.ts_col).isNotNull())
+            .select(self.ts_col)
+            .collect()
+        )
+        now_ms = int(time.time() * 1000)
+        with self.path.open("a", newline="") as f:
+            w = csv.writer(f)
+            for row in sampled:
+                ts = row[self.ts_col]
+                w.writerow([self.sink_id, ts, now_ms, now_ms - ts])

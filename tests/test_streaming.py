@@ -1,0 +1,186 @@
+"""Streaming semantics tests (SURVEY §5.2.3-4): golden batch equivalence,
+checkpoint recovery (the reference's failure experiment, kill_worker.sh),
+emit-on-sample stateful parity, metrics capture, rate source liveness."""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from flink_wordcount_spark.operators.text import word_counts
+from flink_wordcount_spark.streaming.metrics import LatencyRecorder, ThroughputListener
+from flink_wordcount_spark.streaming.sentences import batch_golden, rate_stream, wordlist
+from flink_wordcount_spark.streaming.stateful import emit_on_sample_counts
+from flink_wordcount_spark.streaming.wordcount import (
+    file_replay_wordcount,
+    run_to_completion,
+)
+
+
+def _counts_dict(df, key="word", val="cnt"):
+    return {r[key]: r[val] for r in df.collect()}
+
+
+def test_file_replay_equals_batch(spark, sf_dir):
+    streamed = run_to_completion(
+        file_replay_wordcount(spark, f"{sf_dir}/documents.parquet"), output_mode="complete"
+    )
+    batch = word_counts(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    assert _counts_dict(streamed) == _counts_dict(batch)
+
+
+def test_generator_is_deterministic(spark):
+    a = batch_golden(spark, 200, sentence_size=10).select("sentence").collect()
+    b = batch_golden(spark, 200, sentence_size=10).select("sentence").collect()
+    assert a == b
+    words = set(wordlist())
+    for row in a[:20]:
+        toks = row.sentence.split(" ")
+        assert len(toks) == 10
+        assert set(toks) <= words
+
+
+def test_generator_skew_knob(spark):
+    skewed = batch_golden(spark, 500, sentence_size=10, skew_percent=30)
+    frac = (
+        skewed.select(F.explode(F.split("sentence", " ")).alias("w"))
+        .select(F.avg(F.when(F.col("w") == "skew", 1.0).otherwise(0.0)).alias("p"))
+        .collect()[0]["p"]
+    )
+    assert 0.25 < frac < 0.35  # ~30% hot key (RandomSentenceGenerator.java:47-53)
+
+
+def test_checkpoint_recovery(spark, sf_dir, tmp_path):
+    """Reference failure experiment: stop the query mid-stream, restart from
+    the same checkpoint, final counts equal an uninterrupted run."""
+    src_dir = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(4).write.parquet(str(src_dir))
+
+    counts = file_replay_wordcount(spark, str(src_dir), max_files_per_trigger=1)
+    name1 = f"rec_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name1)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    # let at least one (but not all) micro-batch commit, then "kill the worker"
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if q.lastProgress and q.lastProgress["numInputRows"] > 0:
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(30)
+
+    # restart from the same checkpoint: source replay position is restored
+    # (reference analog: RateControlledSourceFunction.restoreState :113-123)
+    counts2 = file_replay_wordcount(spark, str(src_dir), max_files_per_trigger=1)
+    name2 = f"rec_{uuid.uuid4().hex[:8]}"
+    q2 = (
+        counts2.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name2)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+
+    final = _counts_dict(spark.table(name2))
+    golden = _counts_dict(word_counts(docs))
+    assert final == golden
+
+
+def test_stateful_emit_on_sample(spark, tmp_path):
+    """CountWords parity: state updates on every token, emission only at
+    sampled rows, emitted cnt == running per-word total at that point."""
+    n, size, period = 400, 5, 25
+    sent = batch_golden(spark, n, sentence_size=size, sample_period=period)
+    # unique per-token sequence so running order is total: seq*size + pos
+    toks = sent.select(
+        "sample_ts",
+        "source_id",
+        "seq",
+        F.posexplode(F.split("sentence", " ")).alias("pos", "word"),
+    ).select(
+        "sample_ts",
+        "word",
+        "source_id",
+        (F.col("seq") * size + F.col("pos")).alias("seq"),
+    )
+    src = str(tmp_path / "tokens")
+    toks.write.parquet(src)
+
+    stream = spark.readStream.schema(toks.schema).parquet(src)
+    out = run_to_completion(emit_on_sample_counts(stream), output_mode="update")
+
+    # golden: per-word running count at each token, filtered to sampled rows
+    w = Window.partitionBy("word").orderBy("seq")
+    golden = (
+        toks.withColumn("cnt", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_ts").isNotNull())
+        .select("word", "cnt", "source_id")
+    )
+    got = {(r.word, r.cnt, r.source_id) for r in out.collect()}
+    want = {(r.word, r.cnt, r.source_id) for r in golden.collect()}
+    assert got == want
+    assert len(got) > 0  # sampled rows exist (n/period sentences * size tokens)
+
+
+def test_metrics_capture(spark, tmp_path):
+    listener = ThroughputListener()
+    spark.streams.addListener(listener)
+    try:
+        sent = batch_golden(spark, 300, sentence_size=5, sample_period=10)
+        src = str(tmp_path / "sent")
+        sent.write.parquet(src)
+        stream = spark.readStream.schema(sent.schema).parquet(src)
+
+        lat_csv = str(tmp_path / "latency.csv")
+        rec = LatencyRecorder(lat_csv)
+        q = stream.writeStream.outputMode("append").foreachBatch(rec).start()
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+
+        lines = open(lat_csv).read().strip().splitlines()
+        assert lines[0] == "sink_id,timestamp,cur_time,latency"
+        assert len(lines) >= 2  # 300/10 sampled rows
+        sink_id, ts, cur, lat = lines[1].split(",")
+        assert int(lat) == int(cur) - int(ts) >= 0
+
+        deadline = time.time() + 15
+        while time.time() < deadline and not listener.rows:
+            time.sleep(0.2)
+        assert any(r["num_input_rows"] > 0 for r in listener.rows)
+    finally:
+        spark.streams.removeListener(listener)
+
+
+@pytest.mark.slow
+def test_rate_source_liveness(spark):
+    """The live rate-controlled source produces counted words (wall-clock
+    bounded; determinism is covered by the golden-replay tests)."""
+    sent = rate_stream(spark, micro_batch=True, rows_per_batch=200, sentence_size=5)
+    counts = sent.select(F.explode(F.split("sentence", " ")).alias("word")).groupBy(
+        "word"
+    ).count()
+    name = f"rate_{uuid.uuid4().hex[:8]}"
+    q = counts.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        deadline = time.time() + 45
+        while time.time() < deadline:
+            if q.lastProgress and q.lastProgress["batchId"] >= 2:
+                break
+            time.sleep(0.3)
+        assert spark.table(name).count() > 0
+    finally:
+        q.stop()
