@@ -1,0 +1,43 @@
+"""UDF implementations for the declared UDF surface (SURVEY §2.2 row
+'UDF/UDAF/UDTF').
+
+Guidance encoded here (and enforced by the benchmarks): built-in expressions
+first; when Python is genuinely required, Arrow-vectorized ``pandas_udf``
+(one serde per batch) — row-at-a-time ``udf`` exists for API parity and is
+deliberately confined to tiny projections.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StringType
+
+
+@F.udf(returnType=StringType())
+def label_part(brand: str, size: int) -> str:
+    """Row-at-a-time Python UDF (API parity; slow path by design)."""
+    return f"{brand}:{size:03d}"
+
+
+@F.pandas_udf(DoubleType())
+def net_price(price: pd.Series, discount: pd.Series, tax: pd.Series) -> pd.Series:
+    """Arrow-vectorized scalar UDF: elementwise float64 arithmetic is
+    bit-identical to the SQL expression, so it stays oracle-checkable."""
+    return price * (1.0 - discount) * (1.0 + tax)
+
+
+@F.pandas_udf(LongType())
+def distinct_count_agg(keys: pd.Series) -> int:
+    """Grouped-aggregate pandas UDF: exact distinct count (integer-exact,
+    engine-neutral — no float accumulation ordering to worry about)."""
+    return int(keys.nunique())
+
+
+def register_sql_udfs(spark) -> None:
+    """SQL-registered UDF surface: usable from spark.sql text."""
+    spark.udf.register(
+        "price_bucket",
+        lambda p: int(p // 10000) if p is not None else None,
+        LongType(),
+    )

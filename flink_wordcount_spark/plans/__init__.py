@@ -18,5 +18,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     textstats_q,
     multimodal_q,
     streaming_q,
+    sql_q,
+    udf_q,
 )
 from .catalog import ORACLES, QUERIES  # noqa: F401
