@@ -14,10 +14,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StringType
 
 
-@F.udf(returnType=StringType())
-def label_part(brand: str, size: int) -> str:
-    """Row-at-a-time Python UDF (API parity; slow path by design)."""
+def _label_part(brand, size):
     return f"{brand}:{size:03d}"
+
+
+#: Row-at-a-time Python UDF (API parity; slow path by design). Wrapped
+#: without annotations: Arrow-optimized udf infers eval type from hints and
+#: warns on plain-python ones.
+label_part = F.udf(_label_part, StringType())
 
 
 @F.pandas_udf(DoubleType())

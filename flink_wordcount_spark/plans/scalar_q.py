@@ -191,6 +191,63 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_nulls",
+    oracle="""
+    WITH gaps AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(date_diff('day',
+                    lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey),
+                    o_orderdate) AS BIGINT) AS gap_days
+        FROM orders
+    )
+    SELECT o_custkey, o_orderkey, gap_days,
+           CASE WHEN gap_days IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END AS is_first,
+           coalesce(gap_days, -1) AS gap_or_default,
+           nullif(gap_days, 0) AS gap_nonzero,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY gap_days ASC NULLS FIRST, o_orderkey) AS BIGINT) AS rn_nulls_first,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY gap_days ASC NULLS LAST, o_orderkey) AS BIGINT) AS rn_nulls_last
+    FROM gaps
+    """,
+)
+def fn_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null semantics surface: null-safe equality (<=>), coalesce/nullif,
+    and NULLS FIRST/LAST sort placement (value-visible via row_number)."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("bigint")
+        .alias("gap_days"),
+    )
+    w_nf = Window.partitionBy("o_custkey").orderBy(
+        F.asc_nulls_first("gap_days"), F.asc("o_orderkey")
+    )
+    w_nl = Window.partitionBy("o_custkey").orderBy(
+        F.asc_nulls_last("gap_days"), F.asc("o_orderkey")
+    )
+    return gaps.select(
+        "o_custkey",
+        "o_orderkey",
+        "gap_days",
+        F.when(F.col("gap_days").eqNullSafe(F.lit(None).cast("bigint")), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_first"),
+        F.coalesce("gap_days", F.lit(-1).cast("bigint")).alias("gap_or_default"),
+        F.nullif(F.col("gap_days"), F.lit(0).cast("bigint")).alias("gap_nonzero"),
+        F.row_number().over(w_nf).cast("bigint").alias("rn_nulls_first"),
+        F.row_number().over(w_nl).cast("bigint").alias("rn_nulls_last"),
+    )
+
+
+@query(
     "fn_json",
     oracle="""
     SELECT event_id,
