@@ -1,0 +1,42 @@
+"""Skew mitigation: salted two-phase aggregation.
+
+The reference ships a dormant hot-key knob (RandomSentenceGenerator.java:47-53
+emits the literal word "skew" with probability p) — at 100 TB a hot key turns
+the word-hash exchange into a single straggler partition. Two mitigations:
+
+1. AQE skew handling (on by default in session.py) — splits oversized
+   shuffle partitions for joins.
+2. Salting (this module) — for aggregations: split each key into S salt
+   buckets, aggregate partially per (key, salt), then aggregate the S
+   partials. Shuffle row count for the hot key drops from N to S; the
+   second exchange carries one row per (key, salt).
+
+Salted aggregation is exact for any commutative re-aggregatable measure
+(sum/count/min/max); it composes as  final_agg(partial_agg(key, salt)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_count(df: DataFrame, key: str, salt_buckets: int = 16) -> DataFrame:
+    """Exact per-key count via two-phase salted aggregation.
+
+    Phase 1 shuffles on (key, salt) — the hot key spreads across
+    ``salt_buckets`` reducers; phase 2 shuffles ``salt_buckets`` rows per key.
+    The salt is random-per-row (spray), which is safe for counts because
+    addition is commutative; for non-decomposable aggregates use a
+    deterministic salt (hash of a secondary column) instead.
+    """
+    salted = df.withColumn("__salt", (F.rand(seed=0) * salt_buckets).cast("int"))
+    partial = salted.groupBy(key, "__salt").agg(F.count(F.lit(1)).alias("__partial"))
+    return partial.groupBy(key).agg(F.sum("__partial").cast("bigint").alias("cnt"))
+
+
+def salted_agg(df: DataFrame, key: str, measure: Column, salt_buckets: int = 16) -> DataFrame:
+    """Exact per-key SUM of ``measure`` with the same two-phase shape."""
+    salted = df.withColumn("__salt", (F.rand(seed=0) * salt_buckets).cast("int"))
+    partial = salted.groupBy(key, "__salt").agg(F.sum(measure).alias("__partial"))
+    return partial.groupBy(key).agg(F.sum("__partial").alias("total"))

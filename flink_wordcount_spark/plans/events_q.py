@@ -152,6 +152,42 @@ def ev_pivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ev_multires_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           strftime(time_bucket(INTERVAL '1 hour', ts), '%H:%M') AS hour,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value,
+           CAST(grouping(strftime(time_bucket(INTERVAL '1 hour', ts), '%H:%M')) AS BIGINT) AS gid
+    FROM events
+    GROUP BY GROUPING SETS (
+        (strftime(date_trunc('day', ts), '%Y-%m-%d'),
+         strftime(time_bucket(INTERVAL '1 hour', ts), '%H:%M')),
+        (strftime(date_trunc('day', ts), '%Y-%m-%d'))
+    )
+    """,
+)
+def ev_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: hourly + daily aggregates in
+    ONE scan via grouping sets (continuous-aggregate shape — at 100 TB this
+    is the materialized rollup a time-series engine maintains incrementally)."""
+    e = table(spark, sf_dir, "events")
+    e.select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.date_format(F.date_trunc("hour", "ts"), "HH:mm").alias("hour"),
+        "value",
+    ).createOrReplaceTempView("ev_mr")
+    return spark.sql(
+        """
+        SELECT day, hour, count(*) AS n, round(sum(value), 2) AS total_value,
+               CAST(grouping(hour) AS BIGINT) AS gid
+        FROM ev_mr
+        GROUP BY GROUPING SETS ((day, hour), (day))
+        """
+    )
+
+
+@query(
     "ev_user_rollup",
     oracle="""
     SELECT user_id, event_type, count(*) AS n,
