@@ -184,3 +184,27 @@ def test_rate_source_liveness(spark):
         assert spark.table(name).count() > 0
     finally:
         q.stop()
+
+
+def test_tws_wordcount_or_env_gate(spark, sf_dir):
+    """transformWithStateInPandas parity — runs where the protobuf runtime
+    exists; otherwise asserts the gate reports the limitation honestly."""
+    from flink_wordcount_spark.streaming.tws import tws_available, tws_wordcount
+    from flink_wordcount_spark.streaming.wordcount import stream_dir_for
+    from flink_wordcount_spark.operators.text import tokenize, word_counts
+
+    if not tws_available():
+        pytest.skip("google.protobuf runtime unavailable: transformWithState "
+                    "gated off; applyInPandasWithState path covers stateful parity")
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(
+        stream_dir_for(f"{sf_dir}/documents.parquet")
+    )
+    tokens = tokenize(stream.select(F.col("text").alias("sentence")), "sentence").select("word")
+    out = run_to_completion(tws_wordcount(tokens), output_mode="update")
+    got = {r.word: r.cnt for r in out.collect()}
+    want = {
+        r.word: r.cnt
+        for r in word_counts(spark.read.parquet(f"{sf_dir}/documents.parquet")).collect()
+    }
+    assert got == want
