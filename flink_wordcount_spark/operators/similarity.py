@@ -76,6 +76,73 @@ def brute_force_topk(
     )
 
 
+def cosine_pairs(
+    corpus: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (all-pairs; the verification
+    baseline). O(n²) — at 100 TB run it only within LSH buckets (below)."""
+    a = corpus.select(F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def rhp_buckets(
+    corpus: DataFrame,
+    n_tables: int = 8,
+    bits_per_table: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH: (id, table_idx, bucket) — one row per table.
+
+    Planes are deterministic ±1 matrices from a seeded PRNG (sign-random
+    projections); bucket = the bits_per_table sign bits packed into a long.
+    Cosine-similar vectors agree on each bit with prob 1 - θ/π, so bucket
+    collision concentrates candidates; at scale, pairs are generated within
+    (table, bucket) groups only.
+    """
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.choice([-1.0, 1.0], size=(n_tables * bits_per_table, dim))
+    v = corpus.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("vec"))
+    buckets = []
+    for t in range(n_tables):
+        acc = None
+        for b in range(bits_per_table):
+            plane = F.array(*[F.lit(float(x)) for x in planes[t * bits_per_table + b]])
+            bit = (dot(F.col("vec"), plane) > 0).cast("long")
+            term = F.shiftleft(bit, b)
+            acc = term if acc is None else acc + term
+        buckets.append(F.struct(F.lit(t).alias("table_idx"), acc.alias("bucket")))
+    return v.select("id", F.explode(F.array(*buckets)).alias("tb")).select(
+        "id", "tb.table_idx", "tb.bucket"
+    )
+
+
+def rhp_candidate_pairs(buckets: DataFrame) -> DataFrame:
+    """Distinct candidate pairs from any shared (table, bucket)."""
+    l = buckets.select(F.col("id").alias("id_a"), "table_idx", "bucket")
+    r = buckets.select(F.col("id").alias("id_b"), "table_idx", "bucket")
+    return (
+        l.join(r, ["table_idx", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def assign_cells(vectors: DataFrame, centroids: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """IVF cell assignment: nearest centroid per vector (broadcast + argmin)."""
     c = centroids.select(F.col("cell_id"), as_double(F.col(vec_col)).alias("centroid"))

@@ -14,7 +14,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import table
-from ..operators.similarity import brute_force_topk, ivf_topk, norm, as_double
+from ..operators.similarity import (
+    as_double,
+    brute_force_topk,
+    cosine,
+    cosine_pairs,
+    ivf_topk,
+    norm,
+    rhp_buckets,
+    rhp_candidate_pairs,
+)
 from .catalog import query
 
 _N_QUERIES = 10
@@ -62,6 +71,48 @@ def lsh_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return ivf_topk(emb, queries, centroids, k=_K, nprobe=3).select(
         "query_id", "neighbor_id", "cos_sim", "rank"
+    )
+
+
+_DUP_T = 0.45
+
+
+@query(
+    "dedup_embed_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+    FROM e a CROSS JOIN e b
+    WHERE a.vec_id < b.vec_id
+      AND round(list_cosine_similarity(a.v, b.v), 6) >= {_DUP_T}
+    """,
+)
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact all-pairs baseline (the dedup
+    method the LSH path verifies against)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return cosine_pairs(emb, _DUP_T)
+
+
+@query("lsh_cosine_candidates")  # rows-only: recall is (tables, bits)-shaped
+def lsh_cosine_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH near-dup path: signed-projection buckets ->
+    in-bucket candidate pairs -> exact cosine verification. The 100 TB shape:
+    the O(n²) compare runs only inside (table, bucket) groups."""
+    emb = table(spark, sf_dir, "embeddings")
+    cands = rhp_candidate_pairs(rhp_buckets(emb))
+    e = emb.select(F.col("vec_id").alias("id"), as_double(F.col("embedding")).alias("v"))
+    va = e.withColumnsRenamed({"id": "id_a", "v": "va"})
+    vb = e.withColumnsRenamed({"id": "id_b", "v": "vb"})
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= _DUP_T)
+        .orderBy("id_a", "id_b")
     )
 
 

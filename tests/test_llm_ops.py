@@ -111,3 +111,21 @@ def test_frame_sampling_shape(spark, sf_dir):
         assert [f.frame_idx for f in sorted(frs, key=lambda f: f.frame_idx)] == list(
             range(0, n_frames, 2)
         )
+
+
+def test_rhp_cosine_lsh_recall(spark, sf_dir):
+    """Random-hyperplane LSH: verified pairs are a subset of the exact
+    cosine pairs with usable recall at the tuned (tables, bits)."""
+    from flink_wordcount_spark.operators.similarity import (
+        cosine_pairs,
+        rhp_buckets,
+        rhp_candidate_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r.id_a, r.id_b) for r in cosine_pairs(emb, 0.45).collect()}
+    cands = {(r.id_a, r.id_b) for r in rhp_candidate_pairs(rhp_buckets(emb)).collect()}
+    hits = exact & cands
+    assert hits <= exact
+    if exact:  # recall bound from 1-(1-p^k)^L at cos=0.45 is ~0.79
+        assert len(hits) / len(exact) >= 0.4
