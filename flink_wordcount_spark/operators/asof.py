@@ -1,0 +1,64 @@
+"""Two-table as-of join: cogrouped applyInPandas + merge_asof.
+
+Spark has no native as-of join. Two equivalent forms live in this engine:
+
+- window form (``plans/events_q.py::ev_asof_last_purchase``): when the
+  "right" series can be derived from the same table, a running conditional
+  max over an ordered window does it with one shuffle and zero Python.
+- this module: the general two-table case — cogroup both sides on the key,
+  ``pd.merge_asof`` inside the Arrow batch. One shuffle per side; Python
+  cost is per-group vectorized. The guide's recommended shape for genuinely
+  heterogeneous tables (trades/quotes, events/dim-history).
+
+Scale note: each (key)-group must fit in one Arrow batch — true for
+per-user/per-symbol histories; for pathological keys pre-split by time range
+and stitch the boundary rows.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import StructType
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    on: str,
+    schema: StructType | str,
+    direction: str = "backward",
+) -> DataFrame:
+    """For each left row, attach the nearest right row at-or-before
+    (direction='backward') its ``on`` value, matched within the ``by`` group.
+
+    ``schema`` is the output schema: left columns plus right payload columns
+    (right-side name collisions arrive suffixed ``_right``). Empty right
+    groups yield left rows with nulls — preserved by merge_asof.
+    """
+
+    # resolve output column names DRIVER-side: schema parsing needs an active
+    # session, which the executor-side pandas worker doesn't have
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        out_cols = [f.name for f in _parse_datatype_string(schema).fields]
+    else:
+        out_cols = [f.name for f in schema.fields]
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if len(l) == 0:
+            return pd.DataFrame(columns=out_cols)
+        l = l.sort_values(on, kind="mergesort")
+        if len(r) == 0:
+            out = l.copy()
+            for c in out_cols:
+                if c not in out.columns:
+                    out[c] = None
+            return out[out_cols]
+        r = r.sort_values(on, kind="mergesort")
+        out = pd.merge_asof(l, r, on=on, by=by, direction=direction, suffixes=("", "_right"))
+        return out[out_cols]
+
+    return left.groupBy(by).cogroup(right.groupBy(by)).applyInPandas(merge, schema)

@@ -59,6 +59,17 @@ def compare(
     s_cols, o_cols = sorted(spdf.columns), sorted(opdf.columns)
     if s_cols != o_cols:
         return False, f"column mismatch: spark={s_cols} oracle={o_cols}"
+    kinds = []
+    for c in s_cols:
+        sk, ok = spdf[c].dtype.kind, opdf[c].dtype.kind
+        # arrow->pandas nullability wobble: ints may surface as float/object
+        # when NULLs are present; treat numeric kinds as one family for the
+        # kind check (values are still compared exactly below)
+        num = set("iuf O")
+        if sk != ok and not (sk in num and ok in num):
+            kinds.append(f"{c}: spark={spdf[c].dtype} oracle={opdf[c].dtype}")
+    if kinds:
+        return False, "dtype kind mismatch: " + "; ".join(kinds)
     if len(spdf) != len(opdf):
         return False, f"row count mismatch: spark={len(spdf)} oracle={len(opdf)}"
     s_rows, o_rows = canon_rows(spdf), canon_rows(opdf)

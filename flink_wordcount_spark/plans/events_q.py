@@ -152,6 +152,40 @@ def ev_pivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ev_asof_last_purchase",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           strftime(max(CASE WHEN event_type = 'purchase' THEN ts END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                    '%Y-%m-%d %H:%M:%S') AS last_purchase_ts
+    FROM events
+    """,
+)
+def ev_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, window form: attach the most recent prior 'purchase'
+    timestamp to every event per user. Spark has no native as-of join; the
+    running conditional-max over an ordered window is the shuffle-minimal
+    equivalent (one exchange on user_id vs merge_asof's per-group Python) —
+    SURVEY §2.2 'range/as-of' and the pyspark guide's as-of pattern."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_purchase = F.max(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format(last_purchase, _TS_FMT).alias("last_purchase_ts"),
+    )
+
+
+@query(
     "ev_multires_rollup",
     oracle="""
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

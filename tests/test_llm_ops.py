@@ -129,3 +129,35 @@ def test_rhp_cosine_lsh_recall(spark, sf_dir):
     assert hits <= exact
     if exact:  # recall bound from 1-(1-p^k)^L at cos=0.45 is ~0.79
         assert len(hits) / len(exact) >= 0.4
+
+
+def test_asof_join_matches_window_form(spark, sf_dir):
+    """Two-table as-of (cogroup + merge_asof) agrees with the window-based
+    as-of on the last-purchase-before-event problem."""
+    from flink_wordcount_spark.operators.asof import asof_join
+    from flink_wordcount_spark.plans.events_q import ev_asof_last_purchase
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    left = e.select("event_id", "user_id", "event_type", "ts")
+    right = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.col("ts").alias("purchase_ts"))
+    )
+    out = asof_join(
+        left,
+        right,
+        by="user_id",
+        on="ts",
+        schema="event_id long, user_id long, event_type string, ts timestamp, purchase_ts timestamp",
+    )
+    got = {
+        r.event_id: (r.purchase_ts.strftime("%Y-%m-%d %H:%M:%S") if r.purchase_ts else None)
+        for r in out.collect()
+    }
+    want = {
+        r.event_id: r.last_purchase_ts
+        for r in ev_asof_last_purchase(spark, sf_dir).collect()
+    }
+    assert got == want
