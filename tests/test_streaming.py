@@ -208,3 +208,27 @@ def test_tws_wordcount_or_env_gate(spark, sf_dir):
         for r in word_counts(spark.read.parquet(f"{sf_dir}/documents.parquet")).collect()
     }
     assert got == want
+
+
+def test_idempotent_sink_exactly_once(spark, tmp_path):
+    """Replaying a batch (same batch_id) must not duplicate rows in the
+    file target — the exactly-once foreachBatch pattern."""
+    from flink_wordcount_spark.streaming.sinks import IdempotentParquetSink
+
+    sent = batch_golden(spark, 100, sentence_size=5, sample_period=10)
+    src = str(tmp_path / "src")
+    sent.write.parquet(src)
+
+    sink = IdempotentParquetSink(str(tmp_path / "out"))
+    stream = spark.readStream.schema(sent.schema).parquet(src)
+    q = stream.writeStream.outputMode("append").foreachBatch(sink).start()
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+
+    first = sink.read(spark).count()
+    assert first == 100
+    # simulate a post-recovery replay of batch 0 with different content:
+    # the sink must refuse to overwrite the committed batch
+    sink(spark.range(5).selectExpr("null sample_ts", "'x' sentence", "1 source_id", "id seq"), 0)
+    assert sink.read(spark).count() == first
