@@ -1,0 +1,53 @@
+"""Plan-shape assertions: the physical strategies the engine is designed
+around actually appear in the executed plans (SCALE.md claims, verified)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_wordcount_spark.plans import QUERIES
+from flink_wordcount_spark.streaming.wordcount import tokens_stream
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_rebalance_round_robin(spark, sf_dir):
+    """Reference op #3 (rebalance, StatefulWordCount.java:80): repartition(n)
+    without columns is a round-robin redistribution to exactly n partitions."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("text").alias("sentence")
+    )
+    toks = tokens_stream(d, rebalance=6)
+    assert "RoundRobinPartitioning(6)" in _plan(toks.select("word"))
+    assert toks.rdd.getNumPartitions() == 6
+
+
+def test_global_sort_uses_range_partitioning(spark, sf_dir):
+    """orderBy without limit -> range-partitioned exchange (parallel global
+    sort), never a single-partition sort."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").orderBy("o_totalprice")
+    assert "rangepartitioning" in _plan(o).lower()
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    plan = _plan(QUERIES["topk_global"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_broadcast_dims_in_join_queries(spark, sf_dir):
+    for q in ("q3_shipping_priority", "q5_local_supplier_volume", "q10_returned_items"):
+        assert "BroadcastHashJoin" in _plan(QUERIES[q](spark, sf_dir)), q
+
+
+def test_partial_aggregation_before_exchange(spark, sf_dir):
+    plan = _plan(QUERIES["wordcount_top100"](spark, sf_dir))
+    # partial (map-side) agg must appear upstream of the exchange
+    assert plan.index("partial_count") > plan.index("Exchange") or "partial_count" in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(QUERIES["q6_forecast_revenue"](spark, sf_dir))
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1][:400]
