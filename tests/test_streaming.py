@@ -232,3 +232,52 @@ def test_idempotent_sink_exactly_once(spark, tmp_path):
     # the sink must refuse to overwrite the committed batch
     sink(spark.range(5).selectExpr("null sample_ts", "'x' sentence", "1 source_id", "id seq"), 0)
     assert sink.read(spark).count() == first
+
+
+def test_streaming_session_window_subset_of_batch(spark, sf_dir):
+    """session_window under a watermark in a real streaming query: every
+    emitted session matches the batch recomputation exactly; sessions still
+    within the watermark horizon at end-of-stream stay buffered (append-mode
+    contract), so the streamed set is a prefix-closed subset."""
+    from flink_wordcount_spark.streaming.wordcount import stream_dir_for
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema  # ts: nanos long
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir_for(f"{sf_dir}/events.parquet"))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        streamed = {(r.user_id, r.session_start): r.n_events for r in spark.table(name).collect()}
+    finally:
+        q.stop()
+
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+    golden = {(r.user_id, r.session_start): r.n_events for r in batch.collect()}
+    assert streamed  # most sessions closed well before the final watermark
+    for k, v in streamed.items():
+        assert golden.get(k) == v  # every emitted session is exactly right
+    assert len(streamed) >= len(golden) * 0.8
