@@ -49,8 +49,9 @@ def lang_predict() -> Column:
     """Argmax over the score_* columns; ties resolved alphabetically so the
     prediction is deterministic (and SQL-reproducible)."""
     pred = None
-    # iterate langs sorted descending so earlier (alphabetically smaller)
-    # languages win ties via >= comparison chain
+    # iterate langs in ascending alphabetical order: the FIRST branch of the
+    # when-chain that equals the max wins, so ties resolve to the
+    # alphabetically smallest language (must match the oracle's CASE order)
     langs = sorted(STOPWORDS)
     best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
     for lang in langs:

@@ -28,6 +28,8 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon_cell(x: Any) -> Any:
+    import numpy as np
+
     if x is None:
         return None
     if isinstance(x, float):
@@ -35,6 +37,8 @@ def _canon_cell(x: Any) -> Any:
             return "NaN"
         # exact float compare via repr of the double value
         return repr(float(x))
+    if isinstance(x, np.ndarray):  # array columns arrive as ndarrays
+        return tuple(_canon_cell(v) for v in x.tolist())
     if isinstance(x, (list, tuple)):
         return tuple(_canon_cell(v) for v in x)
     return x

@@ -49,7 +49,7 @@ WITH toks AS (
 SELECT id_a, id_b, n_shared,
        round(n_shared / (x.n + y.n - n_shared), 6) AS jaccard
 FROM shared JOIN sizes x ON x.doc_id = id_a JOIN sizes y ON y.doc_id = id_b
-WHERE n_shared / (x.n + y.n - n_shared) >= {_THRESHOLD}
+WHERE round(n_shared / (x.n + y.n - n_shared), 6) >= {_THRESHOLD}
 """
 
 

@@ -1,10 +1,16 @@
 """Multimodal-column query surface (binary payload plumbing).
 
 ``mm_featurize`` runs the real Arrow-batched mapInPandas path; its byte-level
-features are reproducible relationally so it still gets a full oracle (the
-payload here is UTF-8 text, so DuckDB can recompute byte stats from chars).
+features are reproducible relationally so it still gets a full oracle.
 ``mm_frame_sample`` fans one row out to many frames inside the Python worker —
 rows-only (blob folding is not reasonably SQL-expressible).
+
+Oracle note: DuckDB 1.0 cannot slice or fold BLOBs, so byte-level oracles
+recompute from characters — valid only when chars == bytes. The declared
+queries therefore project the payload from an ASCII-SANITIZED copy of the
+text (identical regexp on both sides), making the oracle byte-exact for ANY
+fixture content; real media pipelines use attach_binary() on raw bytes
+directly (operators/multimodal.py), where no SQL oracle is claimed.
 """
 
 from __future__ import annotations
@@ -16,20 +22,26 @@ from ..io import table
 from ..operators.multimodal import attach_binary, featurize, sample_frames
 from .catalog import query
 
+#: strip non-ASCII so character arithmetic == byte arithmetic on both engines
+_ASCII_RE = "[^\\x00-\\x7F]"
+
 
 @query(
     "mm_metadata",
     oracle="""
     SELECT doc_id,
            'application/octet-stream' AS mime,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           lower(hex(encode(substring(text, 1, 8)))) AS header_hex
+           CAST(octet_length(encode(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'))) AS BIGINT) AS n_bytes,
+           lower(hex(encode(substring(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'), 1, 8)))) AS header_hex
     FROM documents
     """,
 )
 def mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed metadata over opaque payloads (mime/size/header magic)."""
-    d = attach_binary(table(spark, sf_dir, "documents"))
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace("text", _ASCII_RE, "")
+    )
+    d = attach_binary(docs)
     return d.select(
         "doc_id",
         F.col("media_meta.mime").alias("mime"),
@@ -42,14 +54,16 @@ def mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_featurize",
     oracle="""
     WITH chars AS (
-        SELECT doc_id, list_transform(string_split(text, ''), c -> ascii(c)) AS bytes
+        SELECT doc_id,
+               list_transform(string_split(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'), ''),
+                              c -> ascii(c)) AS bytes
         FROM documents
     )
     SELECT c.doc_id,
            CAST(len(c.bytes) AS BIGINT) AS n_bytes,
            CAST(list_sum(c.bytes) AS BIGINT) AS byte_sum,
            CAST(list_sum(c.bytes) AS BIGINT) / CAST(len(c.bytes) AS BIGINT) AS byte_mean,
-           lower(hex(encode(substring(d.text, 1, 8)))) AS header_hex
+           lower(hex(encode(substring(regexp_replace(d.text, '[^\\x00-\\x7F]', '', 'g'), 1, 8)))) AS header_hex
     FROM chars c JOIN documents d ON d.doc_id = c.doc_id
     """,
 )
@@ -60,7 +74,10 @@ def mm_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
     of small ints hit exact decimal halves where numpy's banker's rounding
     and DuckDB's diverge; the raw IEEE division is bit-identical.
     """
-    d = attach_binary(table(spark, sf_dir, "documents"))
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace("text", _ASCII_RE, "")
+    )
+    d = attach_binary(docs)
     return featurize(d).select(
         "doc_id",
         "n_bytes",

@@ -26,12 +26,7 @@ from ..streaming.sentences import batch_golden
 from ..streaming.stateful import final_state_counts
 from ..streaming.wordcount import file_replay_wordcount, run_to_completion, stream_dir_for
 from .catalog import query
-
-_TOKENS_SQL = (
-    "SELECT word FROM (SELECT regexp_split_to_table(text, '\\W+') AS word "
-    "FROM documents) WHERE length(word) > 0"
-)
-_WC_ORACLE = f"SELECT word, count(*) AS cnt FROM ({_TOKENS_SQL}) GROUP BY word"
+from .wordcount_q import WC_ORACLE as _WC_ORACLE  # single source of truth
 
 
 @query("stream_wordcount_file", oracle=_WC_ORACLE)

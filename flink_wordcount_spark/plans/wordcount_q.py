@@ -14,10 +14,16 @@ from ..io import table
 from ..operators.text import token_count_expr, top_k_words, word_counts
 from .catalog import query
 
+#: Canonical DuckDB twin of operators.text.tokenize over `documents` —
+#: imported by streaming_q so batch and streaming word counts can never be
+#: checked against drifted oracles.
 _TOKENS_SQL = (
     "SELECT word FROM (SELECT regexp_split_to_table(text, '\\W+') AS word "
     "FROM documents) WHERE length(word) > 0"
 )
+
+#: Full word-count oracle (shared with the streaming twins).
+WC_ORACLE = f"SELECT word, count(*) AS cnt FROM ({_TOKENS_SQL}) GROUP BY word"
 
 
 @query(

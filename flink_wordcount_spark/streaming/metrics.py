@@ -77,6 +77,12 @@ class LatencyRecorder:
         self.ts_col = ts_col
         # reference: random sink id in [0,1000) (DummyLatencyCountingSink.java:58-59)
         self.sink_id = random.Random(0).randrange(1000)
+        # record-once semantics: update-mode aggregates re-emit a key's
+        # max(sample_ts) on every later update of that key, which would
+        # re-log a stale timestamp each batch and inflate 'latency' into
+        # elapsed-time-since-sample. The reference sink logs each sampled
+        # record exactly once (DummyLatencyCountingSink.java:63-65).
+        self._seen: set[int] = set()
         self.path.write_text("sink_id,timestamp,cur_time,latency\n")
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -90,4 +96,7 @@ class LatencyRecorder:
             w = csv.writer(f)
             for row in sampled:
                 ts = row[self.ts_col]
+                if ts in self._seen:
+                    continue
+                self._seen.add(ts)
                 w.writerow([self.sink_id, ts, now_ms, now_ms - ts])

@@ -65,10 +65,17 @@ def with_sentences(
         return word
 
     sentence = F.concat_ws(" ", F.transform(F.sequence(F.lit(1), F.lit(sentence_size)), pick))
-    sample_ts = F.when(
-        F.pmod(rid, F.lit(sample_period)) == 0,
-        (F.unix_millis(F.current_timestamp())),
-    ).cast("long")
+    # Rate-aligned per-record sample timestamp (reference semantics:
+    # recordTimestamp = startTime + eventsCount/rate, RateControlledSource-
+    # Function.java:75-87). The rate sources emit exactly that as their
+    # per-row `timestamp` column; batch golden runs (spark.range) synthesize
+    # an equivalent unique-per-record base. current_timestamp() alone would
+    # be constant per micro-batch -> colliding sample timestamps.
+    if "timestamp" in df.columns:
+        base_ms = F.unix_millis(F.col("timestamp"))
+    else:
+        base_ms = F.unix_millis(F.current_timestamp()) + (rid * 1000).cast("long") / F.lit(12500)
+    sample_ts = F.when(F.pmod(rid, F.lit(sample_period)) == 0, base_ms).cast("long")
     return (
         df.withColumn("__words", F.array(*[F.lit(w) for w in words]))
         .select(

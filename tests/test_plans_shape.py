@@ -44,8 +44,11 @@ def test_broadcast_dims_in_join_queries(spark, sf_dir):
 
 def test_partial_aggregation_before_exchange(spark, sf_dir):
     plan = _plan(QUERIES["wordcount_top100"](spark, sf_dir))
-    # partial (map-side) agg must appear upstream of the exchange
-    assert plan.index("partial_count") > plan.index("Exchange") or "partial_count" in plan
+    # two-stage agg: a partial (map-side) HashAggregate must exist, and it
+    # sits BELOW the exchange (tree prints top-down, so partial_count's
+    # string offset is after Exchange's)
+    assert "partial_count" in plan
+    assert plan.index("partial_count") > plan.index("Exchange")
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
