@@ -161,3 +161,23 @@ def test_asof_join_matches_window_form(spark, sf_dir):
         for r in ev_asof_last_purchase(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_apply_cdc(spark):
+    """CDC apply: last change per key wins; deletes remove; inserts add."""
+    from flink_wordcount_spark.operators.merge import apply_cdc
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", "U", 1),  # update 2
+            (3, None, "D", 1),  # delete 3
+            (4, "d", "I", 1),   # insert 4
+            (2, "b3", "U", 2),  # later update of 2 wins
+        ],
+        "k long, v string, op string, seq long",
+    )
+    out = {r.k: r.v for r in apply_cdc(target, changes, "k").collect()}
+    assert out == {1: "a", 2: "b3", 4: "d"}
