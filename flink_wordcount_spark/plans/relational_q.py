@@ -359,34 +359,31 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH source AS (
         SELECT o_orderkey, o_custkey, o_orderstatus,
-               round(o_totalprice * 1.1, 2) AS o_totalprice, o_orderpriority
+               o_totalprice * 2 AS o_totalprice, o_orderpriority
         FROM orders WHERE o_orderkey % 10 = 0
     )
-    SELECT o_orderkey, o_custkey, o_orderstatus,
-           round(o_totalprice, 2) AS o_totalprice, o_orderpriority
-    FROM (
-        SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus, t.o_totalprice, t.o_orderpriority
-        FROM orders t LEFT JOIN source s ON s.o_orderkey = t.o_orderkey
-        WHERE s.o_orderkey IS NULL
-        UNION ALL
-        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority FROM source
-    )
+    SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus, t.o_totalprice, t.o_orderpriority
+    FROM orders t LEFT JOIN source s ON s.o_orderkey = t.o_orderkey
+    WHERE s.o_orderkey IS NULL
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority FROM source
     """,
 )
 def merge_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGE INTO emulation (anti-join + union): apply a 10% price bump to
-    every 10th order as an upsert source; output is the post-merge table.
-    The CDC/SCD pattern for engines without a transactional table format."""
+    """MERGE INTO emulation (anti-join + union): double every 10th order's
+    price via an upsert source; output is the post-merge table. The price op
+    is *2 (exact in IEEE — a *1.1 bump lands on half-cent rounding
+    boundaries systematically). CDC/SCD pattern for engines without a
+    transactional table format."""
     from ..operators.merge import merge_upsert
 
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
     )
     source = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
-        "o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2)
+        "o_totalprice", F.col("o_totalprice") * 2
     )
-    merged = merge_upsert(o, source, "o_orderkey")
-    return merged.withColumn("o_totalprice", F.round("o_totalprice", 2))
+    return merge_upsert(o, source, "o_orderkey")
 
 
 @query(
