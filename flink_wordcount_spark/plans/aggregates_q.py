@@ -173,6 +173,26 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_corr_covar",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+           round(var_samp(l_quantity), 4) AS qty_var
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics aggregates (corr/covar/variance)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+    )
+
+
 @query("approx_distinct_quantile")  # rows-only: sketch results are engine-specific
 def approx_distinct_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ distinct + approximate quantiles (sketches; exact values differ
