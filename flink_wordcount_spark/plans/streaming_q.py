@@ -80,6 +80,39 @@ def stream_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(agg, output_mode="complete")
 
 
+@query(
+    "stream_static_join",
+    oracle="""
+    WITH profiles AS (
+        SELECT user_id, count(*) AS lifetime_events
+        FROM events GROUP BY user_id
+    )
+    SELECT e.event_type, p.lifetime_events >= 20 AS heavy_user,
+           count(*) AS n, round(sum(e.value), 2) AS total_value
+    FROM events e JOIN profiles p ON p.user_id = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the live event stream enriched against a static
+    dimension (per-user profile), then aggregated — the standard streaming
+    enrichment topology (dim broadcast per micro-batch, no stream state)."""
+    static_profiles = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("lifetime_events"))
+    )
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(
+        stream_dir_for(f"{sf_dir}/events.parquet")
+    )
+    enriched = stream.join(F.broadcast(static_profiles), "user_id")
+    agg = enriched.groupBy(
+        "event_type", (F.col("lifetime_events") >= 20).alias("heavy_user")
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    return run_to_completion(agg, output_mode="complete")
+
+
 @query("stream_sentences_golden")  # rows-only: xxhash64 generator is Spark-specific
 def stream_sentences_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rate-source parity: the seeded sentence generator (reference source

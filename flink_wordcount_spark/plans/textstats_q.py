@@ -108,6 +108,118 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_bigrams_top",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    bg AS (
+        SELECT t[i] || ' ' || t[i+1] AS bigram
+        FROM toks, unnest(range(1, len(t))) AS u(i)
+    )
+    SELECT bigram, count(*) AS cnt
+    FROM bg GROUP BY bigram
+    ORDER BY cnt DESC, bigram LIMIT 50
+    """,
+)
+def text_bigrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 word bigrams across the corpus (n-gram language statistics)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\W+"), lambda w: F.length(w) > 0)
+    bigrams = F.expr(
+        "CASE WHEN size(__t) >= 2 THEN "
+        "transform(sequence(1, size(__t) - 1), i -> concat(__t[i-1], ' ', __t[i])) "
+        "ELSE array() END"
+    )
+    return (
+        d.select(toks.alias("__t"))
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(50)
+    )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS}) AS word FROM documents
+    ), tf AS (
+        SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), df AS (
+        SELECT word, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.word,
+               round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, word, tfidf FROM (
+        SELECT doc_id, word, tfidf,
+               row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-3 characteristic terms per document. Two aggregations
+    (term frequency per doc, document frequency per term — the df side is
+    broadcast back) + a window top-k; the classic text-features pipeline."""
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split("text", r"\W+")).alias("word"))
+        .filter(F.length("word") > 0)
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar; documents table is dimension-sized
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(F.broadcast(df_), "word")
+        .select(
+            "doc_id",
+            "word",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).drop("rn")
+    )
+
+
+@query(
+    "sample_train_test_split",
+    oracle="""
+    SELECT CASE WHEN CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER) % 100 < 80
+                THEN 'train' ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/test split (80/20 on md5(text)) — the
+    content-keyed splitting a training pipeline needs: stable across runs,
+    engines, and partitionings (unlike rand()-based sampling), and identical
+    docs always land in the same split (no train/test leakage)."""
+    d = table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast("int") % 100
+    return (
+        d.select(
+            F.when(bucket < 80, "train").otherwise("test").alias("split"),
+            "n_chars",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@query(
     "text_fingerprint",
     oracle=f"""
     SELECT doc_id,
