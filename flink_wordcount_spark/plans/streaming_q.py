@@ -113,6 +113,55 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(agg, output_mode="complete")
 
 
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+           CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS secs_to_purchase
+    FROM events v JOIN events p
+      ON p.user_id = v.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: view->purchase conversions within 1 hour,
+    per user. Both sides carry watermarks + the time-range join condition so
+    the join state is bounded (Spark purges buffered rows once the watermark
+    passes the range); inner-join matches emit as they arrive, so the
+    complete replayed result equals the batch join."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = stream_dir_for(f"{sf_dir}/events.parquet")
+
+    def side(event_type: str, alias: str):
+        return (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .filter(F.col("event_type") == event_type)
+            .selectExpr(
+                f"event_id AS {alias}_id", "user_id", f"ts AS {alias}_ts"
+            )
+            .withWatermark(f"{alias}_ts", "2 hours")
+        )
+
+    views, purchases = side("view", "view"), side("purchase", "purchase")
+    joined = views.join(
+        purchases,
+        (views.user_id == purchases.user_id)
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "view_id",
+        "purchase_id",
+        views.user_id.alias("user_id"),
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts")
+        ).cast("bigint").alias("secs_to_purchase"),
+    )
+    return run_to_completion(joined, output_mode="append")
+
+
 @query("stream_sentences_golden")  # rows-only: xxhash64 generator is Spark-specific
 def stream_sentences_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rate-source parity: the seeded sentence generator (reference source
