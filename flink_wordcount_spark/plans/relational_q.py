@@ -213,6 +213,93 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+        SELECT l.l_partkey, s.s_suppkey, s.s_name, s.s_nationkey,
+               min(l.l_extendedprice / l.l_quantity) AS unit_cost
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY 1, 2, 3, 4
+    )
+    , ranked AS (
+        SELECT l_partkey, s_name, unit_cost,
+               row_number() OVER (PARTITION BY l_partkey
+                                  ORDER BY unit_cost, s_suppkey) AS rn
+        FROM costs
+    )
+    SELECT l_partkey AS p_partkey, s_name, unit_cost
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest supplier per part (correlated-min, expressed
+    as a window rank — the decorrelated form Catalyst would plan anyway,
+    with a deterministic suppkey tie-break)."""
+    from pyspark.sql import Window
+
+    li, s = table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "supplier")
+    costs = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey", "s_suppkey", "s_name", "s_nationkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy(F.asc("unit_cost"), F.asc("s_suppkey"))
+    return (
+        costs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_name",
+            # UNROUNDED: price/quantity quotients land on decimal halves
+            # (e.g. 1106.29/40 = 27.65725) where engine rounding diverges;
+            # the raw division is bit-identical (oracle-parity-discipline)
+            "unit_cost",
+        )
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+    SELECT c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    )
+    GROUP BY c.c_name, o.o_orderkey, orderdate
+    ORDER BY total_qty DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers behind the largest-volume orders (HAVING
+    subquery -> semi join on the fact table, then enrich + top-k)."""
+    c, o, li = (table(spark, sf_dir, t) for t in ("customer", "orders", "lineitem"))
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "bk"), li.l_orderkey == F.col("bk"), "leftsemi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------- join family
 
 @query(
