@@ -113,6 +113,37 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.join(cands, ["id_a", "id_b"], "leftsemi")
 
 
+@query(
+    "dedup_cluster_representatives",
+    oracle=f"""
+    WITH pairs AS (SELECT id_a, id_b FROM ({_JACCARD_ORACLE})),
+    members AS (
+        SELECT id_a AS doc_id, id_a AS partner FROM pairs
+        UNION SELECT id_a, id_b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+        UNION SELECT id_b, id_b FROM pairs
+    )
+    SELECT doc_id, min(partner) AS rep_id FROM members GROUP BY doc_id
+    """,
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: each doc in a similar pair maps to the
+    min doc_id among itself and its direct partners (one propagation step of
+    min-id connected components — fixture dup groups are cliques, so one
+    step converges; at 100 TB iterate this join to a fixpoint)."""
+    d = table(spark, sf_dir, "documents")
+    sh = shingles(d, "text", "doc_id", n=_SHINGLE_N)
+    pairs = jaccard_pairs(sh, _THRESHOLD).select("id_a", "id_b")
+    members = (
+        pairs.select(F.col("id_a").alias("doc_id"), F.col("id_a").alias("partner"))
+        .union(pairs.select("id_a", "id_b"))
+        .union(pairs.select("id_b", "id_a"))
+        .union(pairs.select(F.col("id_b").alias("doc_id"), F.col("id_b").alias("partner")))
+        .distinct()
+    )
+    return members.groupBy("doc_id").agg(F.min("partner").alias("rep_id"))
+
+
 @query("lsh_minhash_candidates")  # rows-only: xxhash64 signatures are Spark-specific
 def lsh_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw LSH candidate pairs (pre-verification), deterministic per engine."""

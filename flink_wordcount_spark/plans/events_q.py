@@ -152,6 +152,46 @@ def ev_pivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ev_funnel",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup'   THEN ts END) AS t_signup,
+               min(CASE WHEN event_type = 'view'     THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           CAST(count(*) FILTER (WHERE t_signup IS NOT NULL) AS BIGINT) AS did_signup,
+           CAST(count(*) FILTER (WHERE t_signup IS NOT NULL AND t_view > t_signup) AS BIGINT) AS then_viewed,
+           CAST(count(*) FILTER (WHERE t_signup IS NOT NULL AND t_view > t_signup
+                                   AND t_purchase > t_view) AS BIGINT) AS then_purchased
+    FROM per_user
+    """,
+)
+def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (signup -> first view after -> first purchase
+    after): one conditional-min aggregation pass, no self-joins — the
+    scalable funnel shape (events shuffled once on user_id)."""
+    e = table(spark, sf_dir, "events")
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    per_user = e.groupBy("user_id").agg(
+        first("signup").alias("t_signup"),
+        first("view").alias("t_view"),
+        first("purchase").alias("t_purchase"),
+    )
+    signed = F.col("t_signup").isNotNull()
+    viewed = signed & (F.col("t_view") > F.col("t_signup"))
+    purchased = viewed & (F.col("t_purchase") > F.col("t_view"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.when(signed, 1)).alias("did_signup"),
+        F.count(F.when(viewed, 1)).alias("then_viewed"),
+        F.count(F.when(purchased, 1)).alias("then_purchased"),
+    )
+
+
+@query(
     "ev_asof_last_purchase",
     oracle="""
     SELECT event_id, user_id, event_type,

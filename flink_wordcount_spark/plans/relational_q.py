@@ -300,6 +300,69 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS with a correlated date comparison -> semi join
+    with a mixed equi+range condition, then priority counts."""
+    o, li = table(spark, sf_dir, "orders"), table(spark, sf_dir, "lineitem")
+    window_o = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    late = (li.l_orderkey == window_o.o_orderkey) & (
+        li.l_shipdate > window_o.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        window_o.join(li, late, "leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END), 2) AS promo_revenue,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional revenue split by a dimension attribute
+    (promo parts), dim broadcast into the filtered fact scan."""
+    li, p = table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0 * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0)), 2
+            ).alias("promo_revenue"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- join family
 
 @query(
