@@ -116,29 +116,74 @@ def rhp_buckets(
 
     rng = np.random.RandomState(seed)
     planes = rng.choice([-1.0, 1.0], size=(n_tables * bits_per_table, dim))
-    v = corpus.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("vec"))
-    buckets = []
-    for t in range(n_tables):
-        acc = None
-        for b in range(bits_per_table):
-            plane = F.array(*[F.lit(float(x)) for x in planes[t * bits_per_table + b]])
-            bit = (dot(F.col("vec"), plane) > 0).cast("long")
-            term = F.shiftleft(bit, b)
-            acc = term if acc is None else acc + term
-        buckets.append(F.struct(F.lit(t).alias("table_idx"), acc.alias("bucket")))
-    return v.select("id", F.explode(F.array(*buckets)).alias("tb")).select(
-        "id", "tb.table_idx", "tb.bucket"
+    # One packed array<array<double>> literal + higher-order functions keeps
+    # the whole projection a single small expression tree (the per-plane
+    # literal-array form produced a pathological codegen unit: 64 separate
+    # 64-literal dot products -> ~10 s just to plan/compile at sf0.01).
+    # one F.expr for the whole nested literal: PySpark's F.lit recurses into
+    # lists element-by-element (one py4j round-trip each — ~3.5 s of driver
+    # time for 32×64 planes), so serialize to a single SQL string instead
+    planes_sql = "array(%s)" % ",".join(
+        "array(%s)" % ",".join(f"{float(x)}D" for x in row) for row in planes
     )
+    planes_lit = F.expr(planes_sql)
+    # bit weights within a table: [1, 2, 4, ...] (bit b contributes bit<<b)
+    weights = F.expr(
+        "array(%s)" % ",".join(f"{1 << b}L" for b in range(bits_per_table))
+    )
+    v = corpus.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("vec"))
+    # same sequential-fold dot product as before, so sign bits (and therefore
+    # buckets and downstream candidate pairs) are bit-identical to the old plan
+    bits = F.transform(
+        planes_lit, lambda plane: (dot(F.col("vec"), plane) > 0).cast("long")
+    )
+    packed = v.select("id", bits.alias("bits"))
+    buckets = F.transform(
+        F.sequence(F.lit(0), F.lit(n_tables - 1)),
+        lambda t: F.aggregate(
+            F.zip_with(
+                F.slice(F.col("bits"), t * bits_per_table + 1, bits_per_table),
+                weights,
+                lambda bit, w: bit * w,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return packed.select("id", F.posexplode(buckets).alias("table_idx", "bucket"))
 
 
-def rhp_candidate_pairs(buckets: DataFrame) -> DataFrame:
-    """Distinct candidate pairs from any shared (table, bucket)."""
-    l = buckets.select(F.col("id").alias("id_a"), "table_idx", "bucket")
-    r = buckets.select(F.col("id").alias("id_b"), "table_idx", "bucket")
+def rhp_candidate_pairs(buckets: DataFrame, max_bucket_size: int | None = None) -> DataFrame:
+    """Distinct candidate pairs from any shared (table, bucket).
+
+    Pairs are generated per-bucket from the sorted member list (groupBy +
+    collect_set, then an in-array pair expansion) — one shuffle total,
+    computing the bucket projection once, instead of a self-join that
+    evaluates it twice and shuffles both sides.
+
+    ``max_bucket_size`` is the hot-bucket cap: a degenerate bucket (e.g. many
+    near-empty or identical-prefix documents hashing together) would expand
+    to O(size²) pairs; buckets above the cap are dropped entirely (every LSH
+    table gives the pair another chance to collide in a healthier bucket, so
+    recall degrades gracefully while the quadratic blowup is bounded).
+    """
+    members = buckets.groupBy("table_idx", "bucket").agg(
+        F.sort_array(F.collect_set("id")).alias("ids")
+    )
+    if max_bucket_size is not None:
+        members = members.filter(F.size("ids") <= max_bucket_size)
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
     return (
-        l.join(r, ["table_idx", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        members.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 

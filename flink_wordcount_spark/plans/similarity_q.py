@@ -17,8 +17,8 @@ from ..io import table
 from ..operators.similarity import (
     as_double,
     brute_force_topk,
-    cosine,
     cosine_pairs,
+    dot,
     ivf_topk,
     norm,
     rhp_buckets,
@@ -102,14 +102,23 @@ def lsh_cosine_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     the O(n²) compare runs only inside (table, bucket) groups."""
     emb = table(spark, sf_dir, "embeddings")
     cands = rhp_candidate_pairs(rhp_buckets(emb))
-    e = emb.select(F.col("vec_id").alias("id"), as_double(F.col("embedding")).alias("v"))
-    va = e.withColumnsRenamed({"id": "id_a", "v": "va"})
-    vb = e.withColumnsRenamed({"id": "id_b", "v": "vb"})
+    # norm is per-vector, so compute it once before the pair join instead of
+    # twice per candidate pair; dot/(na*nb) is the same float arithmetic as
+    # cosine(), so cos_sim values are bit-identical
+    e = emb.select(
+        F.col("vec_id").alias("id"), as_double(F.col("embedding")).alias("v")
+    ).withColumn("n", norm(F.col("v")))
+    va = e.withColumnsRenamed({"id": "id_a", "v": "va", "n": "na"})
+    vb = e.withColumnsRenamed({"id": "id_b", "v": "vb", "n": "nb"})
     return (
-        cands.join(va, "id_a")
-        .join(vb, "id_b")
+        cands.join(F.broadcast(va), "id_a")
+        .join(F.broadcast(vb), "id_b")
         .select(
-            "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim")
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= _DUP_T)
         .orderBy("id_a", "id_b")
