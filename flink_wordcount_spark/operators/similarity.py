@@ -95,6 +95,16 @@ def cosine_pairs(
     )
 
 
+def rhp_planes(n_tables: int = 8, bits_per_table: int = 4, dim: int = 64, seed: int = 7):
+    """Deterministic ±1 hyperplanes shared by the Spark plan and the DuckDB
+    oracle (both compute buckets from this same constant, so the LSH pipeline
+    itself is value-checked end-to-end)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.choice([-1.0, 1.0], size=(n_tables * bits_per_table, dim))
+
+
 def rhp_buckets(
     corpus: DataFrame,
     n_tables: int = 8,
@@ -112,10 +122,7 @@ def rhp_buckets(
     collision concentrates candidates; at scale, pairs are generated within
     (table, bucket) groups only.
     """
-    import numpy as np
-
-    rng = np.random.RandomState(seed)
-    planes = rng.choice([-1.0, 1.0], size=(n_tables * bits_per_table, dim))
+    planes = rhp_planes(n_tables, bits_per_table, dim, seed)
     # One packed array<array<double>> literal + higher-order functions keeps
     # the whole projection a single small expression tree (the per-plane
     # literal-array form produced a pathological codegen unit: 64 separate

@@ -17,12 +17,12 @@ from ..io import table
 from ..operators.similarity import (
     as_double,
     brute_force_topk,
-    cosine_pairs,
     dot,
     ivf_topk,
     norm,
     rhp_buckets,
     rhp_candidate_pairs,
+    rhp_planes,
 )
 from .catalog import query
 
@@ -75,36 +75,68 @@ def lsh_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DUP_T = 0.45
+_N_TABLES = 8
+_BITS = 4
+_MAX_BUCKET = 1024  # hot-bucket cap: bounds the O(size²) in-bucket expansion
 
-
-@query(
-    "dedup_embed_cosine",
-    oracle=f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
-    FROM e a CROSS JOIN e b
-    WHERE a.vec_id < b.vec_id
-      AND round(list_cosine_similarity(a.v, b.v), 6) >= {_DUP_T}
-    """,
+# The DuckDB oracle computes the SAME RHP-LSH pipeline from the same plane
+# constants (like the textstats oracles: generated from shared constants, so
+# the two sides cannot drift): buckets -> capped candidate pairs -> exact
+# cosine verification. Sign margins are safe (min |dot| ~1.5e-4 on fixtures
+# vs ~1e-15 fold-order noise), so buckets are bit-identical across engines.
+_PLANES_SQL = "[%s]" % ",".join(
+    "[%s]" % ",".join(str(float(x)) for x in row)
+    for row in rhp_planes(_N_TABLES, _BITS)
 )
+
+_EMBED_LSH_ORACLE = f"""
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pl AS (SELECT CAST(i AS INTEGER) AS plane_idx,
+              ({_PLANES_SQL})[CAST(i AS INTEGER)+1] AS p
+       FROM range(0, {_N_TABLES * _BITS}) t(i)),
+bits AS (
+    SELECT id, CAST(plane_idx // {_BITS} AS INTEGER) AS table_idx,
+           (CASE WHEN list_dot_product(v, p) > 0 THEN 1 ELSE 0 END
+            << (plane_idx % {_BITS})) AS bitval
+    FROM e CROSS JOIN pl
+),
+buckets AS (
+    SELECT id, table_idx, CAST(sum(bitval) AS BIGINT) AS bucket
+    FROM bits GROUP BY 1, 2
+),
+ok_buckets AS (
+    SELECT table_idx, bucket FROM buckets
+    GROUP BY 1, 2 HAVING count(*) <= {_MAX_BUCKET}
+),
+cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM buckets a
+    JOIN buckets b USING (table_idx, bucket)
+    JOIN ok_buckets USING (table_idx, bucket)
+    WHERE a.id < b.id
+)
+SELECT id_a, id_b, round(list_cosine_similarity(x.v, y.v), 6) AS cos_sim
+FROM cand JOIN e x ON x.id = id_a JOIN e y ON y.id = id_b
+WHERE round(list_cosine_similarity(x.v, y.v), 6) >= {_DUP_T}
+"""
+
+
+@query("dedup_embed_cosine", oracle=_EMBED_LSH_ORACLE)
 def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, exact all-pairs baseline (the dedup
-    method the LSH path verifies against)."""
-    emb = table(spark, sf_dir, "embeddings")
-    return cosine_pairs(emb, _DUP_T)
+    """Embedding-cosine near-dup pairs via bucketed RHP-LSH + exact verify.
 
-
-@query("lsh_cosine_candidates")  # rows-only: recall is (tables, bits)-shaped
-def lsh_cosine_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH near-dup path: signed-projection buckets ->
-    in-bucket candidate pairs -> exact cosine verification. The 100 TB shape:
-    the O(n²) compare runs only inside (table, bucket) groups."""
+    The declared plan is the 100 TB shape: no corpus×corpus crossJoin —
+    candidates come from shared (table, bucket) groups (with a hot-bucket
+    cap), and the exact cosine runs only on candidates. The oracle mirrors
+    the full pipeline in SQL, so bucketing, capping, pair generation AND
+    verification are all value-checked. Recall vs the exact all-pairs
+    baseline (`cosine_pairs`, kept test-only) is measured in
+    tests/test_similarity.py.
+    """
     emb = table(spark, sf_dir, "embeddings")
-    cands = rhp_candidate_pairs(rhp_buckets(emb))
-    # norm is per-vector, so compute it once before the pair join instead of
-    # twice per candidate pair; dot/(na*nb) is the same float arithmetic as
-    # cosine(), so cos_sim values are bit-identical
+    cands = rhp_candidate_pairs(
+        rhp_buckets(emb, _N_TABLES, _BITS), max_bucket_size=_MAX_BUCKET
+    )
     e = emb.select(
         F.col("vec_id").alias("id"), as_double(F.col("embedding")).alias("v")
     ).withColumn("n", norm(F.col("v")))
@@ -121,7 +153,23 @@ def lsh_cosine_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= _DUP_T)
-        .orderBy("id_a", "id_b")
+    )
+
+
+_CAND_ORACLE = _EMBED_LSH_ORACLE[: _EMBED_LSH_ORACLE.index("SELECT id_a")] + (
+    "SELECT id_a, id_b FROM cand"
+)
+
+
+@query("lsh_cosine_candidates", oracle=_CAND_ORACLE)
+def lsh_cosine_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw RHP-LSH candidate pairs (pre-verification): the pruning stage of
+    `dedup_embed_cosine`, exposed on its own so bucket/pair generation is
+    independently oracle-checked (the oracle computes the same buckets from
+    the same plane constants in SQL)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return rhp_candidate_pairs(
+        rhp_buckets(emb, _N_TABLES, _BITS), max_bucket_size=_MAX_BUCKET
     )
 
 

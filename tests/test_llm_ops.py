@@ -131,6 +131,38 @@ def test_rhp_cosine_lsh_recall(spark, sf_dir):
         assert len(hits) / len(exact) >= 0.4
 
 
+def test_rhp_hot_bucket_cap(spark):
+    """1,000 identical vectors all hash to one bucket per table; the cap
+    drops those buckets so the pair expansion stays bounded instead of
+    exploding to ~500k pairs per table."""
+    from flink_wordcount_spark.operators.similarity import (
+        rhp_buckets,
+        rhp_candidate_pairs,
+    )
+
+    base = [float((i % 7) - 3) or 1.0 for i in range(64)]
+    rows = [(i, base) for i in range(1000)] + [
+        (2000 + i, [float(((i + j) % 11) - 5) for j in range(64)]) for i in range(20)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    buckets = rhp_buckets(emb)
+    capped = rhp_candidate_pairs(buckets, max_bucket_size=100)
+    uncapped_dup_pairs = 1000 * 999 // 2
+    n_capped = capped.count()
+    assert n_capped < uncapped_dup_pairs / 100  # hot buckets dropped
+    # no pair of the identical-vector group survives (its buckets are all hot)
+    hot = capped.filter((F.col("id_a") < 1000) & (F.col("id_b") < 1000)).count()
+    assert hot == 0
+
+
+def test_dedup_embed_cosine_no_cartesian(spark, sf_dir):
+    """The declared embed-dedup plan must not cross-join corpus x corpus."""
+    from flink_wordcount_spark.plans.similarity_q import dedup_embed_cosine
+
+    plan = dedup_embed_cosine(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
 def test_asof_join_matches_window_form(spark, sf_dir):
     """Two-table as-of (cogroup + merge_asof) agrees with the window-based
     as-of on the last-purchase-before-event problem."""
