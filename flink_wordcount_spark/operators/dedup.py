@@ -47,16 +47,31 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame
     return base.select("id", F.explode(sh).alias("shingle")).distinct()
 
 
-def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+def jaccard_pairs(
+    sh: DataFrame, threshold: float, max_shingle_freq: int | None = None
+) -> DataFrame:
     """Exact Jaccard-similar pairs from a (id, shingle) set via inverted index.
 
     Shuffle keys on `shingle`; a pair is produced once per shared shingle and
-    aggregated — the standard scalable exact-near-dup join. Hot shingles
-    (stopword-only n-grams) should be pre-filtered at scale via a DF count.
+    aggregated — the standard scalable exact-near-dup join.
+
+    ``max_shingle_freq`` is the hot-shingle cap: a shingle appearing in more
+    than that many documents (stopword n-grams, boilerplate) contributes
+    freq² rows to the self-join; dropping it bounds the blowup at the cost of
+    undercounting n_shared for pairs whose overlap includes the hot shingle
+    (similarity becomes a lower bound — safe for a >= threshold near-dup
+    filter's precision, lossy for recall; leave None for the exact oracle
+    path, set it at 100 TB).
     """
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    joinable = sh
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        joinable = sh.join(
+            freq.filter(F.col("df") <= max_shingle_freq).select("shingle"), "shingle"
+        )
+    a = joinable.select(F.col("id").alias("id_a"), "shingle")
+    b = joinable.select(F.col("id").alias("id_b"), "shingle")
     shared = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -89,11 +104,23 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 32) -> DataFrame:
     return sh.groupBy("id").agg(*aggs)
 
 
-def lsh_candidate_pairs(sig: DataFrame, num_hashes: int = 32, bands: int = 8) -> DataFrame:
-    """Band the signature, bucket-join per band, emit distinct candidate pairs.
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Band the signature, bucket per band, emit distinct candidate pairs.
 
     rows_per_band = num_hashes // bands. Collision probability for docs with
     Jaccard s is 1-(1-s^r)^b — tune (b, r) to the target threshold.
+
+    Pairs are generated per-bucket from a sorted collect_set (one shuffle,
+    no self-join). ``max_bucket_size`` is the hot-bucket cap: a degenerate
+    bucket (e.g. thousands of identical or identical-prefix documents whose
+    signatures agree) expands to O(size²) pairs; buckets above the cap are
+    dropped entirely. Identical documents are the exact-dedup pass's job —
+    near-dup LSH losing them is the documented trade.
     """
     r = num_hashes // bands
     band_cols = [
@@ -110,14 +137,91 @@ def lsh_candidate_pairs(sig: DataFrame, num_hashes: int = 32, bands: int = 8) ->
             ])
         ).alias("b"),
     ).select("id", "b.band_idx", "b.band_hash")
-    l = stacked.select(F.col("id").alias("id_a"), "band_idx", "band_hash")
-    rgt = stacked.select(F.col("id").alias("id_b"), "band_idx", "band_hash")
+    members = stacked.groupBy("band_idx", "band_hash").agg(
+        F.sort_array(F.collect_set("id")).alias("ids")
+    )
+    if max_bucket_size is not None:
+        members = members.filter(F.size("ids") <= max_bucket_size)
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
     return (
-        l.join(rgt, ["band_idx", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        members.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Min-id connected components over an undirected similar-pair list.
+
+    Returns (doc_id, rep_id): every node in a component maps to the
+    component's minimum id — correct for chains (A~B~C but not A~C), not
+    just cliques. Each round does one propagate step (take the min rep over
+    direct neighbors) and one pointer-jump (rep <- rep(rep)), so convergence
+    is O(log diameter) rounds; the loop stops at the first round with no
+    changed assignment. Every round is a pair of shuffles on a frontier
+    that is only the near-dup pair membership (tiny relative to the corpus),
+    and each iteration is localCheckpoint'd to truncate lineage.
+    """
+    edges = pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("t")).union(
+        pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("t"))
+    )
+    reps = (
+        edges.groupBy("s")
+        .agg(F.min("t").alias("nbr_min"))
+        .select(
+            F.col("s").alias("doc_id"),
+            F.least("s", "nbr_min").alias("rep_id"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_best = (
+            edges.join(
+                reps.withColumnsRenamed({"doc_id": "t", "rep_id": "nbr_rep"}), "t"
+            )
+            .groupBy("s")
+            .agg(F.min("nbr_rep").alias("nbr_rep"))
+            .withColumnRenamed("s", "doc_id")
+        )
+        propagated = (
+            reps.join(nbr_best, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least("rep_id", F.coalesce("nbr_rep", "rep_id")).alias("rep_id"),
+            )
+        )
+        jumped = (
+            propagated.alias("x")
+            .join(
+                propagated.select(
+                    F.col("doc_id").alias("rep_id"), F.col("rep_id").alias("rep2")
+                ).alias("y"),
+                "rep_id",
+                "left",
+            )
+            .select(
+                "doc_id", F.least("rep_id", F.coalesce("rep2", "rep_id")).alias("rep_id")
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.withColumnRenamed("rep_id", "new_rep")
+            .join(reps, "doc_id")
+            .filter(F.col("new_rep") != F.col("rep_id"))
+            .count()
+        )
+        reps = jumped
+        if changed == 0:
+            break
+    return reps
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..io import table
 from ..operators.dedup import (
+    connected_components,
     exact_dedup,
     jaccard_pairs,
     lsh_candidate_pairs,
@@ -29,6 +30,10 @@ from .catalog import query
 
 _SHINGLE_N = 3
 _THRESHOLD = 0.8
+# hot-bucket cap for the LSH band buckets: far above any healthy fixture
+# bucket, bounds the O(size²) pair expansion on degenerate inputs (thousands
+# of identical-prefix docs landing in one bucket)
+_MAX_BUCKET = 1024
 
 # DuckDB twin of operators.dedup.shingles + jaccard_pairs (n=3).
 _JACCARD_ORACLE = f"""
@@ -102,7 +107,9 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     sh = shingles(d, "text", "doc_id", n=_SHINGLE_N)
-    cands = lsh_candidate_pairs(minhash_signatures(sh, 32), 32, 8)
+    cands = lsh_candidate_pairs(
+        minhash_signatures(sh, 32), 32, 8, max_bucket_size=_MAX_BUCKET
+    )
     cand_ids = (
         cands.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
     )
@@ -116,32 +123,31 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_cluster_representatives",
     oracle=f"""
-    WITH pairs AS (SELECT id_a, id_b FROM ({_JACCARD_ORACLE})),
-    members AS (
-        SELECT id_a AS doc_id, id_a AS partner FROM pairs
-        UNION SELECT id_a, id_b FROM pairs
+    WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ({_JACCARD_ORACLE})),
+    edges AS (
+        SELECT id_a AS s, id_b AS t FROM pairs
         UNION SELECT id_b, id_a FROM pairs
+        UNION SELECT id_a, id_a FROM pairs
         UNION SELECT id_b, id_b FROM pairs
+    ),
+    reach AS (
+        SELECT s, t FROM edges
+        UNION
+        SELECT r.s, e.t FROM reach r JOIN edges e ON e.s = r.t
     )
-    SELECT doc_id, min(partner) AS rep_id FROM members GROUP BY doc_id
+    SELECT s AS doc_id, min(t) AS rep_id FROM reach GROUP BY s
     """,
 )
 def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup cluster assignment: each doc in a similar pair maps to the
-    min doc_id among itself and its direct partners (one propagation step of
-    min-id connected components — fixture dup groups are cliques, so one
-    step converges; at 100 TB iterate this join to a fixpoint)."""
+    """Near-dup cluster assignment: min-id connected components over the
+    similar-pair graph, iterated to a fixpoint (propagate + pointer-jump per
+    round) — correct for chain-shaped dup groups (A~B~C without A~C), not
+    just cliques. The oracle computes true transitive closure via a
+    recursive CTE, so a non-converged answer fails the value hash."""
     d = table(spark, sf_dir, "documents")
     sh = shingles(d, "text", "doc_id", n=_SHINGLE_N)
     pairs = jaccard_pairs(sh, _THRESHOLD).select("id_a", "id_b")
-    members = (
-        pairs.select(F.col("id_a").alias("doc_id"), F.col("id_a").alias("partner"))
-        .union(pairs.select("id_a", "id_b"))
-        .union(pairs.select("id_b", "id_a"))
-        .union(pairs.select(F.col("id_b").alias("doc_id"), F.col("id_b").alias("partner")))
-        .distinct()
-    )
-    return members.groupBy("doc_id").agg(F.min("partner").alias("rep_id"))
+    return connected_components(pairs)
 
 
 @query("lsh_minhash_candidates")  # rows-only: xxhash64 signatures are Spark-specific
@@ -149,7 +155,9 @@ def lsh_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw LSH candidate pairs (pre-verification), deterministic per engine."""
     d = table(spark, sf_dir, "documents")
     sh = shingles(d, "text", "doc_id", n=_SHINGLE_N)
-    return lsh_candidate_pairs(minhash_signatures(sh, 32), 32, 8).orderBy("id_a", "id_b")
+    return lsh_candidate_pairs(
+        minhash_signatures(sh, 32), 32, 8, max_bucket_size=_MAX_BUCKET
+    ).orderBy("id_a", "id_b")
 
 
 @query("lsh_simhash64")  # rows-only: xxhash64-based fingerprints

@@ -131,6 +131,43 @@ def test_rhp_cosine_lsh_recall(spark, sf_dir):
         assert len(hits) / len(exact) >= 0.4
 
 
+def test_connected_components_chain(spark):
+    """A chain-shaped dup group (A~B~C~D, no A~C edge) must collapse to the
+    min id — the single-step min-propagation answer (rep(C)=B) is wrong."""
+    from flink_wordcount_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40), (77, 99), (5, 6)],
+        "id_a: long, id_b: long",
+    )
+    got = {r.doc_id: r.rep_id for r in connected_components(pairs).collect()}
+    assert got == {10: 10, 20: 10, 30: 10, 40: 10, 77: 77, 99: 77, 5: 5, 6: 5}
+
+
+def test_cluster_reps_jaccard_chain(spark):
+    """End-to-end: overlapping-window docs form a Jaccard chain (consecutive
+    docs >= 0.8, distant docs < 0.8); all members must map to the min id."""
+    from flink_wordcount_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+        shingles,
+    )
+
+    words = [f"w{i:03d}" for i in range(40)]
+    docs = [
+        # shift 3: neighbors J=25/31~0.806 (>=0.8), distance-2 J=22/34~0.647
+        (100 + k, " ".join(words[3 * k : 3 * k + 30]))
+        for k in range(4)
+    ] + [(500, " ".join(f"z{i}" for i in range(30)))]
+    d = spark.createDataFrame(docs, "doc_id: long, text: string")
+    sh = shingles(d, "text", "doc_id", n=3)
+    pairs = jaccard_pairs(sh, 0.8).select("id_a", "id_b")
+    got_pairs = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (100, 101) in got_pairs and (100, 103) not in got_pairs  # chain, not clique
+    got = {r.doc_id: r.rep_id for r in connected_components(pairs).collect()}
+    assert got == {100: 100, 101: 100, 102: 100, 103: 100}
+
+
 def test_rhp_hot_bucket_cap(spark):
     """1,000 identical vectors all hash to one bucket per table; the cap
     drops those buckets so the pair expansion stays bounded instead of
@@ -153,6 +190,32 @@ def test_rhp_hot_bucket_cap(spark):
     # no pair of the identical-vector group survives (its buckets are all hot)
     hot = capped.filter((F.col("id_a") < 1000) & (F.col("id_b") < 1000)).count()
     assert hot == 0
+
+
+def test_minhash_hot_bucket_cap(spark):
+    """1,000 identical-prefix docs collapse into shared MinHash band buckets;
+    the cap keeps the pipeline from expanding ~500k pairs per band."""
+    docs = [(i, "the same long boilerplate prefix repeated here " * 5) for i in range(1000)]
+    docs += [(5000 + i, f"unique doc {i} with its own words alpha beta {i}") for i in range(10)]
+    d = spark.createDataFrame(docs, "doc_id: long, text: string")
+    sh = shingles(d, "text", "doc_id", n=3)
+    sig = minhash_signatures(sh, 32)
+    capped = lsh_candidate_pairs(sig, 32, 8, max_bucket_size=100)
+    assert capped.count() < 1000  # vs ~499,500 uncapped from the hot group
+
+
+def test_jaccard_hot_shingle_filter(spark):
+    """A shingle shared by every doc is dropped by the frequency cap; the
+    join no longer receives the freq² hot key, and disjoint docs that only
+    shared the hot shingle produce no pair at all."""
+    docs = [(i, f"common filler phrase unique{i} tail{i} end{i}") for i in range(50)]
+    d = spark.createDataFrame(docs, "doc_id: long, text: string")
+    sh = shingles(d, "text", "doc_id", n=3)
+    # every doc contains the 'common filler phrase' shingle -> freq 50
+    uncapped = jaccard_pairs(sh, 0.01)
+    capped = jaccard_pairs(sh, 0.01, max_shingle_freq=10)
+    assert uncapped.count() == 50 * 49 // 2
+    assert capped.count() == 0
 
 
 def test_dedup_embed_cosine_no_cartesian(spark, sf_dir):
