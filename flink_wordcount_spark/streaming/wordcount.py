@@ -94,15 +94,38 @@ def file_replay_wordcount(
     return toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
 
 
-def run_to_completion(counts: DataFrame, name: str | None = None, output_mode: str = "complete"):
+def run_to_completion(
+    counts: DataFrame,
+    name: str | None = None,
+    output_mode: str = "complete",
+    shuffle_partitions: int = 8,
+):
     """Start, drain all available input, stop; return the result DataFrame.
 
     Used by the driver-facing queries: the streaming query runs for real
     (micro-batch engine, state store), but the call is synchronous.
+
+    Stateful streaming partitioning is fixed at query start from
+    ``spark.sql.shuffle.partitions``; every micro-batch then instantiates one
+    state store per partition, so a fixture-scale replay at 32 partitions
+    pays ~6x in per-batch overhead (13 s -> 2 s for the stream-stream join at
+    sf0.01). These synchronous replays cap the conf for the query's lifetime
+    and restore it after; the throughput bench path (start_to_memory direct)
+    keeps the session setting. At cluster scale the equivalent knob is sizing
+    shuffle partitions to the stateful operator's real key cardinality.
     """
-    q = start_to_memory(counts, name=name, output_mode=output_mode)
+    spark = counts.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    override = shuffle_partitions and int(prev) > shuffle_partitions
+    if override:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
-        q.processAllAvailable()
-        return counts.sparkSession.table(q.name)
+        q = start_to_memory(counts, name=name, output_mode=output_mode)
+        try:
+            q.processAllAvailable()
+            return spark.table(q.name)
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        if override:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
