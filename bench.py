@@ -46,52 +46,174 @@ HEADLINE = [
 
 # Streaming throughput workload: sentences x words/sentence (reference
 # operating point: 100-word sentences, StatefulWordCount.java:64).
-STREAM_SENTENCES = int(os.environ.get("SPARK_GRAFT_BENCH_SENTENCES", "50000"))
+STREAM_SENTENCES = int(os.environ.get("SPARK_GRAFT_BENCH_SENTENCES", "500000"))
 SENTENCE_SIZE = 100
 
 
-def materialize(df) -> int:
-    """Execute the full plan without driver-side transfer (noop batch sink);
-    returns row count via the cheaper count() only for reporting."""
+#: RocksDB state store: the representative provider at the real vocabulary's
+#: state cardinality (~355k keys); the HDFS-backed in-memory default stops
+#: being honest once state no longer trivially fits the executor heap.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+#: Latency phase: live rate source at the reference operating rate
+#: (12,500 sentences/s, StatefulWordCount.java:64), sampled 1-in-1000.
+LATENCY_RUN_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_LATENCY_SEC", "30"))
+
+
+def materialize(df) -> None:
+    """Execute the full plan without driver-side transfer (noop batch sink)."""
     df.write.format("noop").mode("overwrite").save()
-    return 0
 
 
 def bench_streaming(spark) -> dict:
-    """Words/s through generator -> tokenizer -> stateful running count."""
+    """Words/s through generator -> tokenizer -> stateful running count.
+
+    Matches the reference experiment's own gate (run_job.sh:56): throughput
+    is measured WITH checkpointing enabled (Spark commits offsets + state
+    per micro-batch — strictly more frequent than Flink's 30 s interval)
+    and with the RocksDB state store at the full 355k-word vocabulary.
+    """
+    import shutil
     import tempfile
 
-    from flink_wordcount_spark.streaming.sentences import batch_golden
+    from flink_wordcount_spark.streaming.sentences import batch_golden, wordlist
     from flink_wordcount_spark.streaming.wordcount import run_to_completion
     from flink_wordcount_spark.operators.text import tokenize
     from pyspark.sql import functions as F
 
+    vocab = len(wordlist())
     path = os.path.join(
-        tempfile.gettempdir(), f"fws_bench_{STREAM_SENTENCES}x{SENTENCE_SIZE}"
+        tempfile.gettempdir(),
+        f"fws_bench_{STREAM_SENTENCES}x{SENTENCE_SIZE}_v{vocab}_g2",
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         batch_golden(
             spark, STREAM_SENTENCES, sentence_size=SENTENCE_SIZE, sample_period=1000
         ).write.mode("overwrite").parquet(path)
 
-    schema = spark.read.parquet(path).schema
-    stream = spark.readStream.schema(schema).parquet(path)
-    counts = (
-        tokenize(stream, text_col="sentence", out_col="word")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    def one_run(provider: str | None) -> tuple[int, float]:
+        if provider:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+        else:
+            try:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            except Exception:
+                pass
+        ckpt = tempfile.mkdtemp(prefix="fws_bench_ckpt_")
+        try:
+            schema = spark.read.parquet(path).schema
+            stream = spark.readStream.schema(schema).parquet(path)
+            counts = (
+                tokenize(stream, text_col="sentence", out_col="word")
+                .groupBy("word")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            t0 = time.time()
+            result = run_to_completion(
+                counts,
+                output_mode="complete",
+                shuffle_partitions=0,  # keep the session's full parallelism
+                checkpoint_dir=ckpt,
+            )
+            total = sum(r.cnt for r in result.collect())
+            return total, time.time() - t0
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
     )
-    t0 = time.time()
-    result = run_to_completion(counts, output_mode="complete")
-    total_words = sum(r.cnt for r in result.collect())
-    dt = time.time() - t0
+    try:
+        total_words, dt = one_run(ROCKSDB_PROVIDER)
+        _, dt_default = one_run(None)  # HDFS-backed memory store (Flink analog)
+        latency = bench_latency(spark)
+    finally:
+        if prev_provider:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
     return {
         "sentences": STREAM_SENTENCES,
         "sentence_size": SENTENCE_SIZE,
+        "vocabulary": vocab,
+        "checkpointing": True,
+        "state_store": "rocksdb",
         "words_total": total_words,
         "elapsed_sec": round(dt, 3),
         "words_per_sec": round(total_words / dt),
+        "words_per_sec_default_store": round(total_words / dt_default),
         "sentences_per_sec": round(STREAM_SENTENCES / dt),
+        "latency_ms": latency,
+    }
+
+
+def bench_latency(spark) -> dict:
+    """Per-sampled-record latency percentiles (DummyLatencyCountingSink
+    parity): live rate source -> tokenizer -> update-mode counts carrying
+    max(sample_ts) -> LatencyRecorder foreachBatch, checkpointing on."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_wordcount_spark.streaming.metrics import LatencyRecorder
+    from flink_wordcount_spark.streaming.sentences import rate_stream
+    from flink_wordcount_spark.streaming.wordcount import tokens_stream
+
+    out_dir = tempfile.mkdtemp(prefix="fws_bench_latency_")
+    csv_path = os.path.join(out_dir, "latency.csv")
+    sentences = rate_stream(
+        spark,
+        rows_per_second=12500,
+        num_partitions=4,
+        micro_batch=False,
+        sentence_size=SENTENCE_SIZE,
+        sample_period=1000,
+    )
+    counts = tokens_stream(sentences).groupBy("word").agg(
+        F.count(F.lit(1)).alias("cnt"), F.max("sample_ts").alias("sample_ts")
+    )
+    recorder = LatencyRecorder(csv_path)
+    q = (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(recorder)
+        .option("checkpointLocation", os.path.join(out_dir, "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        time.sleep(LATENCY_RUN_SEC)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    rows = [
+        line.split(",")
+        for line in open(csv_path).read().splitlines()[1:]
+        if line
+    ]
+    shutil.rmtree(out_dir, ignore_errors=True)
+    # the first committed batch drains the startup backlog (the rate source
+    # clock starts at query start, ~8 s before the first trigger fires), so
+    # its records measure initialization, not steady-state latency; all its
+    # rows share one cur_time — drop them when later batches exist
+    cur_times = sorted({r[2] for r in rows})
+    if len(cur_times) > 1:
+        rows = [r for r in rows if r[2] != cur_times[0]]
+    lat = sorted(int(r[3]) for r in rows)
+    if not lat:
+        return {"n_samples": 0}
+
+    def pct(p: float) -> int:
+        return lat[min(len(lat) - 1, int(p * len(lat)))]
+
+    return {
+        "n_samples": len(lat),
+        "p50": pct(0.50),
+        "p95": pct(0.95),
+        "p99": pct(0.99),
+        "max": lat[-1],
     }
 
 

@@ -167,12 +167,17 @@ def stream_sentences_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rate-source parity: the seeded sentence generator (reference source
     semantics — sample timestamps, skew knob off) replayed through a real
     streaming query; deterministic counts from (seed, row_id) alone."""
-    n_rows, size = 2000, 20
-    path = os.path.join(tempfile.gettempdir(), f"fws_golden_{n_rows}x{size}")
+    n_rows, size, seed, period = 2000, 20, 42, 100
+    # cache key carries every generator parameter plus the vocabulary size,
+    # so changing any of them regenerates instead of replaying a stale copy
+    from ..streaming.sentences import wordlist
+
+    key = f"{n_rows}x{size}_s{seed}_p{period}_v{len(wordlist())}_g2"
+    path = os.path.join(tempfile.gettempdir(), f"fws_golden_{key}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        batch_golden(spark, n_rows, sentence_size=size, sample_period=100).write.mode(
-            "overwrite"
-        ).parquet(path)
+        batch_golden(
+            spark, n_rows, sentence_size=size, sample_period=period, seed=seed
+        ).write.mode("overwrite").parquet(path)
     schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(schema).parquet(path)
     counts = tokenize(stream, text_col="sentence", out_col="word").groupBy("word").agg(

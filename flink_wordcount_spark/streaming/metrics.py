@@ -72,23 +72,46 @@ class LatencyRecorder:
     ``sink_id,timestamp,cur_time,latency``.
     """
 
-    def __init__(self, path: str, ts_col: str = "sample_ts") -> None:
+    def __init__(
+        self, path: str, ts_col: str = "sample_ts", key_col: str = "word"
+    ) -> None:
         self.path = Path(path)
         self.ts_col = ts_col
+        self.key_col = key_col
         # reference: random sink id in [0,1000) (DummyLatencyCountingSink.java:58-59)
         self.sink_id = random.Random(0).randrange(1000)
         # record-once semantics: update-mode aggregates re-emit a key's
         # max(sample_ts) on every later update of that key, which would
         # re-log a stale timestamp each batch and inflate 'latency' into
         # elapsed-time-since-sample. The reference sink logs each sampled
-        # record exactly once (DummyLatencyCountingSink.java:63-65).
-        self._seen: set[int] = set()
+        # record exactly once (DummyLatencyCountingSink.java:63-65) — keyed
+        # on (word, sample_ts), not bare sample_ts, so the ~sentence_size
+        # distinct words sampled at one timestamp each get their own row.
+        self._seen: set[tuple] = set()
+        # monotonic floor on sample_ts, pushed down as a JVM-side filter:
+        # update-mode re-emissions carry a key's OLD max(sample_ts), so
+        # without the floor the per-batch collect grows with the cumulative
+        # number of ever-sampled keys (measured: batch durations doubling
+        # within 30 s at the reference rate). Sample timestamps are
+        # generation-monotonic, so new samples always clear the floor.
+        self._floor = 0
         self.path.write_text("sink_id,timestamp,cur_time,latency\n")
 
+    def carry_over(self, prev: "LatencyRecorder") -> None:
+        """Adopt a previous epoch's record-once set (kill/recover runs):
+        update-mode re-emission of keys whose max(sample_ts) predates the
+        kill must not re-log those stale timestamps with post-recovery
+        wall-clock, which would inflate 'latency' into time-since-kill."""
+        self._seen |= prev._seen
+        self._floor = max(self._floor, prev._floor)
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        cols = [self.ts_col]
+        if self.key_col in batch_df.columns:
+            cols.append(self.key_col)
         sampled = (
-            batch_df.filter(F.col(self.ts_col).isNotNull())
-            .select(self.ts_col)
+            batch_df.filter(F.col(self.ts_col) > F.lit(self._floor))
+            .select(*cols)
             .collect()
         )
         now_ms = int(time.time() * 1000)
@@ -96,7 +119,13 @@ class LatencyRecorder:
             w = csv.writer(f)
             for row in sampled:
                 ts = row[self.ts_col]
-                if ts in self._seen:
+                k = (row[self.key_col], ts) if len(cols) > 1 else (ts,)
+                if k in self._seen:
                     continue
-                self._seen.add(ts)
+                self._seen.add(k)
                 w.writerow([self.sink_id, ts, now_ms, now_ms - ts])
+        if sampled:
+            self._floor = max(self._floor, max(r[self.ts_col] for r in sampled))
+            # the batch's own keys are now below the floor; reset the
+            # in-batch dedup set so it doesn't grow without bound
+            self._seen.clear()

@@ -12,28 +12,125 @@ Reference behavior re-expressed (citations into /root/reference):
   (RandomSentenceGenerator.java:47-53 — dormant in the reference, exposed
   here but defaulted off).
 
-Spark-first design: the generator is a pure column expression over a
-monotonically increasing row id — seeded xxhash64 instead of java.util.Random,
-so any row of the stream is reproducible from (seed, row_id) alone. That makes
-the source replayable (exactly-once restart semantics fall out of the
+Spark-first design: the generator is a pure function of a monotonically
+increasing row id — seeded splitmix64 instead of java.util.Random, so any row
+of the stream is reproducible from (seed, row_id) alone. That makes the
+source replayable (exactly-once restart semantics fall out of the
 rate-micro-batch source's offset tracking + deterministic generation) and lets
 batch jobs regenerate the identical stream for golden checks (FIXTURES.md §B).
+The word lookup runs as an Arrow-vectorized UDF over a broadcast vocabulary —
+see ``_sentence_column`` for why that beats a plan-literal array at 355k words.
 """
 
 from __future__ import annotations
 
+from pathlib import Path
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: Deterministic ~1k wordlist standing in for the reference's 354,986-line
-#: words.txt (FIXTURES.md §B): syllable products, all lowercase.
+#: The reference vocabulary: 354,986-line words.txt, loaded verbatim
+#: (RandomSentenceGenerator.java:23-31 reads /words.txt from the jar).
+#: Vocabulary size bounds the streaming wordcount's state cardinality and
+#: shuffle key space, so using the real list keeps the stateful-agg
+#: operating point honest (a 1k synthetic list understates state ~355x).
+_WORDS_RESOURCE = Path(__file__).resolve().parent.parent / "resources" / "words.txt"
+
+#: Fallback-only synthetic list (FIXTURES.md §B): syllable products.
 _SYL_A = ("ba", "de", "fi", "go", "hu", "ka", "lo", "mi", "na", "pe")
 _SYL_B = ("ra", "se", "ti", "vo", "wu", "ya", "zo", "qua", "ne", "li")
 _SYL_C = ("", "n", "s", "t", "x", "m", "r", "l", "k", "d")
 
+_WORDLIST_CACHE: list[str] | None = None
+
+
+def synthetic_wordlist() -> list[str]:
+    """1,000-word deterministic fallback (tests that want tiny vocab)."""
+    return [a + b + c for a in _SYL_A for b in _SYL_B for c in _SYL_C]
+
 
 def wordlist() -> list[str]:
-    return [a + b + c for a in _SYL_A for b in _SYL_B for c in _SYL_C]
+    """The generator vocabulary: reference words.txt when present (normal),
+    the synthetic list otherwise (keeps the package importable standalone)."""
+    global _WORDLIST_CACHE
+    if _WORDLIST_CACHE is None:
+        if _WORDS_RESOURCE.exists():
+            _WORDLIST_CACHE = _WORDS_RESOURCE.read_text(encoding="utf-8").splitlines()
+        else:
+            _WORDLIST_CACHE = synthetic_wordlist()
+    return _WORDLIST_CACHE
+
+
+#: one broadcast of the vocabulary per SparkContext (4 MB, shipped once)
+_WORDS_BC = {}
+
+
+def _words_broadcast(spark: SparkSession):
+    import numpy as np
+
+    sc = spark.sparkContext
+    key = id(sc)
+    if key not in _WORDS_BC:
+        _WORDS_BC[key] = sc.broadcast(np.array(wordlist(), dtype=object))
+    return _WORDS_BC[key]
+
+
+def _sentence_column(
+    spark: SparkSession, sentence_size: int, seed: int, skew_percent: int, rid: Column
+) -> Column:
+    """Deterministic sentence from a row id, as an Arrow-vectorized UDF.
+
+    Why a UDF and not a column expression: the vocabulary is 355k words
+    (~3.7 MB). As a plan literal (element_at into a folded array constant)
+    every micro-batch re-analyzes/re-codegens a 3.7 MB plan — measured ~2.5 s
+    of fixed driver cost PER BATCH, which caps the rate source at ~0.9 M
+    words/s and makes 1 s triggers impossible. As a broadcast variable the
+    vocabulary ships to executors once and the per-batch cost is a vectorized
+    numpy lookup (~0.1 s per 600k words). This is the documented exception to
+    "UDFs are the slow path": the UDF wins because it keeps 3.7 MB out of
+    the query plan, not because Python is fast.
+
+    Word choice is splitmix64 over (row_id, slot, seed) — pure, so any row
+    of the stream is reproducible from (seed, row_id) alone, which is what
+    makes the source replayable and batch-goldenable (FIXTURES.md §B).
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    words_bc = _words_broadcast(spark)
+    n_words_known = len(wordlist())
+
+    def _mix(z):
+        # splitmix64 finalizer (public-domain constants)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+    @pandas_udf("string")
+    def gen(rid_s: pd.Series) -> pd.Series:
+        words = words_bc.value
+        n = np.uint64(len(words))
+        r = rid_s.to_numpy(np.uint64)
+        cols = []
+        with np.errstate(over="ignore"):
+            for slot in range(sentence_size):
+                z = (
+                    r * np.uint64(0x9E3779B97F4A7C15)
+                    + np.uint64(slot + 1) * np.uint64(0xD1B54A32D192ED03)
+                    + np.uint64(seed) * np.uint64(0x8CB92BA72F3D8DD7)
+                )
+                h = _mix(z)
+                w = words[(h % n).astype(np.int64)]
+                if skew_percent > 0:
+                    sk = _mix(z + np.uint64(0xA0761D6478BD642F)) % np.uint64(100)
+                    w = np.where(sk < np.uint64(skew_percent), "skew", w)
+                cols.append(w)
+        mat = np.stack(cols, axis=1)
+        return pd.Series([" ".join(row) for row in mat])
+
+    assert n_words_known > 0
+    return gen(rid.cast("long"))
 
 
 def with_sentences(
@@ -44,6 +141,7 @@ def with_sentences(
     seed: int = 42,
     skew_percent: int = 0,
     source_id: int = 7,
+    rows_per_second: int = 12500,
 ) -> DataFrame:
     """Attach (sample_ts, sentence, source_id) columns to a row-id frame.
 
@@ -53,18 +151,10 @@ def with_sentences(
     wordlist array column (not sentence_size copies of the literal array —
     that would put 100k literal nodes in the plan).
     """
-    words = wordlist()
     rid = F.col(row_id)
-
-    def pick(i: Column) -> Column:
-        h = F.xxhash64(rid, i, F.lit(seed))
-        word = F.element_at(F.col("__words"), F.pmod(h, F.lit(len(words))).cast("int") + 1)
-        if skew_percent > 0:
-            skew_h = F.pmod(F.xxhash64(rid, i, F.lit(seed + 1)), F.lit(100))
-            word = F.when(skew_h < skew_percent, F.lit("skew")).otherwise(word)
-        return word
-
-    sentence = F.concat_ws(" ", F.transform(F.sequence(F.lit(1), F.lit(sentence_size)), pick))
+    sentence = _sentence_column(
+        df.sparkSession, sentence_size, seed, skew_percent, rid
+    )
     # Rate-aligned per-record sample timestamp (reference semantics:
     # recordTimestamp = startTime + eventsCount/rate, RateControlledSource-
     # Function.java:75-87). The rate sources emit exactly that as their
@@ -74,10 +164,14 @@ def with_sentences(
     if "timestamp" in df.columns:
         base_ms = F.unix_millis(F.col("timestamp"))
     else:
-        base_ms = F.unix_millis(F.current_timestamp()) + (rid * 1000).cast("long") / F.lit(12500)
+        # batch golden copies synthesize the rate source's record timestamp
+        # spacing from the SAME rows_per_second a paired live run would use
+        base_ms = F.unix_millis(F.current_timestamp()) + (rid * 1000).cast(
+            "long"
+        ) / F.lit(rows_per_second)
     sample_ts = F.when(F.pmod(rid, F.lit(sample_period)) == 0, base_ms).cast("long")
     return (
-        df.withColumn("__words", F.array(*[F.lit(w) for w in words]))
+        df
         .select(
             sample_ts.alias("sample_ts"),
             sentence.alias("sentence"),

@@ -99,6 +99,7 @@ def run_to_completion(
     name: str | None = None,
     output_mode: str = "complete",
     shuffle_partitions: int = 8,
+    checkpoint_dir: str | None = None,
 ):
     """Start, drain all available input, stop; return the result DataFrame.
 
@@ -120,7 +121,9 @@ def run_to_completion(
     if override:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
-        q = start_to_memory(counts, name=name, output_mode=output_mode)
+        q = start_to_memory(
+            counts, name=name, output_mode=output_mode, checkpoint_dir=checkpoint_dir
+        )
         try:
             q.processAllAvailable()
             return spark.table(q.name)

@@ -36,7 +36,7 @@ from flink_wordcount_spark.streaming.sentences import rate_stream  # noqa: E402
 from flink_wordcount_spark.streaming.wordcount import tokens_stream  # noqa: E402
 
 
-def build_query(spark, args, out_dir: Path, epoch: int):
+def build_query(spark, args, out_dir: Path, epoch: int, prev_latency=None):
     sentences = rate_stream(
         spark,
         rows_per_second=args.source_rate,
@@ -51,6 +51,11 @@ def build_query(spark, args, out_dir: Path, epoch: int):
         F.count(F.lit(1)).alias("cnt"), F.max("sample_ts").alias("sample_ts")
     )
     latency = LatencyRecorder(str(out_dir / f"latency_{epoch}.csv"))
+    if prev_latency is not None:
+        # keep record-once semantics across the kill/recover boundary: keys
+        # re-emitted after recovery with a pre-kill max(sample_ts) would
+        # otherwise log inflated post-recovery latencies
+        latency.carry_over(prev_latency)
     writer = (
         counts.writeStream.outputMode("update")
         .foreachBatch(lambda df, bid: latency(df, bid))
@@ -58,7 +63,7 @@ def build_query(spark, args, out_dir: Path, epoch: int):
     )
     if args.checkpoint_interval > 0:
         writer = writer.option("checkpointLocation", str(out_dir / "ckpt"))
-    return writer.start()
+    return writer.start(), latency
 
 
 def main() -> int:
@@ -86,7 +91,7 @@ def main() -> int:
     spark.streams.addListener(listener)
 
     start = time.time()
-    q = build_query(spark, args, out_dir, epoch=0)
+    q, latency = build_query(spark, args, out_dir, epoch=0)
     killed = False
     try:
         while time.time() - start < args.duration:
@@ -101,7 +106,9 @@ def main() -> int:
                 q.stop()
                 q.awaitTermination(30)
                 killed = True
-                q = build_query(spark, args, out_dir, epoch=1)
+                q, latency = build_query(
+                    spark, args, out_dir, epoch=1, prev_latency=latency
+                )
     finally:
         q.stop()
         q.awaitTermination(30)

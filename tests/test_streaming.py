@@ -54,9 +54,17 @@ def test_generator_skew_knob(spark):
     assert 0.25 < frac < 0.35  # ~30% hot key (RandomSentenceGenerator.java:47-53)
 
 
-def test_checkpoint_recovery(spark, sf_dir, tmp_path):
+@pytest.mark.parametrize("provider", ["default", "rocksdb"])
+def test_checkpoint_recovery(spark, sf_dir, tmp_path, provider):
     """Reference failure experiment: stop the query mid-stream, restart from
-    the same checkpoint, final counts equal an uninterrupted run."""
+    the same checkpoint, final counts equal an uninterrupted run — under
+    both the default (HDFS-backed memory) and RocksDB state stores (the
+    representative provider at the 355k-word vocabulary's state size)."""
+    if provider == "rocksdb":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
     src_dir = tmp_path / "src"
     ckpt = str(tmp_path / "ckpt")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -96,6 +104,8 @@ def test_checkpoint_recovery(spark, sf_dir, tmp_path):
 
     final = _counts_dict(spark.table(name2))
     golden = _counts_dict(word_counts(docs))
+    if provider == "rocksdb":
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     assert final == golden
 
 
