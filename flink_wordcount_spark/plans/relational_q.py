@@ -555,3 +555,287 @@ def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("nk").alias("nationkey"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+# ------------------------------------------------- optimizer-shape TPC-H set
+# Q7/Q8/Q16/Q19/Q21 shapes (adapted to the fixture schema, which has no
+# partsupp/commitdate/receiptdate/container columns): multi-nation join
+# trees, NOT IN + count distinct, disjunctive predicate pushdown, and
+# double-correlated EXISTS/NOT EXISTS — each exercises a distinct Catalyst
+# behavior nothing else in the registry does.
+
+@query(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by year.
+
+    Two independent nation lookups (supplier side and customer side) hang
+    off opposite ends of the lineitem-orders fact join; the disjunctive
+    nation-pair predicate can only be applied after both dims resolve.
+    Dims (supplier, nation) broadcast; lineitem-orders is the one shuffle —
+    at 100 TB both sides bucketed on orderkey remove it.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") <= F.lit("1996-12-31").cast("timestamp"))
+        )
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           round(sum(CASE WHEN n1.n_name = 'NATION_7'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END), 2) AS nation_volume,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_volume,
+           round(sum(CASE WHEN n1.n_name = 'NATION_7'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END), 2)
+             / round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS mkt_share
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'STANDARD'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n2.n_regionkey AND r.r_name = 'ASIA'
+    WHERE o.o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+    GROUP BY 1
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of regional order volume by year.
+
+    Seven-table join tree; the share is a ratio of two aggregates over the
+    same rows (conditional / unconditional). Ratio computed from the two
+    ROUNDED sums — division of identical doubles is bit-identical across
+    engines, per the oracle-parity float rules (never round a ratio).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    n1 = n.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("nk2"), F.col("n_regionkey").alias("rk2"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_vol = F.round(
+        F.sum(F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(0.0)), 2
+    )
+    total_vol = F.round(F.sum(rev), 2)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") <= F.lit("1996-12-31").cast("timestamp"))
+            ),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), F.col("rk2") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            nation_vol.alias("nation_volume"),
+            total_vol.alias("total_volume"),
+            (nation_vol / total_vol).alias("mkt_share"),
+        )
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part group, excluding a
+    NOT IN subquery's supplier set (fixture schema has no partsupp, so the
+    lineitem fact stands in as the part-supplier relation).
+
+    The NOT IN becomes a broadcast null-aware anti join (s_suppkey is
+    non-null here); count(DISTINCT) expands to the two-phase distinct
+    aggregate. Part filter is broadcast into the fact scan.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").startswith("PROMO"))
+        & (F.col("p_size").isin(1, 5, 10, 15, 20, 25))
+    )
+    bad_supp = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == F.col("s_suppkey"), "leftanti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under a three-branch disjunction mixing
+    part-side and lineitem-side predicates.
+
+    The per-side envelopes of the OR (brand IN the three, size 1..15;
+    quantity 1..30) are applied BEFORE the join so each scan prunes — the
+    manual form of the pushdown TPC-H Q19 exists to test — then the exact
+    disjunction filters the joined rows. Part side broadcasts.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    )
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#3")
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= 15)
+    )
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(branch)
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+@query(
+    "q21_suppliers_kept_waiting",
+    oracle="""
+    WITH late AS (
+        SELECT l.l_orderkey, l.l_suppkey
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM late l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY 1
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers solely responsible for late multi-supplier
+    orders (fixture schema has no commit/receipt dates, so "late" is
+    l_shipdate > o_orderdate + 90 days).
+
+    Double-correlated EXISTS / NOT EXISTS over the same fact: a left-semi
+    self-join (another supplier exists in the order) then a left-anti
+    self-join (no OTHER supplier was late in the order). Both correlate on
+    orderkey with a suppkey inequality; top-10 via TakeOrderedAndProject
+    with a total tie-break (s_name unique).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = table(spark, sf_dir, "supplier")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2"))
+    late_others = late.select(F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3"))
+    waited = (
+        late.join(
+            others,
+            (F.col("l_orderkey") == F.col("ok2")) & (F.col("l_suppkey") != F.col("sk2")),
+            "leftsemi",
+        )
+        .join(
+            late_others,
+            (F.col("l_orderkey") == F.col("ok3")) & (F.col("l_suppkey") != F.col("sk3")),
+            "leftanti",
+        )
+    )
+    return (
+        waited.join(F.broadcast(s), waited.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )

@@ -172,15 +172,18 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     df_ = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()  # scalar; documents table is dimension-sized
+    # corpus size as a 1-row broadcast-joined aggregate, not a driver-side
+    # d.count() — keeps the whole query one job / one documents scan at scale
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     from pyspark.sql import Window
 
     scored = (
         tf.join(F.broadcast(df_), "word")
+        .join(F.broadcast(n))
         .select(
             "doc_id",
             "word",
-            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
