@@ -42,6 +42,8 @@ HEADLINE = [
     "text_quality",
     "mm_featurize",
     "stream_wordcount_file",
+    "q7_volume_shipping",
+    "pack_sequences",
 ]
 
 # Streaming throughput workload: sentences x words/sentence (reference

@@ -839,3 +839,189 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(10)
     )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o
+          ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: histogram of per-customer order counts, with the
+    join predicate (not a WHERE) excluding one priority class so customers
+    with zero qualifying orders still appear — the outer-join-with-
+    ON-condition vs filter distinction Catalyst must preserve. Double
+    aggregation: count per customer, then count per count.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the revenue view reused twice — once aggregated to a
+    scalar max, once joined back row-wise (view + scalar subquery). The
+    rounded per-supplier totals make the float equality engine-stable.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("total_revenue"))
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        revenue.join(F.broadcast(top), F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice), 2) / 7.0 AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3'
+      AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) gating the fact rows — decorrelated into a per-partkey
+    aggregate joined back to the filtered fact. The ratio divides the
+    ROUNDED sum by the exact constant 7.0 (raw IEEE division, engine-stable).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    avg_q = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avg_q, li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg((_r(F.sum("l_extendedprice")) / 7.0).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q20_excess_shippers",
+    oracle="""
+    SELECT s.s_name, round(s.s_acctbal, 2) AS s_acctbal
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_type = 'PROMO'
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l.l_suppkey
+        HAVING sum(l.l_quantity) > 500
+    )
+    AND s.s_nationkey IN (
+        SELECT n_nationkey FROM nation
+        WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4', 'NATION_5')
+    )
+    """,
+)
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN subqueries, the inner one an aggregate
+    with HAVING (suppliers who shipped >500 units of promo parts in 1996;
+    fixture schema has no partsupp, so shipped volume stands in for
+    availqty). Both INs become semi joins; the nation side broadcasts.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3", "NATION_4", "NATION_5")
+    )
+    heavy = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 500)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(heavy), s.s_suppkey == F.col("l_suppkey"), "leftsemi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "leftsemi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+    )
+
+
+@query(
+    "q22_dormant_customers",
+    oracle="""
+    SELECT CAST(c.c_nationkey % 5 AS BIGINT) AS cntrycode,
+           count(*) AS numcust,
+           round(sum(c.c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY 1
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average balance + NOT EXISTS correlate
+    (customers with no recent orders; the fixture's every customer has SOME
+    order, so the correlate is date-scoped). Scalar subquery broadcast as a
+    1-row aggregate; NOT EXISTS as a left-anti join on the filtered orders.
+    Country code adapted from nationkey (no phone column).
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "leftanti")
+        .groupBy((F.col("c_nationkey") % 5).cast("long").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _r(F.sum("c_acctbal")).alias("totacctbal"),
+        )
+    )

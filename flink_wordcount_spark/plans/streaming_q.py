@@ -184,3 +184,28 @@ def stream_sentences_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt")
     )
     return run_to_completion(counts, output_mode="complete").orderBy(F.desc("cnt"), F.asc("word"))
+
+
+@query(
+    "stream_dedup_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: ``dropDuplicates`` over the replayed event
+    stream keeps the first occurrence of each (user_id, event_type) in the
+    state store and emits it once (append mode). Only the key columns are
+    emitted, so the result is the deterministic distinct key set regardless
+    of arrival order. At scale the state is bounded by key cardinality;
+    for time-bounded streams ``dropDuplicatesWithinWatermark`` caps it by
+    eviction instead — exercised in tests/test_watermark.py semantics.
+    """
+    from ..streaming.wordcount import stream_dir_for
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(
+        stream_dir_for(f"{sf_dir}/events.parquet")
+    )
+    deduped = stream.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    return run_to_completion(deduped, output_mode="append")

@@ -239,3 +239,149 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines via bigint modular arithmetic)."""
     d = table(spark, sf_dir, "documents")
     return d.select("doc_id", fingerprint("text").alias("fp"))
+
+
+@query(
+    "sample_domain_mixture",
+    oracle="""
+    SELECT source,
+           (CAST(substring(source, 4) AS INTEGER) % 4 + 1) * 25 AS rate_pct,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER) % 100
+                         < (CAST(substring(source, 4) AS INTEGER) % 4 + 1) * 25
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER) % 100
+                         < (CAST(substring(source, 4) AS INTEGER) % 4 + 1) * 25
+                    THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture downsampling: each source gets a target keep-rate
+    (training-data mixing, e.g. downweight web crawl vs books) and docs are
+    kept by a content hash against that rate — deterministic, partition-
+    independent, and leakage-free like ``sample_train_test_split`` (same
+    md5-bucket trick), unlike rand()-based sampleBy. One scan; reports
+    per-source kept counts/chars so the realized mixture is auditable.
+    Rates here derive from the source id (25/50/75/100%) as the fixture's
+    stand-in for a user-supplied mixture table (which would broadcast-join).
+    """
+    d = table(spark, sf_dir, "documents")
+    rate = (F.substring("source", 4, 10).cast("int") % 4 + 1) * 25
+    bucket = F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast("int") % 100
+    keep = bucket < F.col("rate_pct")
+    return (
+        d.withColumn("rate_pct", rate)
+        .groupBy("source", "rate_pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(keep, F.col("n_chars")).otherwise(0)).cast("bigint").alias("kept_chars"),
+        )
+    )
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH sized AS (
+        SELECT source, doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+        FROM documents
+    ), packed AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tokens) / 2048.0)
+                    AS BIGINT) AS pack_id
+        FROM sized
+    )
+    SELECT source, pack_id, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+    FROM packed GROUP BY 1, 2
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chunk): docs are laid end-to-end in
+    deterministic (source, doc_id) order and cut into 2048-token context
+    windows; a doc's pack is floor(tokens_before_it / 2048). This is the
+    standard LLM pretraining packing step. Packing runs WITHIN each source
+    partition — the running sum's window partitions by source, so at 100 TB
+    each shard packs independently in parallel instead of serializing one
+    global cumulative sum through a single partition.
+    """
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    sized = d.select(
+        "source",
+        "doc_id",
+        F.size(F.filter(F.split("text", r"\W+"), lambda x: F.length(x) > 0))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    packed = sized.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048.0).cast("bigint"),
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+    )
+
+
+@query(
+    "text_repetition_ratio",
+    oracle=f"""
+    WITH grams AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, len({_TOKS}) - 2),
+                   i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]
+               ) AS trigrams
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(trigrams) AS BIGINT) AS n_trigrams,
+           CAST(len(list_distinct(trigrams)) AS BIGINT) AS n_distinct,
+           CASE WHEN len(trigrams) > 0
+                THEN 1.0 - CAST(len(list_distinct(trigrams)) AS DOUBLE)
+                           / CAST(len(trigrams) AS DOUBLE)
+                ELSE 0.0 END AS rep_ratio
+    FROM grams
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition: fraction of duplicate word-trigrams —
+    the standard boilerplate/spam signal for pretraining quality filters.
+    All array-side (no explode/shuffle): one scan, per-row higher-order
+    functions. The ratio is emitted as the raw IEEE division of two small
+    ints (bit-identical across engines; rounding integer-quotient ratios is
+    the known parity trap). Spark's sequence(1, n) is DESCENDING for n < 1,
+    so short docs are guarded explicitly.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\W+"), lambda x: F.length(x) > 0)
+    grams = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select("doc_id", grams.alias("trigrams"))
+    n = F.size("trigrams").cast("bigint")
+    nd = F.size(F.array_distinct("trigrams")).cast("bigint")
+    return g.select(
+        "doc_id",
+        n.alias("n_trigrams"),
+        nd.alias("n_distinct"),
+        F.when(n > 0, 1.0 - nd.cast("double") / n.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("rep_ratio"),
+    )
