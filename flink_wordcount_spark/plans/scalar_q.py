@@ -267,3 +267,28 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.getField("k").alias("k_int"),
         F.when(parsed.isNotNull(), 1).otherwise(0).cast("int").alias("valid"),
     )
+
+
+@query(
+    "fn_regex",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_extract(text, '[a-z]{6,}') AS first_long,
+           CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS devoweled_len,
+           CAST(len(regexp_extract_all(text, '[a-z]+e ')) AS BIGINT) AS e_words,
+           CASE WHEN regexp_matches(text, 'spark.*sort|sort.*spark') THEN 1 ELSE 0 END AS has_both
+    FROM documents
+    """,
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex function family: first-match extract, global replace, match
+    count, and boolean pattern test — Java regex and RE2 agree on this
+    POSIX-class-free subset (the dialect-portable core)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", "[a-z]{6,}", 0).alias("first_long"),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).cast("bigint").alias("devoweled_len"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+e "), 0)).cast("bigint").alias("e_words"),
+        F.when(F.col("text").rlike("spark.*sort|sort.*spark"), 1).otherwise(0).alias("has_both"),
+    )

@@ -209,3 +209,56 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id", "event_type"]
     )
     return run_to_completion(deduped, output_mode="append")
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM marked
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM sessions GROUP BY user_id, sess_id
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows on the LIVE stream: ``session_window`` merges and
+    extends per-user sessions in the state store as micro-batches arrive
+    (complete mode; same oracle as the batch twin ev_session_window).
+    At scale this is the one window type whose state merges ranges —
+    watermark + append mode bound retention for unbounded streams.
+    """
+    from ..streaming.wordcount import stream_dir_for
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema  # ts: long (nanos)
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir_for(f"{sf_dir}/events.parquet"))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    sw = F.session_window("ts", "30 minutes")
+    agg = (
+        stream.groupBy(sw, "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.col("session_window.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_to_completion(agg, output_mode="complete")

@@ -81,3 +81,39 @@ def udf_sql_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders_udf GROUP BY 1
         """
     )
+
+
+@query(
+    "udtf_token_positions",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\W+'), x -> length(x) > 0) AS t
+        FROM documents
+    )
+    SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS pos, t[u.i] AS word
+    FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+    """,
+)
+def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) via LATERAL: one input doc row fans out
+    to one row per token with its position — the user-defined analog of
+    explode, Arrow-batched by the UDTF engine. Reference has no UDTF
+    concept; this completes the UDF/UDAF/UDTF API surface.
+    """
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, word: string")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate(t for t in re.split(r"\W+", text or "") if t):
+                yield i, w
+
+    spark.udtf.register("split_words", SplitWords)
+    d = table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.word FROM __udtf_docs d, LATERAL split_words(d.text) t"
+    )

@@ -54,3 +54,37 @@ def test_partial_aggregation_before_exchange(spark, sf_dir):
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
     plan = _plan(QUERIES["q6_forecast_revenue"](spark, sf_dir))
     assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1][:400]
+
+
+def test_q19_envelope_predicates_push_to_both_scans(spark, sf_dir):
+    """Q19's disjunction: the per-side envelopes (brand/size on part,
+    quantity on lineitem) must reach their parquet scans as pushed filters."""
+    plan = _plan(QUERIES["q19_disjunctive_revenue"](spark, sf_dir))
+    pushed = [seg[:500] for seg in plan.split("PushedFilters")[1:]]
+    assert any("l_quantity" in seg for seg in pushed), "lineitem envelope not pushed"
+    assert any("p_brand" in seg or "p_size" in seg for seg in pushed), "part envelope not pushed"
+
+
+def test_q21_self_joins_stay_equi(spark, sf_dir):
+    """Q21's EXISTS/NOT EXISTS self-correlates plan as semi/anti hash or
+    sort-merge joins on orderkey — never a cartesian product or
+    broadcast-nested-loop over the fact table."""
+    plan = _plan(QUERIES["q21_suppliers_kept_waiting"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_pack_sequences_window_partitions_by_source(spark, sf_dir):
+    """The packing cumsum must window WITHIN source shards (parallel), never
+    a single global running sum (one partition = the 100 TB serialization)."""
+    plan = _plan(QUERIES["pack_sequences"](spark, sf_dir))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(source" in plan
+
+
+def test_domain_mixture_is_single_scan_no_join(spark, sf_dir):
+    """Hash-keyed mixture sampling is a pure map-side decision + one agg:
+    no join, no extra scan of documents."""
+    plan = _plan(QUERIES["sample_domain_mixture"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
