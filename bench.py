@@ -131,6 +131,7 @@ def bench_streaming(spark) -> dict:
         total_words, dt = one_run(ROCKSDB_PROVIDER)
         _, dt_default = one_run(None)  # HDFS-backed memory store (Flink analog)
         latency = bench_latency(spark)
+        recovery = bench_recovery(spark, path)
     finally:
         if prev_provider:
             spark.conf.set(
@@ -148,7 +149,84 @@ def bench_streaming(spark) -> dict:
         "words_per_sec_default_store": round(total_words / dt_default),
         "sentences_per_sec": round(STREAM_SENTENCES / dt),
         "latency_ms": latency,
+        "recovery": recovery,
     }
+
+
+def bench_recovery(spark, golden_path: str) -> dict:
+    """The reference's headline experiment (run_job.sh:76-83 + kill_worker.sh):
+    kill the job mid-stream, restart from the checkpoint, measure time back
+    to the first committed batch and verify exactly-once totals. Here the
+    kill is a query stop between micro-batches (single-process analog of
+    losing the TaskManager) against the same checkpointed state."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_wordcount_spark.operators.text import tokenize
+
+    ckpt_root = tempfile.mkdtemp(prefix="fws_bench_recovery_")
+    name = "bench_recovery_counts"
+
+    def start():
+        schema = spark.read.parquet(golden_path).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "4")
+            .parquet(golden_path)
+        )
+        counts = (
+            tokenize(stream, text_col="sentence", out_col="word")
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        return (
+            counts.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(ckpt_root, "ckpt"))
+            .start()
+        )
+
+    try:
+        q = start()
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            done = [p for p in q.recentProgress if p["numInputRows"] > 0]
+            if len(done) >= 2:
+                break
+            time.sleep(0.2)
+        killed_after = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        q.stop()
+        q.awaitTermination(30)
+
+        t0 = time.time()
+        q = start()
+        while time.time() - t0 < 120:
+            # any committed batch counts as recovered (a fully-drained source
+            # still commits an empty batch after restart)
+            if q.recentProgress:
+                break
+            time.sleep(0.05)
+        restart_to_first_commit = time.time() - t0
+        q.processAllAvailable()
+        total = spark.table(name).agg(F.sum("cnt")).collect()[0][0]
+        q.stop()
+        q.awaitTermination(30)
+
+        expected = (
+            tokenize(
+                spark.read.parquet(golden_path), text_col="sentence", out_col="word"
+            ).count()
+        )
+        return {
+            "killed_after_batches": killed_after,
+            "restart_to_first_commit_sec": round(restart_to_first_commit, 3),
+            "exactly_once_ok": bool(total == expected),
+        }
+    finally:
+        shutil.rmtree(ckpt_root, ignore_errors=True)
 
 
 def bench_latency(spark) -> dict:

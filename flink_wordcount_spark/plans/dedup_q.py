@@ -181,3 +181,43 @@ def lsh_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "dedup_keep_list",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ({_JACCARD_ORACLE})),
+    edges AS (
+        SELECT id_a AS s, id_b AS t FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+        UNION SELECT id_a, id_a FROM pairs
+        UNION SELECT id_b, id_b FROM pairs
+    ),
+    reach AS (
+        SELECT s, t FROM edges
+        UNION
+        SELECT r.s, e.t FROM reach r JOIN edges e ON e.s = r.t
+    ),
+    assign AS (SELECT s AS doc_id, min(t) AS rep_id FROM reach GROUP BY s)
+    SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM assign a
+                      WHERE a.doc_id = d.doc_id AND a.rep_id <> d.doc_id)
+    """,
+)
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup deliverable: the corpus with near-dup cluster
+    non-representatives REMOVED (what a training pipeline actually ships).
+    Composition of the verified pair set -> connected components -> anti
+    join; only cluster members ever enter the component iteration, so the
+    full corpus is touched exactly twice (pair generation + final anti
+    join). Oracle recomputes true transitive closure recursively and drops
+    the same docs.
+    """
+    d = table(spark, sf_dir, "documents")
+    sh = shingles(d, "text", "doc_id", n=_SHINGLE_N)
+    pairs = jaccard_pairs(sh, _THRESHOLD).select("id_a", "id_b")
+    drop = connected_components(pairs).filter(F.col("rep_id") != F.col("doc_id"))
+    return d.join(F.broadcast(drop.select("doc_id")), "doc_id", "leftanti").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("n_chars")
+    )

@@ -385,3 +385,74 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("rep_ratio"),
     )
+
+
+@query(
+    "curation_filter_funnel",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, text, n_chars, lang,
+               list_transform(
+                   generate_series(1, len({_TOKS}) - 2),
+                   i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]
+               ) AS trigrams
+        FROM documents
+    ), flags AS (
+        SELECT text,
+               n_chars >= 100 AS c_len,
+               n_chars >= 100 AND lang IN ('en', 'fr', 'de', 'es') AS c_lang,
+               n_chars >= 100 AND lang IN ('en', 'fr', 'de', 'es')
+                 AND 2 * len(list_distinct(trigrams)) >= len(trigrams) AS c_rep
+        FROM g
+    )
+    SELECT count(*) AS n_total,
+           CAST(sum(CASE WHEN c_len THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+           CAST(sum(CASE WHEN c_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_ok,
+           CAST(sum(CASE WHEN c_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_ok,
+           count(DISTINCT CASE WHEN c_rep THEN text END) AS n_unique_final
+    FROM flags
+    """,
+)
+def curation_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation funnel: survival counts through the standard pretraining
+    filter chain — length floor, language allowlist, low trigram repetition,
+    then exact dedup of the survivors. One scan; every stage is a flag
+    column and the funnel is one aggregate row (conditional sums + a
+    conditional count distinct). The repetition gate compares
+    2*distinct >= total — integer arithmetic, no float ratio to drift.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\W+"), lambda x: F.length(x) > 0)
+    grams = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    flags = d.select(
+        "text",
+        (F.col("n_chars") >= 100).alias("c_len"),
+        ((F.col("n_chars") >= 100) & F.col("lang").isin("en", "fr", "de", "es")).alias("c_lang"),
+        grams.alias("trigrams"),
+    ).select(
+        "text",
+        "c_len",
+        "c_lang",
+        (
+            F.col("c_lang")
+            & (2 * F.size(F.array_distinct("trigrams")) >= F.size("trigrams"))
+        ).alias("c_rep"),
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("c_len"), 1).otherwise(0)).cast("bigint").alias("n_len_ok"),
+        F.sum(F.when(F.col("c_lang"), 1).otherwise(0)).cast("bigint").alias("n_lang_ok"),
+        F.sum(F.when(F.col("c_rep"), 1).otherwise(0)).cast("bigint").alias("n_rep_ok"),
+        F.countDistinct(F.when(F.col("c_rep"), F.col("text"))).alias("n_unique_final"),
+    )
