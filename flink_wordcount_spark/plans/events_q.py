@@ -281,3 +281,75 @@ def ev_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.min("ts"), _TS_FMT).alias("first_seen"),
         F.date_format(F.max("ts"), _TS_FMT).alias("last_seen"),
     )
+
+
+@query(
+    "ev_gap_fill",
+    oracle="""
+    WITH bounds AS (
+        SELECT time_bucket(INTERVAL '1 hour', min(ts)) AS lo,
+               time_bucket(INTERVAL '1 hour', max(ts)) AS hi
+        FROM events
+    ),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hr FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    hourly AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS hr, event_type,
+               count(*) AS n, round(sum(value), 2) AS tv
+        FROM events GROUP BY 1, 2
+    ),
+    joined AS (
+        SELECT t.event_type, s.hr, h.n, h.tv
+        FROM spine s CROSS JOIN types t
+        LEFT JOIN hourly h ON h.hr = s.hr AND h.event_type = t.event_type
+    )
+    SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(coalesce(n, 0) AS BIGINT) AS n,
+           coalesce(last_value(tv IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
+             AS total_value_cf
+    FROM joined
+    """,
+)
+def ev_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a dense hourly spine per event type with
+    zero-filled counts and carry-forward (LOCF) of the last seen hourly
+    total — the hypertable `time_bucket_gapfill` / `locf` operation,
+    composed from sequence+explode, a cross join against the tiny type dim,
+    and an ignore-nulls last() window. The spine derives from a 1-row
+    min/max aggregate, so the only data-sized shuffle is the hourly rollup;
+    the spine side stays broadcast-small at any corpus scale.
+    """
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hr"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+    )
+    # bounds AND the type dimension in ONE reduce over events (not three
+    # scans): min/max timestamp plus collect_set of the low-cardinality type
+    meta = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+        F.collect_set("event_type").alias("types"),
+    )
+    spine = meta.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr"),
+        "types",
+    ).select("hr", F.explode("types").alias("event_type"))
+    joined = spine.join(F.broadcast(hourly), ["hr", "event_type"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "event_type",
+        F.date_format("hr", _TS_FMT).alias("hour"),
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        F.coalesce(F.last("tv", ignorenulls=True).over(w), F.lit(0.0)).alias(
+            "total_value_cf"
+        ),
+    )
