@@ -239,3 +239,32 @@ def agg_quantile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         at(F.col("rn") == F.floor((F.col("n") + 1) / 2)).alias("median_price"),
         at(F.col("rn") == F.floor(9 * (F.col("n") - 1) / 10) + 1).alias("p90_price"),
     )
+
+
+@query(
+    "agg_salted_two_phase",
+    oracle="""
+    SELECT l_returnflag, count(*) AS cnt, sum(l_quantity) AS total_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigating salted aggregation as a declared query: the 3-value
+    l_returnflag key is exactly the hot-key shape (3 reducers own the whole
+    table in a naive groupBy). Each key sprays across 16 salt buckets, is
+    partially aggregated per (key, salt), then reduced — identical results
+    (count and the integral quantity sums are exact under any grouping
+    order), shuffle rows per hot key drop from N to 16.
+    """
+    from ..operators.skew import salted_count
+
+    li = table(spark, sf_dir, "lineitem")
+    cnt = salted_count(li, "l_returnflag", salt_buckets=16)
+    salted = li.withColumn("__salt", (F.rand(seed=0) * 16).cast("int"))
+    qty = (
+        salted.groupBy("l_returnflag", "__salt")
+        .agg(F.sum("l_quantity").alias("__p"))
+        .groupBy("l_returnflag")
+        .agg(F.sum("__p").alias("total_qty"))
+    )
+    return cnt.join(qty, "l_returnflag").select("l_returnflag", "cnt", "total_qty")

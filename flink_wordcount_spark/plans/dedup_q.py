@@ -113,7 +113,14 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_ids = (
         cands.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
     )
-    cand_sh = sh.join(F.broadcast(cand_ids), "id", "leftsemi")
+    # narrow to candidate DOCUMENTS before shingling: the verify branch
+    # re-derives shingles from a semi-joined scan of only the candidate
+    # members (tiny), instead of recomputing the full corpus shingle set
+    # and filtering it (measured ~4s -> <1s at sf0.1)
+    cand_docs = d.join(
+        F.broadcast(cand_ids.withColumnRenamed("id", "doc_id")), "doc_id", "leftsemi"
+    )
+    cand_sh = shingles(cand_docs, "text", "doc_id", n=_SHINGLE_N)
     verified = jaccard_pairs(cand_sh, _THRESHOLD)
     # verification may rediscover a pair where neither side was a candidate
     # partner; intersect with the candidate set to keep LSH semantics honest

@@ -292,3 +292,31 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit("[a-z]+e "), 0)).cast("bigint").alias("e_words"),
         F.when(F.col("text").rlike("spark.*sort|sort.*spark"), 1).otherwise(0).alias("has_both"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT p_partkey,
+           p_partkey & 255 AS band,
+           p_partkey | 7 AS bor,
+           xor(p_partkey, p_size) AS bxor,
+           CAST(p_size AS BIGINT) << 2 AS shl,
+           p_partkey >> 3 AS shr,
+           CAST(bit_count(p_partkey) AS INTEGER) AS popcount
+    FROM part
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function family: and/or/xor, shifts, popcount (the hash/
+    partitioning primitives the LSH operators build on, exposed as scalars)."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.expr("p_partkey & 255").alias("band"),
+        F.expr("p_partkey | 7").alias("bor"),
+        F.expr("p_partkey ^ p_size").alias("bxor"),
+        F.shiftleft(F.col("p_size").cast("bigint"), 2).alias("shl"),
+        F.shiftright("p_partkey", 3).alias("shr"),
+        F.bit_count("p_partkey").alias("popcount"),
+    )

@@ -161,3 +161,28 @@ def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("price"), F.asc("l_orderkey"), F.asc("l_linenumber"))
         .limit(25)
     )
+
+
+@query(
+    "setop_union_by_name",
+    oracle="""
+    SELECT key, name, bal FROM (
+        SELECT c_custkey AS key, c_name AS name, c_acctbal AS bal FROM customer
+        UNION ALL BY NAME
+        SELECT s_name AS name, s_suppkey AS key FROM supplier
+    )
+    """,
+)
+def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName with allowMissingColumns: schemas align by NAME (not
+    position) and the supplier side's missing balance nulls in — the
+    schema-evolution-safe union (positional union would silently mis-bind)."""
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"), F.col("s_suppkey").alias("key")
+    )
+    return c.unionByName(s, allowMissingColumns=True)

@@ -262,3 +262,43 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_completion(agg, output_mode="complete")
+
+
+@query(
+    "stream_sliding_window",
+    oracle="""
+    WITH hops AS (
+        SELECT e.ts, e.value,
+               time_bucket(INTERVAL '30 minutes', e.ts) - o.o * INTERVAL '30 minutes' AS win_start
+        FROM events e CROSS JOIN (VALUES (0), (1)) o(o)
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM hops
+    WHERE ts >= win_start AND ts < win_start + INTERVAL '1 hour'
+    GROUP BY 1
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min hop) on the LIVE event stream —
+    each event updates two window states per micro-batch; complete mode,
+    same oracle as the batch twin ev_sliding_window."""
+    from ..streaming.wordcount import stream_dir_for
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir_for(f"{sf_dir}/events.parquet"))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n",
+            "total_value",
+        )
+    )
+    return run_to_completion(agg, output_mode="complete")

@@ -179,3 +179,29 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(w).alias("last_order"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_orders"),
     ).distinct()
+
+
+@query(
+    "window_cume_percent",
+    oracle="""
+    SELECT c_custkey,
+           c_nationkey,
+           cume_dist() OVER w AS cd,
+           percent_rank() OVER w AS pr
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_cume_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist + percent_rank per nation. The ratios are emitted RAW
+    (k/n of small exact ints is correctly-rounded identical IEEE in every
+    engine — rounding them is the parity trap); the unique-key tiebreak
+    makes every rank peer-free and deterministic."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.cume_dist().over(w).alias("cd"),
+        F.percent_rank().over(w).alias("pr"),
+    )
