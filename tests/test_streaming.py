@@ -291,3 +291,35 @@ def test_streaming_session_window_subset_of_batch(spark, sf_dir):
     for k, v in streamed.items():
         assert golden.get(k) == v  # every emitted session is exactly right
     assert len(streamed) >= len(golden) * 0.8
+
+
+def test_latency_recorder_record_once_and_carry(spark, tmp_path):
+    """ADVICE parity fixes pinned: (a) two words sampled at the SAME ts each
+    get their own row; (b) update-mode re-emission of a key's old
+    max(sample_ts) is suppressed (monotonic floor); (c) the record-once set
+    carries across a kill/recover epoch so stale timestamps are not re-logged
+    with post-recovery wall-clock."""
+    p1 = str(tmp_path / "lat1.csv")
+    rec = LatencyRecorder(p1)
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "word string, sample_ts long")
+
+    rec(batch([("alpha", 100), ("beta", 100), ("gamma", None)]), 0)
+    rows = open(p1).read().strip().splitlines()[1:]
+    assert len(rows) == 2  # same ts, two words -> two rows; null filtered
+
+    # batch 1 re-emits alpha's old ts (update-mode behavior) + one new sample
+    rec(batch([("alpha", 100), ("delta", 200)]), 1)
+    rows = open(p1).read().strip().splitlines()[1:]
+    assert len(rows) == 3  # alpha@100 suppressed, delta@200 logged
+
+    # recovered epoch: a fresh recorder would re-log alpha@100; carry_over
+    # must suppress every pre-kill timestamp
+    p2 = str(tmp_path / "lat2.csv")
+    rec2 = LatencyRecorder(p2)
+    rec2.carry_over(rec)
+    rec2(batch([("alpha", 100), ("beta", 150), ("epsilon", 300)]), 0)
+    rows2 = open(p2).read().strip().splitlines()[1:]
+    assert len(rows2) == 1  # only the post-kill sample at ts=300
+    assert rows2[0].split(",")[1] == "300"
