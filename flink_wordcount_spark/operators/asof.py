@@ -29,6 +29,7 @@ def asof_join(
     on: str,
     schema: StructType | str,
     direction: str = "backward",
+    keep_right_on: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the nearest right row at-or-before
     (direction='backward') its ``on`` value, matched within the ``by`` group.
@@ -36,6 +37,11 @@ def asof_join(
     ``schema`` is the output schema: left columns plus right payload columns
     (right-side name collisions arrive suffixed ``_right``). Empty right
     groups yield left rows with nulls — preserved by merge_asof.
+
+    ``keep_right_on``: column name under which the MATCHED right row's ``on``
+    value is emitted (merge_asof drops the right on-column). Copied inside
+    the pandas batch — duplicating it Spark-side as an alias doesn't survive
+    Catalyst, which collapses the duplicate attribute out of the cogroup.
     """
 
     # resolve output column names DRIVER-side: schema parsing needs an active
@@ -58,6 +64,8 @@ def asof_join(
                     out[c] = None
             return out[out_cols]
         r = r.sort_values(on, kind="mergesort")
+        if keep_right_on:
+            r = r.assign(**{keep_right_on: r[on]})
         out = pd.merge_asof(l, r, on=on, by=by, direction=direction, suffixes=("", "_right"))
         return out[out_cols]
 

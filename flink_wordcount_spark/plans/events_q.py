@@ -353,3 +353,56 @@ def ev_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value_cf"
         ),
     )
+
+
+@query(
+    "join_asof_two_table",
+    oracle="""
+    SELECT p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           p.value AS purchase_value,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           c.value AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof_two_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GENERAL two-table as-of join (operators/asof.py): every purchase
+    picks up the user's last click at-or-before it via cogrouped
+    applyInPandas + merge_asof — checked against DuckDB's native ASOF JOIN.
+    Complements the window-form ev_asof_last_purchase (same-table special
+    case); this is the heterogeneous-tables shape (trades/quotes). One
+    shuffle per side on user_id; per-group Arrow batches stay small
+    (per-user histories).
+    """
+    from ..operators.asof import asof_join
+
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    # the right side MUST come from a fresh scan: cogrouping two projections
+    # of the same DataFrame collapses the shared-lineage `ts` attribute out
+    # of one side (Catalyst self-join dedup), and the pandas batch then has
+    # no `ts` column to merge on (asof.py docstring)
+    e2 = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    clicks = e2.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        by="user_id",
+        on="ts",
+        schema="user_id bigint, ts timestamp, value double, click_ts timestamp, click_value double",
+        keep_right_on="click_ts",
+    )
+    return out.select(
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+        F.date_format("click_ts", _TS_FMT).alias("click_ts"),
+        "click_value",
+    )
