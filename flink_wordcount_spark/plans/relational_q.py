@@ -1025,3 +1025,80 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r(F.sum("c_acctbal")).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.5 * p.p_retailprice * l.l_quantity), 2) AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE contains(p.p_name, 'red')
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year for parts matching
+    a name substring (fixture schema has no partsupp, so half the retail
+    price stands in for supply cost). The substring predicate prunes part
+    before its broadcast; the profit expression mixes columns from three
+    tables post-join.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.5 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(_r(F.sum(profit)).alias("sum_profit"))
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH v AS (
+        SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2) AS part_value
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l_partkey, part_value FROM v
+    WHERE part_value > (SELECT round(sum(part_value) * 1.4 / count(*), 2) FROM v)
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value filtered by a fraction of the GLOBAL
+    total — the aggregate-in-HAVING scalar subquery. The same aggregation
+    feeds both the rows and the threshold (computed once, broadcast back).
+    Like the real Q11 (whose fraction is 0.0001/SF), the cut scales with
+    the part count (1.4/n ~= 2x the mean share at any SF); both sides round
+    before the boundary compare so the cut is engine-stable.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    v = li.groupBy("l_partkey").agg(
+        _r(F.sum(F.col("l_extendedprice") * F.col("l_quantity"))).alias("part_value")
+    )
+    thr = v.agg(
+        F.round(F.sum("part_value") * 1.4 / F.count(F.lit(1)), 2).alias("thr")
+    )
+    return (
+        v.join(F.broadcast(thr))
+        .filter(F.col("part_value") > F.col("thr"))
+        .select("l_partkey", "part_value")
+    )
