@@ -1,0 +1,76 @@
+"""Size-gated join hints.
+
+An unconditional ``F.broadcast()`` bypasses
+``spark.sql.autoBroadcastJoinThreshold``: fine for constant-cardinality
+dimensions (nation has 25 rows and region 5 at every scale factor) but a
+multi-TB OOM at the 100 TB design point for SF-scaling dimensions — TPC-H's
+customer/part/supplier grow linearly with SF. ``maybe_broadcast`` hints only
+when Catalyst's own size estimate for the sub-plan sits below the session
+threshold; above it the hint is dropped and the join falls back to a shuffle
+join, which AQE's dynamic broadcast conversion can still upgrade at runtime
+from observed shuffle sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_UNITS = {
+    "tb": 1 << 40,
+    "gb": 1 << 30,
+    "mb": 1 << 20,
+    "kb": 1 << 10,
+    "t": 1 << 40,
+    "g": 1 << 30,
+    "m": 1 << 20,
+    "k": 1 << 10,
+    "b": 1,
+}
+
+
+def _threshold_bytes(spark: SparkSession) -> int:
+    """Parse autoBroadcastJoinThreshold ('-1', '67108864', '64MB', ...)."""
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip().lower()
+    for suffix, mult in _UNITS.items():
+        if raw.endswith(suffix):
+            try:
+                return int(float(raw[: -len(suffix)]) * mult)
+            except ValueError:
+                return -1
+    try:
+        return int(raw)
+    except ValueError:
+        return -1
+
+
+def estimated_plan_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan size estimate (None if unavailable).
+
+    The same statistic the planner itself uses for auto-broadcast decisions:
+    file sizes for scans, propagated through filters/projections. Driver-side
+    only — does not execute the plan.
+    """
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
+def maybe_broadcast(df: DataFrame) -> DataFrame:
+    """Broadcast-hint ``df`` iff its estimated size is under the threshold.
+
+    Use for any join side whose cardinality scales with the data (customer,
+    part, supplier, lists derived from facts). Keep plain ``F.broadcast``
+    only for constant-cardinality sides: nation, region, single-row
+    aggregates.
+    """
+    thr = _threshold_bytes(df.sparkSession)
+    if thr <= 0:
+        return df
+    est = estimated_plan_bytes(df)
+    if est is not None and est <= thr:
+        return F.broadcast(df)
+    return df

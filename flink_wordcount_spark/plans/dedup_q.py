@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..hints import maybe_broadcast
 from ..io import table
 from ..operators.dedup import (
     connected_components,
@@ -118,7 +119,7 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # members (tiny), instead of recomputing the full corpus shingle set
     # and filtering it (measured ~4s -> <1s at sf0.1)
     cand_docs = d.join(
-        F.broadcast(cand_ids.withColumnRenamed("id", "doc_id")), "doc_id", "leftsemi"
+        maybe_broadcast(cand_ids.withColumnRenamed("id", "doc_id")), "doc_id", "leftsemi"
     )
     cand_sh = shingles(cand_docs, "text", "doc_id", n=_SHINGLE_N)
     verified = jaccard_pairs(cand_sh, _THRESHOLD)
@@ -225,6 +226,6 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingles(d, "text", "doc_id", n=_SHINGLE_N)
     pairs = jaccard_pairs(sh, _THRESHOLD).select("id_a", "id_b")
     drop = connected_components(pairs).filter(F.col("rep_id") != F.col("doc_id"))
-    return d.join(F.broadcast(drop.select("doc_id")), "doc_id", "leftanti").select(
+    return d.join(maybe_broadcast(drop.select("doc_id")), "doc_id", "leftanti").select(
         "doc_id", F.col("n_chars").cast("bigint").alias("n_chars")
     )

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..hints import maybe_broadcast
 from ..io import table
 from .catalog import query
 
@@ -92,7 +93,7 @@ def ev_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ), sessions AS (
         SELECT user_id, ts, value,
-               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
         FROM marked
     )
@@ -339,7 +340,7 @@ def ev_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr"),
         "types",
     ).select("hr", F.explode("types").alias("event_type"))
-    joined = spine.join(F.broadcast(hourly), ["hr", "event_type"], "left")
+    joined = spine.join(maybe_broadcast(hourly), ["hr", "event_type"], "left")
     w = (
         Window.partitionBy("event_type")
         .orderBy("hr")

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..hints import maybe_broadcast
 from ..io import table
 from .catalog import query
 
@@ -91,7 +92,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            maybe_broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy(
@@ -141,9 +142,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             li.l_orderkey == o.o_orderkey,
         )
-        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(s),
+            maybe_broadcast(s),
             (F.col("s_suppkey") == F.col("l_suppkey"))
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
@@ -203,7 +204,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.filter(li.l_returnflag == "R")
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
@@ -240,7 +241,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li, s = table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "supplier")
     costs = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(maybe_broadcast(s), li.l_suppkey == s.s_suppkey)
         .groupBy("l_partkey", "s_suppkey", "s_name", "s_nationkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
     )
@@ -288,7 +289,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(big.withColumnRenamed("l_orderkey", "bk"), li.l_orderkey == F.col("bk"), "leftsemi")
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy(
             "c_name",
             "o_orderkey",
@@ -353,7 +354,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
         )
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(maybe_broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 100.0 * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0)), 2
@@ -377,7 +378,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     o, c = table(spark, sf_dir, "orders"), table(spark, sf_dir, "customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        o.join(maybe_broadcast(c), o.o_custkey == c.c_custkey, "inner")
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_orders"), _r(F.sum("o_totalprice")).alias("total"))
     )
@@ -606,7 +607,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
             & (F.col("l_shipdate") <= F.lit("1996-12-31").cast("timestamp"))
         )
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(maybe_broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -664,8 +665,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total_vol = F.round(F.sum(rev), 2)
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(maybe_broadcast(p), li.l_partkey == p.p_partkey)
+        .join(maybe_broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
         .join(
             o.filter(
@@ -716,8 +717,8 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bad_supp = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        li.join(F.broadcast(bad_supp), li.l_suppkey == F.col("s_suppkey"), "leftanti")
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(maybe_broadcast(bad_supp), li.l_suppkey == F.col("s_suppkey"), "leftanti")
+        .join(maybe_broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -771,7 +772,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(maybe_broadcast(p), li.l_partkey == p.p_partkey)
         .filter(branch)
         .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
     )
@@ -833,7 +834,7 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        waited.join(F.broadcast(s), waited.l_suppkey == s.s_suppkey)
+        waited.join(maybe_broadcast(s), waited.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
@@ -905,7 +906,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = revenue.agg(F.max("total_revenue").alias("max_rev"))
     return (
         revenue.join(F.broadcast(top), F.col("total_revenue") == F.col("max_rev"))
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(maybe_broadcast(s), F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -916,7 +917,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT round(sum(l.l_extendedprice), 2) / 7.0 AS avg_yearly
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#3'
-      AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+      AND l.l_quantity < (SELECT round(0.2 * avg(l2.l_quantity), 4)
                           FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
     """,
 )
@@ -929,10 +930,10 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
     avg_q = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        (0.2 * F.avg("l_quantity")).alias("qty_threshold")
+        F.round(0.2 * F.avg("l_quantity"), 4).alias("qty_threshold")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(maybe_broadcast(p), li.l_partkey == p.p_partkey)
         .join(avg_q, li.l_partkey == F.col("pk"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg((_r(F.sum("l_extendedprice")) / 7.0).alias("avg_yearly"))
@@ -976,14 +977,14 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(maybe_broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 500)
         .select("l_suppkey")
     )
     return (
-        s.join(F.broadcast(heavy), s.s_suppkey == F.col("l_suppkey"), "leftsemi")
+        s.join(maybe_broadcast(heavy), s.s_suppkey == F.col("l_suppkey"), "leftsemi")
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "leftsemi")
         .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
     )
@@ -996,7 +997,8 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS numcust,
            round(sum(c.c_acctbal), 2) AS totacctbal
     FROM customer c
-    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+    WHERE c.c_acctbal > (SELECT round(sum(c_acctbal), 2) / count(*)
+                         FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_orderdate >= TIMESTAMP '2000-01-01')
@@ -1014,7 +1016,9 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
     )
-    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (F.round(F.sum("c_acctbal"), 2) / F.count(F.lit(1))).alias("avg_bal")
+    )
     return (
         c.join(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
@@ -1059,8 +1063,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(maybe_broadcast(p), li.l_partkey == p.p_partkey)
+        .join(maybe_broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(

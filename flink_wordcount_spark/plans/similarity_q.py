@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..hints import maybe_broadcast
 from ..io import table
 from ..operators.similarity import (
     as_double,
@@ -143,8 +144,8 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     va = e.withColumnsRenamed({"id": "id_a", "v": "va", "n": "na"})
     vb = e.withColumnsRenamed({"id": "id_b", "v": "vb", "n": "nb"})
     return (
-        cands.join(F.broadcast(va), "id_a")
-        .join(F.broadcast(vb), "id_b")
+        cands.join(maybe_broadcast(va), "id_a")
+        .join(maybe_broadcast(vb), "id_b")
         .select(
             "id_a",
             "id_b",

@@ -21,6 +21,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..hints import maybe_broadcast
 from ..operators.text import tokenize
 from ..streaming.sentences import batch_golden
 from ..streaming.stateful import final_state_counts
@@ -106,7 +107,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(schema).parquet(
         stream_dir_for(f"{sf_dir}/events.parquet")
     )
-    enriched = stream.join(F.broadcast(static_profiles), "user_id")
+    enriched = stream.join(maybe_broadcast(static_profiles), "user_id")
     agg = enriched.groupBy(
         "event_type", (F.col("lifetime_events") >= 20).alias("heavy_user")
     ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
@@ -222,7 +223,7 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ), sessions AS (
         SELECT user_id, ts, value,
-               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
         FROM marked
     )

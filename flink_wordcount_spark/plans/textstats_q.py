@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..hints import maybe_broadcast
 from ..io import table
 from ..operators.textstats import (
     BPE_REGEX,
@@ -178,7 +179,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     scored = (
-        tf.join(F.broadcast(df_), "word")
+        tf.join(maybe_broadcast(df_), "word")
         .join(F.broadcast(n))
         .select(
             "doc_id",

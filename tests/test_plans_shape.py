@@ -42,6 +42,28 @@ def test_broadcast_dims_in_join_queries(spark, sf_dir):
         assert "BroadcastHashJoin" in _plan(QUERIES[q](spark, sf_dir)), q
 
 
+def test_maybe_broadcast_gates_on_size(spark, sf_dir):
+    """SF-scaling dims get a size-gated hint: broadcast below the threshold
+    (fixture scale), plain shuffle join above it (the 100 TB case, simulated
+    by shrinking the threshold) — never an unconditional hint that would OOM
+    a 1000-executor cluster on a multi-TB customer/part broadcast."""
+    from flink_wordcount_spark.hints import maybe_broadcast
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    joined = lambda: o.join(maybe_broadcast(c), o["o_custkey"] == c["c_custkey"])  # noqa: E731
+    assert "BroadcastHashJoin" in _plan(joined())
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1b")
+        gated = _plan(joined())
+        assert "BroadcastHashJoin" not in gated
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert "BroadcastHashJoin" not in _plan(joined())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_partial_aggregation_before_exchange(spark, sf_dir):
     plan = _plan(QUERIES["wordcount_top100"](spark, sf_dir))
     # two-stage agg: a partial (map-side) HashAggregate must exist, and it
