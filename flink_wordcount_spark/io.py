@@ -25,7 +25,12 @@ TABLES = (
 )
 
 
-_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# Keyed on applicationId (not id(): a stopped session's id can be reused by a
+# new object, which would then serve stale plans — and a weak-keyed dict won't
+# work either, because cached DataFrames strongly reference their session).
+# Bounded: only the most recent few applications' caches are retained.
+_CACHE: dict[str, dict[tuple[str, str], DataFrame]] = {}
+_CACHE_MAX_APPS = 4
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -41,8 +46,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    key = (id(spark), sf_dir, name)
-    cached = _CACHE.get(key)
+    app_id = spark.sparkContext.applicationId
+    per_session = _CACHE.setdefault(app_id, {})
+    while len(_CACHE) > _CACHE_MAX_APPS:  # evict oldest app's plans
+        _CACHE.pop(next(iter(k for k in _CACHE if k != app_id)))
+    key = (sf_dir, name)
+    cached = per_session.get(key)
     if cached is not None:
         return cached
     tune(spark)
@@ -54,7 +63,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    _CACHE[key] = df
+    per_session[key] = df
     return df
 
 

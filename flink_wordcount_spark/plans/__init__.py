@@ -6,11 +6,18 @@ them).
 """
 
 # Registration order == the driver's verification order, and the driver's
-# verify budget truncates at ~50 queries per round. CORRECTNESS_r01 ∪ r02
-# covers 95 of the 129 round-2 queries; the 34 that have never had a
-# driver-verified row are pinned FIRST (explicit list below — module import
-# order alone can't interleave families), followed by everything else in
-# module registration order.
+# verify budget truncates at ~50 queries per round.  Ordering policy:
+#   1. queries whose plan or oracle was MODIFIED this round (explicit list —
+#      a prior green row says nothing about edited code),
+#   2. queries with no driver-verified row in any CORRECTNESS_r*.json,
+#   3. everything else by STALENESS: ascending last-verified round, so the
+#      back catalog rotates through the budget instead of starving forever.
+# Staleness is computed from the CORRECTNESS_r*.json artifacts at import time
+# (repo root); if none are readable we fall back to registration order.
+import json
+import re
+from pathlib import Path
+
 from . import (  # noqa: F401  (import for registration side effects)
     dedup_q,
     similarity_q,
@@ -29,91 +36,59 @@ from . import (  # noqa: F401  (import for registration side effects)
 )
 from . import catalog as _catalog
 
-# Never driver-verified as of CORRECTNESS_r01 ∪ CORRECTNESS_r02 (34 names);
-# new queries added in round 3+ follow right behind so they also land inside
-# the budget before the already-double-verified back catalog.
-_VERIFY_FIRST = [
-    "ev_asof_last_purchase",
-    "ev_multires_rollup",
-    "ev_user_rollup",
-    "ev_gap_fill",
-    "join_asof_two_table",
-    "text_langid",
-    "text_quality",
-    "text_token_counts",
-    "text_bigrams_top",
-    "text_tfidf_top_terms",
-    "sample_train_test_split",
-    "text_fingerprint",
-    "sample_domain_mixture",
-    "pack_sequences",
-    "text_repetition_ratio",
-    "curation_filter_funnel",
-    "mm_metadata",
-    "mm_featurize",
-    "mm_frame_sample",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_excess_shippers",
-    "q21_suppliers_kept_waiting",
-    "q22_dormant_customers",
-    "agg_salted_two_phase",
-    "window_cume_percent",
-    "setop_union_by_name",
+# Queries whose Spark plan or oracle SQL changed in the CURRENT round.  These
+# jump the queue regardless of prior green rows (ADVICE r03: the round-3
+# session-window oracle break shipped unverified precisely because a stale
+# green row pinned it behind the budget).  Reset this list each round.
+_MODIFIED_THIS_ROUND = [
+    "ev_session_window",      # r04: event_id projected through marked CTE
+    "stream_session_window",  # r04: same oracle fix
+    "approx_distinct_quantile",  # r04: bounded-error within_bounds check
 ]
 
-# Queries with a green row in CORRECTNESS_r01 ∪ CORRECTNESS_r02 (95 names) —
-# already driver-verified, safe to starve if the budget truncates. Any query
-# in neither list (i.e. added in round 3+) slots in right behind the 34.
-_DRIVER_VERIFIED = frozenset({
-    "agg_basic_stats", "agg_collect_sorted", "agg_corr_covar",
-    "agg_count_distinct", "agg_cube", "agg_filtered", "agg_grouping_sets",
-    "agg_having", "agg_quantile_disc", "agg_rollup",
-    "approx_distinct_quantile", "dedup_cluster_representatives",
-    "dedup_embed_cosine", "dedup_exact", "dedup_exact_hash",
-    "dedup_keep_list", "dedup_minhash_verified", "dedup_ngram_jaccard",
-    "distinct_on_subset", "distinct_pairs", "embed_cosine_topk",
-    "embed_norm_stats", "ev_funnel", "ev_pivot_types", "ev_session_window",
-    "ev_sliding_window", "ev_tumbling_hour", "fn_array", "fn_bitwise",
-    "fn_date", "fn_json", "fn_map", "fn_math", "fn_nulls", "fn_regex",
-    "fn_string", "join_anti", "join_cross", "join_full_outer", "join_inner",
-    "join_left_outer", "join_range", "join_right_outer", "join_semi",
-    "join_theta", "lsh_cosine_candidates", "lsh_ivf_topk",
-    "lsh_minhash_candidates", "lsh_simhash64", "merge_upsert",
-    "q10_returned_items", "q14_promo_revenue", "q18_large_volume_customers",
-    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
-    "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
-    "setop_except", "setop_except_all", "setop_intersect", "setop_union_all",
-    "setop_union_distinct", "sort_multi_key", "sql_cte_top_supplier",
-    "sql_exists_correlated", "sql_in_subquery", "sql_q12_priority_lines",
-    "sql_scalar_subquery", "sql_unpivot", "stream_dedup_keys",
-    "stream_events_tumbling", "stream_sentences_golden",
-    "stream_session_window", "stream_sliding_window", "stream_static_join",
-    "stream_stream_join", "stream_wordcount_file",
-    "stream_wordcount_stateful", "topk_global", "udf_grouped_agg",
-    "udf_pandas_scalar", "udf_rowwise", "udf_sql_registered",
-    "udtf_token_positions", "window_first_last", "window_lag_lead",
-    "window_range_frame", "window_rank_dense_ntile", "window_running_sum",
-    "window_topk_per_group", "wordcount_per_doc_topk", "wordcount_stats",
-    "wordcount_top100",
-})
+
+def _last_verified_round() -> dict[str, int]:
+    """Map query name -> latest round whose CORRECTNESS artifact visited it.
+
+    A visit counts whether value-checked or rows-only: either means the
+    driver spent budget on it that round.  Errors (non-null ``err`` other
+    than the documented ``no_oracle``) do NOT count as verified.
+    """
+    last: dict[str, int] = {}
+    root = Path(__file__).resolve().parents[2]
+    try:
+        artifacts = sorted(root.glob("CORRECTNESS_r*.json"))
+    except OSError:
+        return last
+    for path in artifacts:
+        m = re.search(r"_r(\d+)\.json$", path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            err = row.get("err")
+            ok = row.get("hash_match") or (
+                err == "no_oracle" and row.get("spark_rows") is not None
+            )
+            if ok:
+                last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def _reorder() -> None:
-    front = [n for n in _VERIFY_FIRST if n in _catalog.QUERIES]
-    new = [
-        n for n in _catalog.QUERIES
-        if n not in front and n not in _DRIVER_VERIFIED
-    ]
-    back = [n for n in _catalog.QUERIES if n in _DRIVER_VERIFIED]
-    order = front + new + back
+    last = _last_verified_round()
+    names = list(_catalog.QUERIES)
+    modified = [n for n in _MODIFIED_THIS_ROUND if n in _catalog.QUERIES]
+    rest = [n for n in names if n not in modified]
+    # Stable sort: never-verified (round 0) first, then ascending staleness.
+    rest.sort(key=lambda n: last.get(n, 0))
+    order = modified + rest
     _catalog.QUERIES = {n: _catalog.QUERIES[n] for n in order}
     _catalog.ORACLES = {
         n: _catalog.ORACLES[n] for n in order if n in _catalog.ORACLES

@@ -193,14 +193,61 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_quantile")  # rows-only: sketch results are engine-specific
+@query(
+    "approx_distinct_quantile",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_distinct_exact,
+           TRUE AS distinct_ok,
+           TRUE AS quantile_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def approx_distinct_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ distinct + approximate quantiles (sketches; exact values differ
-    by engine so the driver records the rows-only check — see SURVEY §2.2)."""
+    """HLL++ distinct + approximate median, value-checked via ERROR BOUNDS.
+
+    Sketch outputs are engine-specific, so instead of comparing raw sketch
+    values the query emits per-group booleans asserting the published error
+    contracts hold — ``approx_count_distinct(rsd=0.05)`` within 3·rsd of the
+    exact distinct count, and ``percentile_approx(accuracy=1000)`` whose
+    returned value's rank interval overlaps ``0.5·n ± 2n/accuracy``.  The
+    oracle expects TRUE for every group, turning the former rows-only check
+    into a value-checked one.  Second pass joins the 3-row sketch result
+    back broadcast — no extra shuffle of the fact table.
+    """
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("apx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("apx_median_price"),
+    acc = 1000  # percentile_approx rank error <= n/acc
+    apx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.05).alias("apx_parts"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(acc)).alias("apx_median"),
+    )
+    joined = li.join(F.broadcast(apx), "l_returnflag")
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_distinct_exact"),
+            F.first("apx_parts").alias("apx_parts"),
+            F.first("apx_median").alias("apx_median"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.col("apx_median"), 1).otherwise(0)
+            ).alias("c_le"),
+            F.sum(
+                F.when(F.col("l_extendedprice") < F.col("apx_median"), 1).otherwise(0)
+            ).alias("c_lt"),
+        )
+        .select(
+            "l_returnflag",
+            "n_distinct_exact",
+            (
+                F.abs(F.col("apx_parts") - F.col("n_distinct_exact"))
+                <= 0.15 * F.col("n_distinct_exact")
+            ).alias("distinct_ok"),
+            (
+                (F.col("c_le") >= (0.5 - 2.0 / acc) * F.col("n"))
+                & (F.col("c_lt") <= (0.5 + 2.0 / acc) * F.col("n"))
+            ).alias("quantile_ok"),
+        )
     )
 
 

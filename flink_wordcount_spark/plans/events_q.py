@@ -86,7 +86,7 @@ def ev_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ev_session_window",
     oracle="""
     WITH marked AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, value, event_id,
                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                          >= INTERVAL '30 minutes'
                     THEN 1 ELSE 0 END AS is_new

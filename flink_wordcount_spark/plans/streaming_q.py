@@ -216,7 +216,7 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_window",
     oracle="""
     WITH marked AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, value, event_id,
                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                          >= INTERVAL '30 minutes'
                     THEN 1 ELSE 0 END AS is_new

@@ -16,6 +16,7 @@ Scale notes (100 TB / 1000-executor design):
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -33,7 +34,9 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
-_TUNED: set[int] = set()
+# Weak so a dead session can't alias a new one that reuses its id() (the
+# round-3 id()-keyed set could mark a brand-new session as already tuned).
+_TUNED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
 
 def tune(spark: SparkSession) -> SparkSession:
@@ -43,14 +46,14 @@ def tune(spark: SparkSession) -> SparkSession:
     ``tune`` sits on the per-table read path, so re-applying per query adds
     measurable driver time across a 100+-query verify run.
     """
-    if id(spark) in _TUNED:
+    if spark in _TUNED:
         return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # conf locked by the host session; proceed with its value
-    _TUNED.add(id(spark))
+    _TUNED.add(spark)
     return spark
 
 

@@ -99,11 +99,16 @@ class LatencyRecorder:
 
     def carry_over(self, prev: "LatencyRecorder") -> None:
         """Adopt a previous epoch's record-once set (kill/recover runs):
-        update-mode re-emission of keys whose max(sample_ts) predates the
-        kill must not re-log those stale timestamps with post-recovery
-        wall-clock, which would inflate 'latency' into time-since-kill."""
+        update-mode re-emission of keys whose max(sample_ts) was ALREADY
+        LOGGED pre-kill must not re-log those stale timestamps with
+        post-recovery wall-clock, which would inflate 'latency' into
+        time-since-kill.  The floor is deliberately NOT carried: an
+        in-flight sample (taken pre-kill, first reaching the sink in the
+        replayed batch) sits below the old floor but is absent from
+        ``_seen`` — it must be logged, and its kill-inflated latency is the
+        honest end-to-end number the reference sink would report.  The
+        floor rebuilds from the first post-recovery batch."""
         self._seen |= prev._seen
-        self._floor = max(self._floor, prev._floor)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         cols = [self.ts_col]
@@ -126,6 +131,8 @@ class LatencyRecorder:
                 w.writerow([self.sink_id, ts, now_ms, now_ms - ts])
         if sampled:
             self._floor = max(self._floor, max(r[self.ts_col] for r in sampled))
-            # the batch's own keys are now below the floor; reset the
-            # in-batch dedup set so it doesn't grow without bound
-            self._seen.clear()
+            # _seen is retained, not cleared: past the floor it is only
+            # consulted for floor-tied rows and for replayed batches after a
+            # kill (where it is what separates logged-pre-kill samples from
+            # in-flight ones). Memory is one tuple per sampled record — the
+            # sample period keeps that ~1e4/min at the reference rate.

@@ -64,6 +64,24 @@ def test_maybe_broadcast_gates_on_size(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_maybe_broadcast_survives_on_derived_aggregate(spark, sf_dir):
+    """ADVICE r03: maybe_broadcast silently drops the hint when Catalyst's
+    estimate for a DERIVED sub-plan (not a raw scan) is unavailable or
+    inflated. Pin that the measured win sites keep their broadcasts at
+    fixture scale: dedup_minhash_verified's candidate-id semi-join against
+    documents, and q20's heavy-parts semi-join."""
+    import re
+
+    plan = _plan(QUERIES["dedup_minhash_verified"](spark, sf_dir))
+    assert re.search(r"BroadcastHashJoin.*LeftSemi", plan), (
+        "cand_ids semi-join lost its size-gated broadcast hint"
+    )
+    plan20 = _plan(QUERIES["q20_excess_shippers"](spark, sf_dir))
+    assert re.search(r"BroadcastHashJoin.*LeftSemi", plan20), (
+        "q20 heavy-parts semi-join lost its size-gated broadcast hint"
+    )
+
+
 def test_partial_aggregation_before_exchange(spark, sf_dir):
     plan = _plan(QUERIES["wordcount_top100"](spark, sf_dir))
     # two-stage agg: a partial (map-side) HashAggregate must exist, and it

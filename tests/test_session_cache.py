@@ -1,0 +1,58 @@
+"""Session-lifetime correctness of the table cache and tune() memo.
+
+Round-3 ADVICE: both were keyed on id(spark); a stopped session's id can be
+reused by a brand-new session object, which would then inherit stale plans
+and skip tuning. These tests pin the fixed keying (applicationId / weak set)
+without paying a real JVM restart.
+"""
+
+import gc
+from types import SimpleNamespace
+from unittest.mock import MagicMock
+
+from flink_wordcount_spark import io, session
+
+
+class _FakeSession:
+    """Weakref-able stand-in with the surface table()/tune() touch."""
+
+    def __init__(self, app_id: str):
+        self.sparkContext = SimpleNamespace(applicationId=app_id)
+        self.conf = MagicMock()
+        self.read = MagicMock()
+        self.read.parquet.side_effect = lambda path: MagicMock(name=path)
+
+
+def test_new_application_gets_fresh_reads():
+    io._CACHE.clear()
+    a = _FakeSession("app-a")
+    df1 = io.table(a, "/tmp/sf", "orders")
+    assert io.table(a, "/tmp/sf", "orders") is df1  # memoized within app
+    # A NEW session (fresh applicationId) must not inherit app-a's plans,
+    # even if CPython hands the new object the same id().
+    b = _FakeSession("app-b")
+    df2 = io.table(b, "/tmp/sf", "orders")
+    assert df2 is not df1
+    assert b.read.parquet.called
+
+
+def test_cache_evicts_oldest_application():
+    io._CACHE.clear()
+    for i in range(io._CACHE_MAX_APPS + 2):
+        io.table(_FakeSession(f"app-{i}"), "/tmp/sf", "orders")
+    assert len(io._CACHE) <= io._CACHE_MAX_APPS
+    assert f"app-{io._CACHE_MAX_APPS + 1}" in io._CACHE  # newest retained
+
+
+def test_tune_memo_is_weak():
+    s = _FakeSession("app-weak")
+    session.tune(s)
+    assert s in session._TUNED
+    assert s.conf.set.called
+    s.conf.set.reset_mock()
+    session.tune(s)
+    assert not s.conf.set.called  # idempotent while alive
+    n_before = len(session._TUNED)
+    del s
+    gc.collect()
+    assert len(session._TUNED) < n_before  # dead session can't alias a new one

@@ -297,8 +297,10 @@ def test_latency_recorder_record_once_and_carry(spark, tmp_path):
     """ADVICE parity fixes pinned: (a) two words sampled at the SAME ts each
     get their own row; (b) update-mode re-emission of a key's old
     max(sample_ts) is suppressed (monotonic floor); (c) the record-once set
-    carries across a kill/recover epoch so stale timestamps are not re-logged
-    with post-recovery wall-clock."""
+    carries across a kill/recover epoch so ALREADY-LOGGED timestamps are not
+    re-logged with post-recovery wall-clock — but an IN-FLIGHT pre-kill
+    sample (below the old floor, never logged) IS logged after recovery,
+    with its honest kill-inflated latency (VERDICT r03 #9)."""
     p1 = str(tmp_path / "lat1.csv")
     rec = LatencyRecorder(p1)
 
@@ -315,11 +317,12 @@ def test_latency_recorder_record_once_and_carry(spark, tmp_path):
     assert len(rows) == 3  # alpha@100 suppressed, delta@200 logged
 
     # recovered epoch: a fresh recorder would re-log alpha@100; carry_over
-    # must suppress every pre-kill timestamp
+    # must suppress it (logged pre-kill) — but beta@150 was IN FLIGHT at the
+    # kill (never logged, though below the old floor of 200) and must appear.
     p2 = str(tmp_path / "lat2.csv")
     rec2 = LatencyRecorder(p2)
     rec2.carry_over(rec)
     rec2(batch([("alpha", 100), ("beta", 150), ("epsilon", 300)]), 0)
     rows2 = open(p2).read().strip().splitlines()[1:]
-    assert len(rows2) == 1  # only the post-kill sample at ts=300
-    assert rows2[0].split(",")[1] == "300"
+    logged_ts = sorted(r.split(",")[1] for r in rows2)
+    assert logged_ts == ["150", "300"]  # in-flight beta@150 + fresh @300
