@@ -61,7 +61,14 @@ ROCKSDB_PROVIDER = (
 
 #: Latency phase: live rate source at the reference operating rate
 #: (12,500 sentences/s, StatefulWordCount.java:64), sampled 1-in-1000.
-LATENCY_RUN_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_LATENCY_SEC", "30"))
+#: 60 s run, percentiles from samples after a 25 s warm-up. The source ramps
+#: its rate over the first 15 s (covering stream initialization): without the
+#: ramp the source's backdated clock manufactures a ~100k-row startup backlog
+#: that a pipeline with ~5% capacity margin takes minutes to drain, so the
+#: window reports queue-drain progress instead of steady state (measured:
+#: thirds of a 120 s no-ramp run give p50 2.35 s / 1.91 s / 1.86 s).
+LATENCY_RUN_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_LATENCY_SEC", "60"))
+LATENCY_WARMUP_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_LATENCY_WARMUP", "25"))
 
 
 def materialize(df) -> None:
@@ -135,14 +142,16 @@ def bench_streaming(spark) -> dict:
         # with 4x the p50). The most timing-sensitive phase gets the
         # cleanest JVM.
         latency = bench_latency(spark)
-        # best of two attempts: a single 50M-word stateful run in one JVM is
+        # best-of-N attempts: a single 50M-word stateful run in one JVM is
         # exposed to GC/JIT roll-of-the-dice (measured 1.3-6.4M words/s for
-        # identical runs); the max is the honest capability number, the
-        # second sample is reported alongside
-        total_words, dt = one_run(ROCKSDB_PROVIDER)
-        total2, dt2 = one_run(ROCKSDB_PROVIDER)
-        dt_attempts = sorted([dt, dt2])
-        total_words, dt = (total_words, dt) if dt <= dt2 else (total2, dt2)
+        # identical runs); the max is the capability number, the MEDIAN is
+        # the expected number — both published, plus the raw attempts
+        # (VERDICT r03: the 2-attempt spread was unreadable as evidence).
+        n_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+        attempts = [one_run(ROCKSDB_PROVIDER) for _ in range(n_attempts)]
+        dt_attempts = sorted(d for _, d in attempts)
+        total_words, dt = min(attempts, key=lambda a: a[1])
+        dt_median = dt_attempts[len(dt_attempts) // 2]
         _, dt_default = one_run(None)  # HDFS-backed memory store (Flink analog)
         recovery = bench_recovery(spark, path)
     finally:
@@ -158,7 +167,8 @@ def bench_streaming(spark) -> dict:
         "state_store": "rocksdb",
         "words_total": total_words,
         "elapsed_sec": round(dt, 3),
-        "words_per_sec": round(total_words / dt),
+        "words_per_sec_best": round(total_words / dt),
+        "words_per_sec_median": round(total_words / dt_median),
         "words_per_sec_attempts": [round(total_words / d) for d in dt_attempts],
         "words_per_sec_default_store": round(total_words / dt_default),
         "sentences_per_sec": round(STREAM_SENTENCES / dt),
@@ -243,10 +253,26 @@ def bench_recovery(spark, golden_path: str) -> dict:
         shutil.rmtree(ckpt_root, ignore_errors=True)
 
 
-def bench_latency(spark) -> dict:
+def bench_latency(
+    spark,
+    *,
+    trigger_sec: float | None = None,
+    partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+    run_sec: int | None = None,
+    rows_per_second: int = 12500,
+    gen_partitions: int = 16,
+    warmup_sec: int | None = None,
+) -> dict:
     """Per-sampled-record latency percentiles (DummyLatencyCountingSink
     parity): live rate source -> tokenizer -> update-mode counts carrying
-    max(sample_ts) -> LatencyRecorder foreachBatch, checkpointing on."""
+    max(sample_ts) -> LatencyRecorder foreachBatch, checkpointing on.
+
+    Parameterized so scripts/latency_sweep.py can measure each lever
+    (trigger interval, state partitions, changelog checkpointing, ...)
+    in isolation; bench.py's default operating point is set from that
+    sweep's results (see SCALE.md "Latency levers").
+    """
     import shutil
     import tempfile
 
@@ -256,20 +282,45 @@ def bench_latency(spark) -> dict:
     from flink_wordcount_spark.streaming.sentences import rate_stream
     from flink_wordcount_spark.streaming.wordcount import tokens_stream
 
+    if trigger_sec is None:
+        trigger_sec = float(os.environ.get("SPARK_GRAFT_LATENCY_TRIGGER_SEC", "0.25"))
+    if partitions is None:
+        partitions = int(os.environ.get("SPARK_GRAFT_LATENCY_PARTITIONS", "16"))
+    if run_sec is None:
+        run_sec = LATENCY_RUN_SEC
+    if warmup_sec is None:
+        warmup_sec = min(LATENCY_WARMUP_SEC, max(0, run_sec - 15))
+    # Changelog checkpointing by default: per-batch durability becomes an
+    # append of the batch's delta instead of a full RocksDB snapshot upload,
+    # which is what keeps the commit path off the latency floor (measured in
+    # the sweep; also the 100 TB-state design: snapshot cost is amortized
+    # into background maintenance).
+    confs = {
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+            "true"
+        ),
+        **(extra_confs or {}),
+    }
     out_dir = tempfile.mkdtemp(prefix="fws_bench_latency_")
     csv_path = os.path.join(out_dir, "latency.csv")
-    # 16 state/shuffle partitions keeps batch duration under the 1 s trigger
-    # at this rate (measured: ~900 ms vs 1.2-1.6 s at both 8 and 32 — 32
-    # pays per-partition state-store commit overhead, 8 starves the
-    # tokenize+agg of parallelism), so records don't queue behind a lagging
-    # trigger and the percentiles measure steady state.
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    # 16 state/shuffle partitions keeps batch duration well under the trigger
+    # at this rate (measured: 32 pays per-partition state-store commit
+    # overhead, 8 starves the tokenize+agg of parallelism), so records don't
+    # queue behind a lagging trigger and the percentiles measure steady state.
+    prev = {"spark.sql.shuffle.partitions": spark.conf.get("spark.sql.shuffle.partitions")}
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    for k, v in confs.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
     sentences = rate_stream(
         spark,
-        rows_per_second=12500,
-        num_partitions=4,
+        rows_per_second=rows_per_second,
+        num_partitions=gen_partitions,
         micro_batch=False,
+        ramp_up_sec=15,  # cover stream init: no manufactured startup backlog
         sentence_size=SENTENCE_SIZE,
         sample_period=1000,
     )
@@ -281,34 +332,95 @@ def bench_latency(spark) -> dict:
         counts.writeStream.outputMode("update")
         .foreachBatch(recorder)
         .option("checkpointLocation", os.path.join(out_dir, "ckpt"))
-        .trigger(processingTime="1 second")
+        .trigger(processingTime=f"{trigger_sec} seconds")
         .start()
     )
+    progress: list[dict] = []
     try:
-        time.sleep(LATENCY_RUN_SEC)
+        time.sleep(run_sec)
     finally:
+        try:
+            raw = [
+                json.loads(p.json) if hasattr(p, "json") else p
+                for p in q.recentProgress
+            ]
+            progress = [
+                {
+                    "batchId": p["batchId"],
+                    "numInputRows": p["numInputRows"],
+                    "triggerExecution_ms": p["durationMs"].get("triggerExecution"),
+                    "addBatch_ms": p["durationMs"].get("addBatch"),
+                    "stateCommit_ms": (p.get("stateOperators") or [{}])[0].get(
+                        "commitTimeMs"
+                    ),
+                }
+                for p in raw
+                if p.get("numInputRows", 0) > 0
+            ]
+        except Exception:
+            progress = []
         q.stop()
         q.awaitTermination(30)
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        for k, v in prev.items():
+            if v is None:
+                try:
+                    spark.conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(k, v)
     rows = [
         line.split(",")
         for line in open(csv_path).read().splitlines()[1:]
         if line
     ]
     shutil.rmtree(out_dir, ignore_errors=True)
-    # the first committed batch drains the startup backlog (the rate source
-    # clock starts at query start, ~8 s before the first trigger fires), so
-    # its records measure initialization, not steady-state latency; all its
-    # rows share one cur_time — drop them when later batches exist
-    cur_times = sorted({r[2] for r in rows})
-    if len(cur_times) > 1:
-        rows = [r for r in rows if r[2] != cur_times[0]]
-    lat = sorted(int(r[3]) for r in rows)
+    # Steady-state window: the rate source's clock starts at query start
+    # (~8 s before the first trigger), and with capacity only ~5% above the
+    # arrival rate the startup backlog takes tens of seconds to drain.
+    # Headline percentiles come from samples logged after `warmup_sec`;
+    # the full-window numbers are published alongside for auditability.
+    all_lat = sorted(int(r[3]) for r in rows)
+    if rows:
+        t0 = min(int(r[2]) for r in rows)
+        steady = [r for r in rows if int(r[2]) >= t0 + warmup_sec * 1000]
+    else:
+        steady = []
+    if steady:
+        lat = sorted(int(r[3]) for r in steady)
+    else:
+        lat = all_lat
+    cfg = {
+        "trigger_sec": trigger_sec,
+        "partitions": partitions,
+        "gen_partitions": gen_partitions,
+        "warmup_sec": warmup_sec,
+        "changelog_checkpointing": confs[
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        ]
+        == "true",
+        "rows_per_second": rows_per_second,
+    }
+    if progress:
+        execs = sorted(
+            p["triggerExecution_ms"] for p in progress
+            if p["triggerExecution_ms"] is not None
+        )
+        if execs:
+            cfg["batches"] = {
+                "n": len(execs),
+                "trigger_exec_ms_p50": execs[len(execs) // 2],
+                "trigger_exec_ms_max": execs[-1],
+                "last5": progress[-5:],
+            }
     if not lat:
-        return {"n_samples": 0}
+        return {"n_samples": 0, "config": cfg}
 
     def pct(p: float) -> int:
         return lat[min(len(lat) - 1, int(p * len(lat)))]
+
+    def fpct(vals: list, p: float) -> int:
+        return vals[min(len(vals) - 1, int(p * len(vals)))]
 
     return {
         "n_samples": len(lat),
@@ -316,32 +428,186 @@ def bench_latency(spark) -> dict:
         "p95": pct(0.95),
         "p99": pct(0.99),
         "max": lat[-1],
+        "full_window": {
+            "n_samples": len(all_lat),
+            "p50": fpct(all_lat, 0.50),
+            "p95": fpct(all_lat, 0.95),
+        },
+        "config": cfg,
     }
+
+
+#: sf1 spot-run: queries whose semantics scale cleanly under 10x replication
+#: (dedup/similarity are skipped: replicating documents 10x manufactures
+#: duplicate explosions that measure the synthetic layout, not the engine).
+SF1_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "wordcount_top100",
+    "agg_cube",
+    "window_running_sum",
+    "ev_session_window",
+    "embed_cosine_topk",
+]
+
+#: Per-replica key offset for the synthetic sf1 (far above any sf0.1 key).
+_SF1_KEY_OFFSET = 10**9
+
+#: Key columns to shift per table so each replica is a self-contained
+#: sub-database (joins stay 1:1 with the sf0.1 structure, cardinalities 10x).
+_SF1_KEYS = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "nation": [],
+    "region": [],
+}
+
+
+def build_sf1(spark, src_dir: str = "/root/testdata/sf0.1") -> str:
+    """Materialize a synthetic ~sf1 as 10 key-shifted replicas of sf0.1.
+
+    /root/testdata is read-only and has no sf1, so the 10x scaling probe
+    (VERDICT r03 #6: are the sf0.1 plans still the right plans at 10x, no
+    OOM, roughly linear wall-time?) runs against /tmp. Dimension tables that
+    are constant in TPC-H (nation/region) are copied once; everything else
+    gets per-replica key offsets so join fan-outs match real scaling.
+    Cached across runs via _SUCCESS markers.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out_root = os.path.join(tempfile.gettempdir(), "fws_sf1_x10")
+    os.makedirs(out_root, exist_ok=True)
+    for name, keys in _SF1_KEYS.items():
+        dest = os.path.join(out_root, f"{name}.parquet")
+        if os.path.exists(os.path.join(dest, "_SUCCESS")):
+            continue
+        src = spark.read.parquet(f"{src_dir}/{name}.parquet")
+        if not keys:
+            src.write.mode("overwrite").parquet(dest)
+            continue
+        replicas = []
+        for i in range(10):
+            r = src
+            for k in keys:
+                r = r.withColumn(k, F.col(k) + F.lit(i * _SF1_KEY_OFFSET))
+            replicas.append(r)
+        out = replicas[0]
+        for r in replicas[1:]:
+            out = out.unionAll(r)
+        out.write.mode("overwrite").parquet(dest)
+    return out_root
+
+
+def bench_sf1(spark) -> dict:
+    """10x scaling spot-run: same plans, bigger data. Reports per-query
+    seconds plus the ratio to the same query's sf0.1 time (measured fresh
+    here so both sides share JVM warmth)."""
+    if os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "1":
+        return {"skipped": True}
+    t0 = time.time()
+    sf1_dir = build_sf1(spark)
+    build_sec = round(time.time() - t0, 3)
+    base: dict[str, float] = {}
+    big: dict[str, float] = {}
+    for name in SF1_QUERIES:
+        t0 = time.time()
+        materialize(QUERIES[name](spark, "/root/testdata/sf0.1"))
+        base[name] = round(time.time() - t0, 3)
+        t0 = time.time()
+        materialize(QUERIES[name](spark, sf1_dir))
+        big[name] = round(time.time() - t0, 3)
+    return {
+        "layout": "10 key-shifted replicas of sf0.1 (synthetic sf1)",
+        "build_sec": build_sec,
+        "queries_sec": big,
+        "sf01_same_jvm_sec": base,
+        "scaleup_ratio": {
+            n: round(big[n] / base[n], 2) if base[n] > 0 else None
+            for n in SF1_QUERIES
+        },
+    }
+
+
+def _loadavg1() -> float:
+    try:
+        return os.getloadavg()[0]
+    except OSError:
+        return -1.0
+
+
+def wait_for_quiet_machine(max_wait_sec: int = 120, threshold: float = 2.0) -> dict:
+    """A contended sandbox uniformly inflates every timing (BENCH_r03 shipped
+    ~3x-inflated numbers that read as a code regression). Wait for the 1-min
+    load average to drop below ``threshold`` (bounded), and record the load
+    context so the artifact is auditable either way."""
+    start_load = _loadavg1()
+    waited = 0.0
+    load = start_load
+    while load > threshold and waited < max_wait_sec:
+        time.sleep(5)
+        waited += 5
+        load = _loadavg1()
+    return {
+        "load_at_invoke": round(start_load, 2),
+        "load_at_start": round(load, 2),
+        "waited_sec": round(waited, 1),
+        "contended": load > threshold,
+        "nproc": os.cpu_count(),
+    }
+
+
+def run_suite(spark, sf_dir: str) -> dict[str, float]:
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        materialize(QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+    return timings
 
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    machine = wait_for_quiet_machine()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM/codegen path once so per-query numbers measure the plan
     QUERIES["wordcount_stats"](spark, sf_dir).collect()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        materialize(QUERIES[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+    timings = run_suite(spark, sf_dir)
+    suite_passes = [round(sum(timings.values()), 3)]
+    if machine["contended"]:
+        # the machine never went quiet: a second pass + per-query min is the
+        # best available de-noising; both pass totals are published
+        second = run_suite(spark, sf_dir)
+        suite_passes.append(round(sum(second.values()), 3))
+        timings = {
+            n: min(timings[n], second[n]) for n in timings
+        }
 
+    sf1 = bench_sf1(spark)
     streaming = bench_streaming(spark)
+    machine["load_at_end"] = round(_loadavg1(), 2)
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "suite_passes": suite_passes,
+        "machine": machine,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf1": sf1,
         "streaming": streaming,
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     }

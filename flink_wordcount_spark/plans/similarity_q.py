@@ -195,3 +195,53 @@ def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.size("embedding")).alias("dim_min"),
         F.max(F.size("embedding")).alias("dim_max"),
     )
+
+
+@query(
+    "embed_quantize_int8",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               127.0 / greatest(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                                        x -> abs(x))), 1e-12) AS scale
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id,
+               list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS qv
+        FROM s
+    )
+    SELECT vec_id,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           list_max(qv) AS q_max,
+           list_min(qv) AS q_min
+    FROM q
+    """,
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (scale = 127/max|x|) — the
+    compression step before shipping embeddings to an ANN index. Entirely
+    JVM-side array expressions (transform/aggregate), map-only, no UDF; the
+    audit row per vector (sum/max/min of the quantized values) is
+    value-checked bit-exactly: both engines promote to double, use the same
+    explicit floor(x*scale + 0.5) rounding (no round() — banker's-vs-HALF_UP
+    divergence), and guard all-zero vectors with the same epsilon."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scaled = emb.select(
+        "vec_id",
+        v.alias("v"),
+        (F.lit(127.0) / F.greatest(absmax, F.lit(1e-12))).alias("scale"),
+    )
+    qv = F.transform(
+        F.col("v"), lambda x: F.floor(x * F.col("scale") + F.lit(0.5)).cast("bigint")
+    )
+    q = scaled.select("vec_id", qv.alias("qv"))
+    return q.select(
+        "vec_id",
+        F.aggregate(
+            F.col("qv"), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("q_sum"),
+        F.array_max("qv").alias("q_max"),
+        F.array_min("qv").alias("q_min"),
+    )

@@ -457,3 +457,146 @@ def curation_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("c_rep"), 1).otherwise(0)).cast("bigint").alias("n_rep_ok"),
         F.countDistinct(F.when(F.col("c_rep"), F.col("text"))).alias("n_unique_final"),
     )
+
+
+# PII regexes shared by the Spark plan and the oracle (Java regex and RE2
+# agree on this subset: char classes, bounded repetition, \b).
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b555-\d{4}\b"
+
+# The fixture corpus contains no PII (synthetic word salad), so the query
+# affixes a DETERMINISTIC doc_id-derived PII suffix on both sides before
+# scrubbing — the redaction path is exercised on every row instead of
+# trivially matching zero times.
+_PII_SUFFIX_SQL = (
+    "text || ' contact user' || doc_id || '@example.com from 10.0.' "
+    "|| (doc_id % 256) || '.7 call 555-01' "
+    "|| lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')"
+)
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_PII_SUFFIX_SQL} AS t FROM documents),
+    scrub AS (
+        SELECT doc_id, t,
+               regexp_replace(regexp_replace(regexp_replace(t,
+                   '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_IPV4}', '<IP>', 'g'),
+                   '{_PII_PHONE}', '<PHONE>', 'g') AS red
+        FROM w
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+           CAST(length(red) AS BIGINT) AS redacted_len,
+           substring(red, length(red) - 39, 40) AS redacted_tail
+    FROM scrub
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails / IPv4 / phone numbers) — the scrubbing pass a
+    training pipeline runs before packing. Pure JVM-side regexp_count +
+    chained regexp_replace: one scan, no UDF, codegen'd per row, so at
+    100 TB it scales as a map-only stage. Counts, the redacted length and
+    the redacted tail are value-checked against the oracle running the
+    identical patterns (RE2/Java-regex-compatible subset)."""
+    d = table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _PII_EMAIL, "<EMAIL>"), _PII_IPV4, "<IP>"
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(_PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t, F.lit(_PII_IPV4)).cast("bigint").alias("n_ips"),
+        F.regexp_count(t, F.lit(_PII_PHONE)).cast("bigint").alias("n_phones"),
+        F.length(red).cast("bigint").alias("redacted_len"),
+        F.substring(red, F.length(red) - 39, F.lit(40)).alias("redacted_tail"),
+    )
+
+
+@query(
+    "sample_upsample_weighted",
+    oracle="""
+    WITH weighted AS (
+        SELECT source, n_chars,
+               (CAST(substring(source, 4) AS INTEGER) % 3) + 1 AS n_copies
+        FROM documents
+    )
+    SELECT source, n_copies,
+           CAST(count(*) * n_copies AS BIGINT) AS n_rows_out,
+           CAST(sum(n_chars) * n_copies AS BIGINT) AS chars_out
+    FROM weighted GROUP BY 1, 2
+    """,
+)
+def sample_upsample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted upsampling: each source is repeated 1-3x (the fixture's
+    stand-in for quality-tier epoch weights in a training mixture). The
+    Spark side REALLY materializes the copies — explode(sequence(1, n)) is
+    a map-side row expansion, no shuffle, no UDF — and the audit aggregate
+    is value-checked against the oracle's closed form (count x copies)."""
+    d = table(spark, sf_dir, "documents")
+    n_copies = (F.substring("source", 4, 10).cast("int") % 3) + 1
+    exploded = d.withColumn("n_copies", n_copies).withColumn(
+        "copy_idx", F.explode(F.sequence(F.lit(1), F.col("n_copies")))
+    )
+    return exploded.groupBy("source", "n_copies").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows_out"),
+        F.sum("n_chars").cast("bigint").alias("chars_out"),
+    )
+
+
+@query(
+    "text_chunk_split",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_toks,
+               greatest(CAST(ceil(len({_TOKS}) / 512.0) AS BIGINT), 1) AS n_chunks
+        FROM documents
+    )
+    SELECT doc_id, CAST(u.chunk_id AS BIGINT) AS chunk_id,
+           CAST(least(512, n_toks - 512 * u.chunk_id) AS BIGINT) AS chunk_tokens
+    FROM sized, unnest(range(0, n_chunks)) AS u(chunk_id)
+    """,
+)
+def text_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size document chunking (512-token windows, RAG/context-split
+    style): one output row per chunk via explode(sequence(...)) — map-side
+    expansion, no shuffle. Tail chunks carry their true (short) token
+    count; empty docs still yield one zero-token chunk so no document
+    silently disappears from the corpus."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\W+"), lambda x: F.length(x) > 0)
+    sized = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_toks"),
+        F.greatest(
+            F.ceil(F.size(toks) / F.lit(512.0)).cast("bigint"), F.lit(1).cast("bigint")
+        ).alias("n_chunks"),
+    )
+    chunks = sized.withColumn(
+        "chunk_id", F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("n_chunks") - 1))
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.least(F.lit(512).cast("bigint"), F.col("n_toks") - 512 * F.col("chunk_id"))
+        .cast("bigint")
+        .alias("chunk_tokens"),
+    )

@@ -187,6 +187,7 @@ def rate_stream(
     num_partitions: int = 4,
     micro_batch: bool = True,
     rows_per_batch: int | None = None,
+    ramp_up_sec: int = 0,
     **sentence_kwargs,
 ) -> DataFrame:
     """Streaming sentence source at a controlled rate.
@@ -194,6 +195,13 @@ def rate_stream(
     rate-micro-batch pins rows per batch (deterministic batch sizing, the
     closest analog of the reference's sleep-to-timestamp loop at
     RateControlledSourceFunction.java:75-87); plain rate is wall-clock.
+
+    ``ramp_up_sec`` (plain-rate only): the rate source backdates its clock
+    to query start, which sits ~8 s of stream initialization before the
+    first trigger — at full rate that manufactures a ~100k-row backlog that
+    a pipeline running near capacity takes minutes to drain. Ramping over
+    the init window keeps the backlog out of steady-state latency
+    measurements without changing the steady rate.
     """
     if micro_batch:
         reader = (
@@ -207,6 +215,8 @@ def rate_stream(
             .option("rowsPerSecond", rows_per_second)
             .option("numPartitions", num_partitions)
         )
+        if ramp_up_sec > 0:
+            reader = reader.option("rampUpTime", f"{ramp_up_sec}s")
     return with_sentences(reader.load(), **sentence_kwargs)
 
 
