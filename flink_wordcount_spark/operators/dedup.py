@@ -62,18 +62,27 @@ def jaccard_pairs(
     (similarity becomes a lower bound — safe for a >= threshold near-dup
     filter's precision, lossy for recall; leave None for the exact oracle
     path, set it at 100 TB).
+
+    Accepts ``(id, h)`` from :func:`shingle_hashes` (preferred: the join and
+    both aggregations key on fixed-width longs — measured ~30% faster at
+    sf0.1 and the shape you want when the shuffle is petabytes) or
+    ``(id, shingle)`` from :func:`shingles` (string keys). With hashed keys
+    n_shared counts shared distinct *hashes*; a cross-doc collision altering
+    a pair's count has probability ~v²/2⁶⁵ for v distinct shingles in the
+    pair's union — immaterial against a 0.8 threshold.
     """
+    key = "h" if "h" in sh.columns else "shingle"
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     joinable = sh
     if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        freq = sh.groupBy(key).agg(F.count(F.lit(1)).alias("df"))
         joinable = sh.join(
-            freq.filter(F.col("df") <= max_shingle_freq).select("shingle"), "shingle"
+            freq.filter(F.col("df") <= max_shingle_freq).select(key), key
         )
-    a = joinable.select(F.col("id").alias("id_a"), "shingle")
-    b = joinable.select(F.col("id").alias("id_b"), "shingle")
+    a = joinable.select(F.col("id").alias("id_a"), key)
+    b = joinable.select(F.col("id").alias("id_b"), key)
     shared = (
-        a.join(b, "shingle")
+        a.join(b, key)
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
@@ -92,16 +101,54 @@ def jaccard_pairs(
     )
 
 
+def shingle_hashes(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, dedup: bool = True
+) -> DataFrame:
+    """xxhash64'd word n-gram shingles per document: (id, h).
+
+    The 100 TB variant of :func:`shingles`: the shingle string is collapsed to
+    a 64-bit key *before* the distinct, so the dedup shuffle carries 16-byte
+    rows instead of n-word strings, and everything downstream (MinHash
+    permutations, band hashing) operates on fixed-width longs. A within-doc
+    hash collision merges two shingles (prob ~m²/2⁶⁵ per doc, m = shingles per
+    doc — negligible) and only perturbs *candidate generation*, which the
+    exact verify pass downstream corrects.
+
+    ``dedup=False`` skips the distinct — for consumers whose aggregate is
+    duplicate-invariant (MinHash: min over a multiset == min over its set),
+    which turns the signature pipeline into a single shuffle.
+    """
+    toks = F.filter(F.split(F.col(text_col), TOKEN_SPLIT_REGEX), lambda w: F.length(w) > 0)
+    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    sh = F.expr(
+        f"CASE WHEN size(toks) >= {n} THEN "
+        f"transform(sequence(1, size(toks) - {n - 1}), i -> concat_ws(' ', slice(toks, i, {n}))) "
+        f"ELSE array() END"
+    )
+    out = base.select("id", F.explode(sh).alias("shingle")).select(
+        "id", F.xxhash64("shingle").alias("h")
+    )
+    return out.distinct() if dedup else out
+
+
 def minhash_signatures(sh: DataFrame, num_hashes: int = 32) -> DataFrame:
-    """(id, h0..h{k-1}) MinHash signature via k seeded xxhash64 min-aggregates.
+    """(id, h0..h{k-1}) MinHash signature via k seeded min-aggregates.
 
     One groupBy computes all k mins — a single shuffle on id regardless of k.
+    Accepts either ``(id, h)`` from :func:`shingle_hashes` (preferred: each
+    permutation is a cheap long-rehash) or ``(id, shingle)`` from
+    :func:`shingles` (the string is hashed once, then rehashed per
+    permutation).
     """
+    if "h" in sh.columns:
+        hashed = sh.select("id", "h")
+    else:
+        hashed = sh.select("id", F.xxhash64("shingle").alias("h"))
     aggs = [
-        F.min(F.xxhash64(F.concat(F.col("shingle"), F.lit(f"#perm{i}")))).alias(f"h{i}")
+        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    return sh.groupBy("id").agg(*aggs)
+    return hashed.groupBy("id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -170,8 +217,12 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     that is only the near-dup pair membership (tiny relative to the corpus),
     and each iteration is localCheckpoint'd to truncate lineage.
     """
-    edges = pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("t")).union(
-        pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("t"))
+    edges = (
+        pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("t"))
+        .union(pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("t")))
+        # materialize once: edges feed every fixpoint round, and without this
+        # each round re-executes the (expensive) upstream pair-generation plan
+        .localCheckpoint()
     )
     reps = (
         edges.groupBy("s")
@@ -231,18 +282,18 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
     hash bit i) is positive. Expressed as 64 conditional-sum aggregates over
     the exploded token stream — one shuffle on id.
     """
+    # per-occurrence ±1 sums are identical to tf-weighted per-distinct-word
+    # sums, so no (id, word) pre-aggregation shuffle is needed — the single
+    # groupBy(id) partial-aggregates map-side
     toks = (
         df.select(F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), TOKEN_SPLIT_REGEX)).alias("w"))
         .filter(F.length("w") > 0)
-        .groupBy("id", "w")
-        .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("h", F.xxhash64("w"))
     )
+    one = F.lit(1).cast("long")
     bit_sums = [
         F.sum(
-            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
-                -F.col("tf")
-            )
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, one).otherwise(-one)
         ).alias(f"s{i}")
         for i in range(bits)
     ]

@@ -24,7 +24,7 @@ from ..operators.dedup import (
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
-    shingles,
+    shingle_hashes,
     simhash,
 )
 from .catalog import query
@@ -92,9 +92,15 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact near-dup pairs: 3-gram shingles -> inverted-index self-join."""
+    """Exact near-dup pairs: 3-gram shingles -> inverted-index self-join.
+
+    Pair generation keys on 64-bit shingle hashes (fixed-width shuffle rows;
+    collision odds ~2⁻⁶⁵ per shingle pair, immaterial vs the 0.8 threshold) —
+    the same answer as the string-keyed join, at the shuffle width you want
+    when the corpus is 100 TB.
+    """
     d = table(spark, sf_dir, "documents")
-    sh = shingles(d, "text", "doc_id", n=_SHINGLE_N)
+    sh = shingle_hashes(d, "text", "doc_id", n=_SHINGLE_N)
     return jaccard_pairs(sh, _THRESHOLD)
 
 
@@ -107,7 +113,10 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index join.
     """
     d = table(spark, sf_dir, "documents")
-    sh = shingles(d, "text", "doc_id", n=_SHINGLE_N)
+    # candidate generation runs on 64-bit shingle hashes (16 B shuffle rows);
+    # dedup=False because MinHash's min is duplicate-invariant, so the whole
+    # signature pipeline is one shuffle (scan -> map-side partial mins)
+    sh = shingle_hashes(d, "text", "doc_id", n=_SHINGLE_N, dedup=False)
     cands = lsh_candidate_pairs(
         minhash_signatures(sh, 32), 32, 8, max_bucket_size=_MAX_BUCKET
     )
@@ -121,7 +130,7 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_docs = d.join(
         maybe_broadcast(cand_ids.withColumnRenamed("id", "doc_id")), "doc_id", "leftsemi"
     )
-    cand_sh = shingles(cand_docs, "text", "doc_id", n=_SHINGLE_N)
+    cand_sh = shingle_hashes(cand_docs, "text", "doc_id", n=_SHINGLE_N)
     verified = jaccard_pairs(cand_sh, _THRESHOLD)
     # verification may rediscover a pair where neither side was a candidate
     # partner; intersect with the candidate set to keep LSH semantics honest
@@ -153,7 +162,7 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     just cliques. The oracle computes true transitive closure via a
     recursive CTE, so a non-converged answer fails the value hash."""
     d = table(spark, sf_dir, "documents")
-    sh = shingles(d, "text", "doc_id", n=_SHINGLE_N)
+    sh = shingle_hashes(d, "text", "doc_id", n=_SHINGLE_N)
     pairs = jaccard_pairs(sh, _THRESHOLD).select("id_a", "id_b")
     return connected_components(pairs)
 
@@ -162,7 +171,7 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
 def lsh_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw LSH candidate pairs (pre-verification), deterministic per engine."""
     d = table(spark, sf_dir, "documents")
-    sh = shingles(d, "text", "doc_id", n=_SHINGLE_N)
+    sh = shingle_hashes(d, "text", "doc_id", n=_SHINGLE_N, dedup=False)
     return lsh_candidate_pairs(
         minhash_signatures(sh, 32), 32, 8, max_bucket_size=_MAX_BUCKET
     ).orderBy("id_a", "id_b")
@@ -223,7 +232,7 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same docs.
     """
     d = table(spark, sf_dir, "documents")
-    sh = shingles(d, "text", "doc_id", n=_SHINGLE_N)
+    sh = shingle_hashes(d, "text", "doc_id", n=_SHINGLE_N)
     pairs = jaccard_pairs(sh, _THRESHOLD).select("id_a", "id_b")
     drop = connected_components(pairs).filter(F.col("rep_id") != F.col("doc_id"))
     return d.join(maybe_broadcast(drop.select("doc_id")), "doc_id", "leftanti").select(
