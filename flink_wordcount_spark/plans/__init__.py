@@ -19,6 +19,7 @@ import re
 from pathlib import Path
 
 from . import (  # noqa: F401  (import for registration side effects)
+    decontam_q,
     dedup_q,
     similarity_q,
     streaming_q,
@@ -44,6 +45,12 @@ _MODIFIED_THIS_ROUND = [
     "ev_session_window",      # r04: event_id projected through marked CTE
     "stream_session_window",  # r04: same oracle fix
     "approx_distinct_quantile",  # r04: bounded-error within_bounds check
+    "dedup_ngram_jaccard",    # r04: hashed shingle join keys
+    "dedup_minhash_verified",  # r04: hashed + dedup-free signature path
+    "dedup_cluster_representatives",  # r04: hashed keys + edges checkpoint
+    "dedup_keep_list",        # r04: same
+    "lsh_minhash_candidates",  # r04: hashed signature path
+    "lsh_simhash64",          # r04: per-occurrence bit sums (one shuffle)
 ]
 
 

@@ -245,3 +245,84 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("qv").alias("q_max"),
         F.array_min("qv").alias("q_min"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword search over documents (retrieval surface).
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ("spark", "join", "window", "table")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+# The scoring formula is ONE shared SQL string evaluated by both engines
+# (Spark F.expr and DuckDB), so the float arithmetic — parsing of literals,
+# association order of the per-term sum — cannot drift between the two sides.
+# round(6) absorbs last-ulp ln() differences between JVM Math.log and libm.
+_BM25_SCORE_SQL = "round(" + " + ".join(
+    f"ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1) * tf{i} * {_BM25_K1 + 1} / "
+    f"(tf{i} + {_BM25_K1} * ({1 - _BM25_B} + {_BM25_B} * dl / (sdl / n)))"
+    for i in range(len(_BM25_TERMS))
+) + ", 6)"
+
+_BM25_TOKS = "list_filter(regexp_split_to_array(text, '\\W+'), x -> length(x) > 0)"
+
+
+@query(
+    "bm25_keyword_search",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_BM25_TOKS} AS t FROM documents
+    ), per AS (
+        SELECT doc_id, len(t) AS dl,
+               {', '.join(f"len(list_filter(t, x -> x = '{w}')) AS tf{i}" for i, w in enumerate(_BM25_TERMS))}
+        FROM toks
+    ), stats AS (
+        SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) AS sdl,
+               {', '.join(f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}" for i in range(len(_BM25_TERMS)))}
+        FROM per
+    )
+    SELECT doc_id, {_BM25_SCORE_SQL} AS bm25
+    FROM per CROSS JOIN stats
+    WHERE {' + '.join(f'tf{i}' for i in range(len(_BM25_TERMS)))} > 0
+    """,
+)
+def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document to a fixed keyword set.
+
+    Single-pass shape built for the 100 TB case: per-term tf comes from
+    JVM-side array ops in the scan projection (no explode, no per-term join),
+    corpus stats (N, avgdl, per-term df) fold into ONE single-row aggregate
+    that broadcast-joins back, and the per-term score sum is a fixed-order
+    expression — the whole query is a scan + one tiny aggregate + a
+    broadcast cross join.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.col("text"), r"\W+"), lambda w: F.length(w) > 0
+    )
+    def _eq(term: str):
+        # NB: must stay a 1-arg lambda — F.filter dispatches on arity, and a
+        # defaulted 2nd param would be bound to the element *index* column
+        return lambda x: x == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter(F.col("t"), _eq(w))).alias(f"tf{i}")
+        for i, w in enumerate(_BM25_TERMS)
+    ]
+    per = d.select("doc_id", toks.alias("t")).select(
+        "doc_id", F.size("t").alias("dl"), *tf_cols
+    )
+    stats = per.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").cast("double").alias("sdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    any_tf = sum(F.col(f"tf{i}") for i in range(len(_BM25_TERMS)))  # noqa: built-in sum over Columns
+    return (
+        per.crossJoin(F.broadcast(stats))  # single-row stats: always broadcast
+        .filter(any_tf > 0)
+        .select("doc_id", F.expr(_BM25_SCORE_SQL).alias("bm25"))
+    )

@@ -276,3 +276,85 @@ def test_apply_cdc(spark):
     )
     out = {r.k: r.v for r in apply_cdc(target, changes, "k").collect()}
     assert out == {1: "a", 2: "b3", 4: "d"}
+
+
+def test_shingle_hashes_match_string_shingles(spark, sf_dir):
+    """(id, xxhash64(shingle)) must be exactly the hashed image of the string
+    shingle set — same per-doc cardinalities, so Jaccard values agree."""
+    from flink_wordcount_spark.operators.dedup import shingle_hashes
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    via_strings = (
+        shingles(d, "text", "doc_id", 3)
+        .select("id", F.xxhash64("shingle").alias("h"))
+        .distinct()
+    )
+    direct = shingle_hashes(d, "text", "doc_id", 3)
+    assert direct.subtract(via_strings).count() == 0
+    assert via_strings.subtract(direct).count() == 0
+
+
+def test_minhash_signature_dedup_invariant(spark, sf_dir):
+    """MinHash min is duplicate-invariant: signatures from the deduped and
+    non-deduped shingle-hash streams are identical."""
+    from flink_wordcount_spark.operators.dedup import shingle_hashes
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    with_dedup = minhash_signatures(shingle_hashes(d, "text", "doc_id", 3), 8)
+    without = minhash_signatures(
+        shingle_hashes(d, "text", "doc_id", 3, dedup=False), 8
+    )
+    assert sorted(with_dedup.collect()) == sorted(without.collect())
+
+
+def test_decontam_flags_planted_overlap(spark):
+    """A training doc sharing a 4-gram with an eval doc is flagged with the
+    right distinct-gram count; non-overlapping docs are absent."""
+    from flink_wordcount_spark.plans.decontam_q import _EVAL_MOD, _EVAL_RES
+
+    eval_id = _EVAL_RES  # doc_id % _EVAL_MOD == _EVAL_RES
+    rows = [
+        (eval_id, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta unrelated tail words here"),  # 2 shared 4-grams? no: 1
+        (2, "completely different content with no overlap at all"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    import flink_wordcount_spark.plans.decontam_q as dq
+    from flink_wordcount_spark.hints import maybe_broadcast
+    from flink_wordcount_spark.operators.dedup import shingles
+
+    sh = shingles(d, "text", "doc_id", n=4)
+    is_eval = (F.col("id") % _EVAL_MOD) == _EVAL_RES
+    ev = sh.filter(is_eval).select("shingle").distinct()
+    out = (
+        sh.filter(~is_eval)
+        .join(maybe_broadcast(ev), "shingle")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_eval_grams"))
+        .collect()
+    )
+    got = {r["doc_id"]: r["n_eval_grams"] for r in out}
+    assert got == {1: 1}  # "alpha beta gamma delta" is the one shared 4-gram
+
+
+def test_bm25_score_orders_by_tf(spark):
+    """More occurrences of a query term -> strictly higher BM25 (same dl)."""
+    from flink_wordcount_spark.plans import QUERIES  # noqa: F401  (registration)
+    from flink_wordcount_spark.plans.similarity_q import bm25_keyword_search
+
+    import tempfile, os
+    rows = [
+        (0, "spark spark spark filler filler filler"),
+        (1, "spark filler filler filler filler filler"),
+        (2, "filler filler filler filler filler filler"),
+    ]
+    d = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t, in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        d.write.parquet(os.path.join(tmp, "documents.parquet"))
+        out = bm25_keyword_search(spark, tmp).collect()
+    got = {r["doc_id"]: r["bm25"] for r in out}
+    assert set(got) == {0, 1}  # doc 2 has no query term
+    assert got[0] > got[1] > 0
