@@ -51,6 +51,7 @@ _MODIFIED_THIS_ROUND = [
     "dedup_keep_list",        # r04: same
     "lsh_minhash_candidates",  # r04: hashed signature path
     "lsh_simhash64",          # r04: per-occurrence bit sums (one shuffle)
+    "mm_frame_sample",        # r04: now value-checked (frame-fold oracle)
 ]
 
 

@@ -2,8 +2,9 @@
 
 ``mm_featurize`` runs the real Arrow-batched mapInPandas path; its byte-level
 features are reproducible relationally so it still gets a full oracle.
-``mm_frame_sample`` fans one row out to many frames inside the Python worker —
-rows-only (blob folding is not reasonably SQL-expressible).
+``mm_frame_sample`` fans one row out to many frames inside the Python worker;
+its per-frame byte sums are mirrored by folding codepoint lists in DuckDB
+(r04) — all three queries are value-checked.
 
 Oracle note: DuckDB 1.0 cannot slice or fold BLOBs, so byte-level oracles
 recompute from characters — valid only when chars == bytes. The declared
@@ -87,8 +88,36 @@ def mm_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_frame_sample")  # rows-only: per-frame blob folding isn't SQL-shaped
+@query(
+    "mm_frame_sample",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7F]', '', 'g') AS s,
+               length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) AS L
+        FROM documents
+    ), fr AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+               substring(s, CAST(i AS BIGINT) * 256 + 1, 256) AS f
+        FROM s, unnest(range(0, CAST(floor((L + 255) / 256.0) AS BIGINT), 4)) AS u(i)
+    )
+    SELECT doc_id, frame_idx,
+           CAST(length(f) AS BIGINT) AS frame_bytes,
+           CAST(list_sum(list_transform(string_split_regex(f, ''), c -> ord(c)))
+                AS BIGINT) AS frame_sum
+    FROM fr
+    """,
+)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling: payload -> every 4th 256-byte frame (video shape)."""
-    d = attach_binary(table(spark, sf_dir, "documents"))
+    """Frame sampling: payload -> every 4th 256-byte frame (video shape).
+
+    The Arrow fan-out (one row -> many frame rows inside mapInPandas, no
+    shuffle, no driver) is the real pipeline; the oracle mirrors the byte
+    arithmetic through the module's ASCII-sanitize trick (chars == bytes),
+    folding each frame's codepoints with DuckDB list functions — so even the
+    blob-folding path is now value-checked, not rows-only.
+    """
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace("text", _ASCII_RE, "")
+    )
+    d = attach_binary(docs)
     return sample_frames(d, frame_size=256, every_k=4).orderBy("doc_id", "frame_idx")
