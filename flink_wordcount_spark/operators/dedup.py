@@ -309,3 +309,41 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
 def hamming64(a, b):
     """Hamming distance between two 64-bit fingerprints (bit_count of XOR)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def incremental_jaccard_pairs(
+    sh_new: DataFrame, sh_old: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard pairs BETWEEN a new shard and the existing corpus.
+
+    The daily-ingest shape of near-dedup at 100 TB: the corpus side's shingle
+    index is written once (bucketed by the shingle key), and each incoming
+    shard probes it — the expensive corpus-wide self-join never re-runs, and
+    with a bucketed index only the (small) new side shuffles. Accepts hashed
+    ``(id, h)`` or string ``(id, shingle)`` streams like :func:`jaccard_pairs`.
+
+    Returns (new_id, old_id, n_shared, jaccard) with jaccard >= threshold.
+    """
+    key = "h" if "h" in sh_new.columns else "shingle"
+    sizes_new = sh_new.groupBy("id").agg(F.count(F.lit(1)).alias("n_new"))
+    sizes_old = sh_old.groupBy("id").agg(F.count(F.lit(1)).alias("n_old"))
+    shared = (
+        sh_new.select(F.col("id").alias("new_id"), key)
+        .join(sh_old.select(F.col("id").alias("old_id"), key), key)
+        .groupBy("new_id", "old_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(sizes_new.withColumnRenamed("id", "new_id"), "new_id")
+        .join(sizes_old.withColumnRenamed("id", "old_id"), "old_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_new") + F.col("n_old") - F.col("n_shared")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "old_id", "n_shared", "jaccard")
+    )

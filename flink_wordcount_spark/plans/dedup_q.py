@@ -238,3 +238,49 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(maybe_broadcast(drop.select("doc_id")), "doc_id", "leftanti").select(
         "doc_id", F.col("n_chars").cast("bigint").alias("n_chars")
     )
+
+
+# Deterministic stand-in for "the newest ingest batch": every 5th doc_id.
+_NEW_SHARD_MOD, _NEW_SHARD_RES = 5, 4
+
+
+@query(
+    "dedup_incremental_shard",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(text, '\\W+'), x -> length(x) > 0) AS t
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+{_SHINGLE_N - 1}], ' ') AS s
+        FROM toks, unnest(range(1, len(t) - {_SHINGLE_N - 2})) AS u(i)
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), shared AS (
+        SELECT a.doc_id AS new_id, b.doc_id AS old_id, count(*) AS n_shared
+        FROM sh a JOIN sh b USING (s)
+        WHERE a.doc_id % {_NEW_SHARD_MOD} = {_NEW_SHARD_RES}
+          AND b.doc_id % {_NEW_SHARD_MOD} <> {_NEW_SHARD_RES}
+        GROUP BY 1, 2
+    )
+    SELECT new_id, old_id, n_shared,
+           round(n_shared / (x.n + y.n - n_shared), 6) AS jaccard
+    FROM shared JOIN sizes x ON x.doc_id = new_id JOIN sizes y ON y.doc_id = old_id
+    WHERE round(n_shared / (x.n + y.n - n_shared), 6) >= {_THRESHOLD}
+    """,
+)
+def dedup_incremental_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup: the newest ingest batch vs the existing corpus.
+
+    The daily-ingest workflow at 100 TB: the corpus shingle index is
+    persisted (bucketed by shingle hash) and each arriving shard probes it —
+    no corpus-wide self-join ever re-runs, and pairs BETWEEN shards already
+    ingested are out of scope by construction. The batch split here is a
+    deterministic doc_id modulus standing in for an ingest-time column.
+    """
+    from ..operators.dedup import incremental_jaccard_pairs
+
+    d = table(spark, sf_dir, "documents")
+    is_new = (F.col("doc_id") % _NEW_SHARD_MOD) == _NEW_SHARD_RES
+    sh_new = shingle_hashes(d.filter(is_new), "text", "doc_id", n=_SHINGLE_N)
+    sh_old = shingle_hashes(d.filter(~is_new), "text", "doc_id", n=_SHINGLE_N)
+    return incremental_jaccard_pairs(sh_new, sh_old, _THRESHOLD)

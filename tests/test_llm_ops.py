@@ -358,3 +358,31 @@ def test_bm25_score_orders_by_tf(spark):
     got = {r["doc_id"]: r["bm25"] for r in out}
     assert set(got) == {0, 1}  # doc 2 has no query term
     assert got[0] > got[1] > 0
+
+
+def test_incremental_pairs_match_bipartite_subset(spark, sf_dir):
+    """Incremental (new-vs-old) pairs == the full pair set restricted to
+    pairs straddling the shard boundary."""
+    from flink_wordcount_spark.operators.dedup import (
+        incremental_jaccard_pairs,
+        shingle_hashes,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = (F.col("doc_id") % 5) == 4
+    sh_all = shingle_hashes(d, "text", "doc_id", 3)
+    sh_new = shingle_hashes(d.filter(new), "text", "doc_id", 3)
+    sh_old = shingle_hashes(d.filter(~new), "text", "doc_id", 3)
+    inc = {
+        (r["new_id"], r["old_id"], r["n_shared"], r["jaccard"])
+        for r in incremental_jaccard_pairs(sh_new, sh_old, 0.8).collect()
+    }
+    full = jaccard_pairs(sh_all, 0.8).collect()
+    expected = set()
+    for r in full:
+        a_new, b_new = r["id_a"] % 5 == 4, r["id_b"] % 5 == 4
+        if a_new and not b_new:
+            expected.add((r["id_a"], r["id_b"], r["n_shared"], r["jaccard"]))
+        elif b_new and not a_new:
+            expected.add((r["id_b"], r["id_a"], r["n_shared"], r["jaccard"]))
+    assert inc == expected and inc
