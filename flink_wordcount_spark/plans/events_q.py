@@ -407,3 +407,108 @@ def join_asof_two_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("click_ts", _TS_FMT).alias("click_ts"),
         "click_value",
     )
+
+
+@query(
+    "ev_funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+    ), s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+    ), s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+    )
+    SELECT 'view' AS step, CAST(count(*) AS BIGINT) AS users FROM s1
+    UNION ALL
+    SELECT 'view_click' AS step, CAST(count(*) AS BIGINT) AS users FROM s2
+    UNION ALL
+    SELECT 'view_click_purchase' AS step, CAST(count(*) AS BIGINT) AS users FROM s3
+    """,
+)
+def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked AFTER their first view,
+    then purchased AFTER that first qualifying click.
+
+    Strict event-ORDER funnel (not mere type co-occurrence): each stage keeps
+    min(ts) of qualifying events and the next stage requires a strictly later
+    timestamp. Scale shape: per-user aggregates shuffle on user_id once per
+    stage and each stage's output is only the surviving-user set (shrinking
+    monotonically) joined back map-side under the broadcast gate.
+    """
+    e = table(spark, sf_dir, "events")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(maybe_broadcast(s1), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(maybe_broadcast(s2), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def step(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("step"), F.count(F.lit(1)).alias("users")
+        )
+
+    return (
+        step("view", s1)
+        .unionAll(step("view_click", s2))
+        .unionAll(step("view_click_purchase", s3))
+    )
+
+
+@query(
+    "ev_retention_cohorts",
+    oracle="""
+    WITH weekly AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    ), cohorts AS (
+        SELECT user_id, min(wk) AS cohort FROM weekly GROUP BY 1
+    )
+    SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', c.cohort, w.wk) / 7 AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
+    FROM weekly w JOIN cohorts c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted in
+    each subsequent week they return (the classic retention triangle).
+
+    One distinct-reduce to (user, week), a per-user min for the cohort, and
+    one count-distinct — the cohort dimension joins back under the broadcast
+    gate. Week buckets are ISO-Monday date_trunc on both engines, and the
+    offset is exact integer arithmetic on day differences (multiples of 7).
+    """
+    e = table(spark, sf_dir, "events")
+    weekly = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    cohorts = weekly.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    return (
+        weekly.join(maybe_broadcast(cohorts), "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            (
+                F.datediff(F.to_date("wk"), F.to_date("cohort")) / 7
+            ).cast("bigint").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    )
