@@ -128,3 +128,27 @@ def test_domain_mixture_is_single_scan_no_join(spark, sf_dir):
     plan = _plan(QUERIES["sample_domain_mixture"](spark, sf_dir))
     assert "Join" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_bm25_single_pass_no_explode(spark, sf_dir):
+    """BM25's tf extraction stays in the scan projection (array ops, no
+    Generate/explode) and the one-row stats side joins via broadcast."""
+    plan = _plan(QUERIES["bm25_keyword_search"](spark, sf_dir))
+    assert "Generate" not in plan  # explode would appear as Generate
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_decontam_broadcasts_eval_grams(spark, sf_dir):
+    """The eval n-gram set (small side) reaches the corpus join as a
+    broadcast at fixture scale (size-gated hint survives the derived
+    aggregate — the ADVICE r03 concern)."""
+    plan = _plan(QUERIES["decontam_eval_overlap"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_funnel_stages_shrink_via_aggregates(spark, sf_dir):
+    """Funnel stages are per-user partial aggregates (map-side combine
+    before each exchange), not windowed full sorts."""
+    plan = _plan(QUERIES["ev_funnel_conversion"](spark, sf_dir))
+    assert "partial_min" in plan
+    assert "Window" not in plan
