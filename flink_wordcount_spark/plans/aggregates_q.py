@@ -315,3 +315,84 @@ def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("__p").alias("total_qty"))
     )
     return cnt.join(qty, "l_returnflag").select("l_returnflag", "cnt", "total_qty")
+
+
+@query(
+    "dq_constraint_report",
+    oracle="""
+    SELECT 'lineitem_quantity_range' AS constraint, CAST(count(*) FILTER (l_quantity < 1 OR l_quantity > 50) AS BIGINT) AS violations FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_discount_range', CAST(count(*) FILTER (l_discount < 0 OR l_discount > 0.1) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_orphans', CAST(count(*) AS BIGINT) FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders_nonpositive_total', CAST(count(*) FILTER (o_totalprice <= 0) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'orders_null_date', CAST(count(*) FILTER (o_orderdate IS NULL) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'orders_dup_pk', CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+    FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey) g WHERE n > 1
+    UNION ALL
+    SELECT 'orders_without_lineitems', CAST(count(*) AS BIGINT) FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    """,
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality audit: one row per declared constraint with
+    its violation count (range checks, null checks, PK uniqueness, and
+    referential integrity both directions).
+
+    Scale shape: range/null checks are conditional aggregates inside each
+    table's single scan (map-side partial, one-row result); PK-dup and the
+    two referential checks shuffle only on the join/group key. All checks
+    union into one report — the whole audit is one pass per fact table plus
+    two key-hash joins, which is how you'd run it nightly at 100 TB.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+
+    def one(name: str, df: DataFrame, cond) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("constraint"),
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias("violations"),
+        )
+
+    def count_rows(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("constraint"),
+            F.count(F.lit(1)).cast("bigint").alias("violations"),
+        )
+
+    qty = one(
+        "lineitem_quantity_range",
+        li,
+        (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+    )
+    disc = one(
+        "lineitem_discount_range",
+        li,
+        (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1),
+    )
+    orphans = count_rows(
+        "lineitem_orphans",
+        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "leftanti"),
+    )
+    total = one("orders_nonpositive_total", o, F.col("o_totalprice") <= 0)
+    nulldate = one("orders_null_date", o, F.col("o_orderdate").isNull())
+    dup_pk = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(
+            F.lit("orders_dup_pk").alias("constraint"),
+            F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).cast("bigint").alias("violations"),
+        )
+    )
+    childless = count_rows(
+        "orders_without_lineitems",
+        o.join(li.select("l_orderkey"), o.o_orderkey == li.l_orderkey, "leftanti"),
+    )
+    return qty.unionAll(disc).unionAll(orphans).unionAll(total).unionAll(
+        nulldate
+    ).unionAll(dup_pk).unionAll(childless)
