@@ -33,6 +33,27 @@ _CACHE: dict[str, dict[tuple[str, str], DataFrame]] = {}
 _CACHE_MAX_APPS = 4
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to TimestampType across fixture vintages.
+
+    The driver has shipped ``ts`` both as parquet TIMESTAMP(NANOS) — which
+    Spark reads as a raw nanos ``bigint`` under ``nanosAsLong`` (see
+    session.RUNTIME_CONFS) — and as TIMESTAMP(MICROS), which Spark reads as
+    ``timestamp_ntz``. Both become session-tz (UTC) micros timestamps, so
+    every downstream window/watermark/oracle comparison is vintage-agnostic.
+    Nanos use integer ``div``, not float math: 2024 epoch-nanos (~1.7e18)
+    exceed double's 2^53 exact-integer range.
+    """
+    from pyspark.sql import functions as F
+
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dt != "timestamp":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan of one fixture table.
 
@@ -57,12 +78,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts arrives as raw nanos (see session.RUNTIME_CONFS); convert to a
-        # real timestamp at micro precision — integer `div`, not float math:
-        # 2024 epoch-nanos (~1.7e18) exceed double's 2^53 exact-integer range.
-        from pyspark.sql import functions as F
-
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_event_ts(df)
     per_session[key] = df
     return df
 

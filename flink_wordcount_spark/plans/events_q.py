@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..hints import maybe_broadcast
-from ..io import table
+from ..io import normalize_event_ts, table
 from .catalog import query
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
@@ -386,9 +386,7 @@ def join_asof_two_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of the same DataFrame collapses the shared-lineage `ts` attribute out
     # of one side (Catalyst self-join dedup), and the pandas batch then has
     # no `ts` column to merge on (asof.py docstring)
-    e2 = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    e2 = spark.read.parquet(f"{sf_dir}/events.parquet").transform(normalize_event_ts)
     clicks = e2.filter(F.col("event_type") == "click").select(
         "user_id", "ts", F.col("value").alias("click_value")
     )

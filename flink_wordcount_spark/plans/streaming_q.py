@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..hints import maybe_broadcast
+from ..io import normalize_event_ts
 from ..operators.text import tokenize
 from ..streaming.sentences import batch_golden
 from ..streaming.stateful import final_state_counts
@@ -62,11 +63,11 @@ def stream_wordcount_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling windows over the events stream (file replay);
     complete mode -> final windows equal the batch twin ev_tumbling_hour."""
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema  # ts: long (nanos)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(schema)
         .parquet(stream_dir_for(f"{sf_dir}/events.parquet"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .transform(normalize_event_ts)
     )
     agg = (
         stream.groupBy(F.window("ts", "1 hour"), "event_type")
@@ -138,7 +139,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             spark.readStream.schema(schema)
             .parquet(src)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .transform(normalize_event_ts)
             .filter(F.col("event_type") == event_type)
             .selectExpr(
                 f"event_id AS {alias}_id", "user_id", f"ts AS {alias}_ts"
@@ -244,11 +245,11 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..streaming.wordcount import stream_dir_for
 
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema  # ts: long (nanos)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(schema)
         .parquet(stream_dir_for(f"{sf_dir}/events.parquet"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .transform(normalize_event_ts)
     )
     sw = F.session_window("ts", "30 minutes")
     agg = (
@@ -291,7 +292,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (
         spark.readStream.schema(schema)
         .parquet(stream_dir_for(f"{sf_dir}/events.parquet"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .transform(normalize_event_ts)
     )
     agg = (
         stream.groupBy(F.window("ts", "1 hour", "30 minutes"))

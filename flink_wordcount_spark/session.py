@@ -27,9 +27,10 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # events.parquet stores TIMESTAMP(NANOS); Spark lacks a nanos timestamp
-    # type, so read as long and convert in io.table() (micros, floor-truncated
-    # exactly like DuckDB's ns->us read).
+    # Some fixture vintages store events.ts as TIMESTAMP(NANOS); Spark lacks
+    # a nanos timestamp type, so read those as long — io.normalize_event_ts
+    # converts to micros timestamps for every vintage (floor-truncated exactly
+    # like DuckDB's ns->us read). Harmless when the fixture is already micros.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 

@@ -21,6 +21,7 @@ from flink_wordcount_spark.operators.multimodal import (
     sample_frames,
 )
 from flink_wordcount_spark.operators.similarity import brute_force_topk, ivf_topk
+from flink_wordcount_spark.io import normalize_event_ts
 
 
 def test_exact_dedup_idempotent(spark, sf_dir):
@@ -232,9 +233,7 @@ def test_asof_join_matches_window_form(spark, sf_dir):
     from flink_wordcount_spark.operators.asof import asof_join
     from flink_wordcount_spark.plans.events_q import ev_asof_last_purchase
 
-    e = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").transform(normalize_event_ts)
     left = e.select("event_id", "user_id", "event_type", "ts")
     right = (
         e.filter(F.col("event_type") == "purchase")

@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from flink_wordcount_spark.io import normalize_event_ts
 from flink_wordcount_spark.operators.text import word_counts
 from flink_wordcount_spark.streaming.metrics import LatencyRecorder, ThroughputListener
 from flink_wordcount_spark.streaming.sentences import batch_golden, rate_stream, wordlist
@@ -251,11 +252,11 @@ def test_streaming_session_window_subset_of_batch(spark, sf_dir):
     contract), so the streamed set is a prefix-closed subset."""
     from flink_wordcount_spark.streaming.wordcount import stream_dir_for
 
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema  # ts: nanos long
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(schema)
         .parquet(stream_dir_for(f"{sf_dir}/events.parquet"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .transform(normalize_event_ts)
     )
     agg = (
         stream.withWatermark("ts", "1 minute")
@@ -277,7 +278,7 @@ def test_streaming_session_window_subset_of_batch(spark, sf_dir):
 
     batch = (
         spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .transform(normalize_event_ts)
         .groupBy(F.session_window("ts", "30 minutes"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
