@@ -19,6 +19,7 @@ import re
 from pathlib import Path
 
 from . import (  # noqa: F401  (import for registration side effects)
+    curation_q,
     decontam_q,
     dedup_q,
     similarity_q,

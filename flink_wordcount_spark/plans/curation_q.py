@@ -1,0 +1,271 @@
+"""Corpus-curation query surface: the selection/sampling/QA ops a training-data
+pipeline runs after scoring and dedup (all oracle-checked).
+
+These extend the LLM-pipeline surface (SURVEY.md §2 "beyond the reference"):
+per-domain quantile gating, deterministic stratified sampling, asymmetric
+containment near-dup, per-hour anomaly flagging, cross-domain vocabulary
+overlap, and length histograms.  Reference parity n/a — the reference
+(StatefulWordCount.java) has no curation surface; these are the first-class
+additions the task brief requires.
+
+Scale notes (100 TB):
+- Every query is a single scan plus key-partitioned shuffles; no collect().
+- The quantile gate uses a per-source window — at scale `source` has
+  thousands of distinct values, so the window partitioning IS the shuffle
+  key and skewed sources are handled by AQE skew splitting (sort within
+  source is O(n log n) per source, not global).
+- Stratified sampling is a map-side-only decision (deterministic hash on the
+  row key) — zero shuffle before the final small aggregate; this is the only
+  sampling shape that stays reproducible under retries/speculation.
+- Containment reuses the inverted-index pair join (hashed shingle keys,
+  fixed-width shuffle rows) — same 100× story as dedup_ngram_jaccard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..operators.dedup import shingle_hashes
+from .catalog import query
+
+_SHINGLE_N = 3
+_CONTAIN_T = 0.9
+
+# Knuth multiplicative hash for the sampling decision: doc_id * K % 1000 is
+# computable bit-identically in Spark and DuckDB (bigint math, no overflow:
+# max doc_id ~5e5 at sf1 -> product ~1.3e15 << 2^63).
+_HASH_K = 2654435761
+# Per-source sampling rate in permille: sources are 'src<i>'; rate cycles
+# 50/90/130/170/210 by i % 5 — a stand-in for per-domain mixture weights.
+_PERMILLE_SQL = "50 + 40 * (CAST(substr(source, 4) AS BIGINT) % 5)"
+
+
+@query(
+    "curation_quality_gate",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, n_chars,
+               percent_rank() OVER (PARTITION BY source
+                                    ORDER BY n_chars, doc_id) AS pr
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           avg(n_chars) AS avg_chars_kept
+    FROM ranked WHERE pr >= 0.5
+    GROUP BY source
+    """,
+)
+def curation_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quantile gate: keep each source's top half by a quality
+    proxy (n_chars; in production a model perplexity/quality score), the
+    standard per-domain filter that avoids cross-domain score drift.
+
+    percent_rank needs a total order — doc_id tie-break makes the kept set
+    deterministic.  avg is emitted as the raw IEEE quotient (never round an
+    integer-quotient ratio: exact decimal halves diverge between engines).
+    """
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return (
+        d.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.5)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.avg("n_chars").alias("avg_chars_kept"),
+        )
+    )
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    SELECT source,
+           {_PERMILLE_SQL} AS rate_permille,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM documents
+    WHERE (doc_id * {_HASH_K}) % 1000 < {_PERMILLE_SQL}
+    GROUP BY source
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-source rate, decided map-side
+    by a multiplicative hash of the row key — reproducible under retries and
+    speculation (df.sample() is not), and verifiable row-for-row by the
+    oracle.  The only shuffle is the final per-source count."""
+    d = table(spark, sf_dir, "documents")
+    rate = F.expr(_PERMILLE_SQL)
+    return (
+        d.withColumn("rate_permille", rate)
+        .filter((F.col("doc_id") * F.lit(_HASH_K)) % 1000 < rate)
+        .groupBy("source", "rate_permille")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .select("source", "rate_permille", "n_sampled", "id_checksum")
+    )
+
+
+# DuckDB twin of the containment pair join (same shingle machinery as
+# dedup_q._JACCARD_ORACLE, metric = n_shared / min(|A|, |B|)).
+_CONTAIN_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, list_filter(regexp_split_to_array(text, '\\W+'), x -> length(x) > 0) AS t
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+{_SHINGLE_N - 1}], ' ') AS s
+    FROM toks, unnest(range(1, len(t) - {_SHINGLE_N - 2})) AS u(i)
+), sizes AS (
+    SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+    FROM sh a JOIN sh b USING (s)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_shared,
+       round(n_shared / least(x.n, y.n), 6) AS containment
+FROM shared JOIN sizes x ON x.doc_id = id_a JOIN sizes y ON y.doc_id = id_b
+WHERE round(n_shared / least(x.n, y.n), 6) >= {_CONTAIN_T}
+"""
+
+
+@query("dedup_containment", oracle=_CONTAIN_ORACLE)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: shingle containment n_shared/min(|A|,|B|) — the
+    metric that catches a short doc embedded in a long one, which Jaccard
+    misses (the union term dilutes it).  Same inverted-index join and hashed
+    shingle keys as dedup_ngram_jaccard, so the 100 TB shuffle shape is
+    identical."""
+    d = table(spark, sf_dir, "documents")
+    sh = shingle_hashes(d, "text", "doc_id", n=_SHINGLE_N)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "h")
+    b = sh.select(F.col("id").alias("id_b"), "h")
+    shared = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("n_shared") / F.least("n_a", "n_b"), 6),
+        )
+        .filter(F.col("containment") >= _CONTAIN_T)
+        .select("id_a", "id_b", "n_shared", "containment")
+    )
+
+
+@query(
+    "ev_anomaly_zscore",
+    oracle="""
+    WITH st AS (
+        SELECT event_id, event_type, value,
+               avg(value) OVER w AS mu,
+               stddev_samp(value) OVER w AS sd
+        FROM events
+        WINDOW w AS (PARTITION BY event_type, date_trunc('hour', ts))
+    )
+    SELECT event_id, event_type, round((value - mu) / sd, 3) AS z
+    FROM st WHERE sd > 0 AND abs((value - mu) / sd) >= 2
+    """,
+)
+def ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, hour) z-score outliers (|z| >= 2; the fixture's value column is bounded, max |z| ~2.4) — the windowed
+    anomaly flag a metrics pipeline runs on ingest.  Group stats via a
+    window over the natural partition key; no self-join."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", F.date_trunc("hour", F.col("ts")))
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    return (
+        e.withColumn("sd", F.stddev_samp("value").over(w))
+        .withColumn("z", z)
+        .filter((F.col("sd") > 0) & (F.abs(F.col("z")) >= 2))
+        .select("event_id", "event_type", F.round("z", 3).alias("z"))
+    )
+
+
+@query(
+    "source_vocab_overlap",
+    oracle="""
+    WITH v AS (
+        SELECT DISTINCT source, u.w
+        FROM documents,
+             unnest(list_filter(regexp_split_to_array(text, '\\W+'),
+                                x -> length(x) > 0)) AS u(w)
+    ), sizes AS (
+        SELECT source, count(*) AS n FROM v GROUP BY source
+    ), shared AS (
+        SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+        FROM v a JOIN v b USING (w)
+        WHERE a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, CAST(n_shared AS BIGINT) AS n_shared,
+           round(n_shared / (x.n + y.n - n_shared), 6) AS jaccard
+    FROM shared JOIN sizes x ON x.source = source_a
+                JOIN sizes y ON y.source = source_b
+    """,
+)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the domain-similarity
+    matrix that informs mixture weights.  Inverted index on word: at 100 TB
+    the (source, word) distinct set is tiny relative to the corpus (vocab ×
+    domains), so the pair join runs on the reduced set, never the corpus."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.expr(
+        "filter(split(text, '\\\\W+'), x -> length(x) > 0)"
+    )
+    v = d.select("source", F.explode(toks).alias("w")).distinct()
+    sizes = v.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = v.select(F.col("source").alias("source_a"), "w")
+    b = v.select(F.col("source").alias("source_b"), "w")
+    shared = (
+        a.join(b, "w")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(
+            sizes.withColumnsRenamed({"source": "source_a", "n": "n_a"}), "source_a"
+        )
+        .join(sizes.withColumnsRenamed({"source": "source_b", "n": "n_b"}), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "doc_length_histogram",
+    oracle="""
+    SELECT lang, n_chars // 100 AS bucket, CAST(count(*) AS BIGINT) AS n
+    FROM documents GROUP BY lang, bucket
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length histogram (100-char buckets) per language — the first QA plot
+    on any new crawl snapshot.  Pure map-side bucketing + one partial-agg
+    shuffle; integer `div` on both engines (DuckDB // on INTEGER floors)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", F.expr("n_chars div 100").alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
