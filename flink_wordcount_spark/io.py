@@ -85,3 +85,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [table(spark, sf_dir, n) for n in names]
+
+
+def write_compacted(
+    df: DataFrame, path: str, by: list[str] | None = None, mode: str = "overwrite"
+) -> None:
+    """Write parquet with AQE-governed output compaction (the small-files fix).
+
+    ``hint("rebalance")`` lets AQE split oversized and coalesce undersized
+    shuffle partitions to ``spark.sql.adaptive.advisoryPartitionSizeInBytes``
+    before the write — at 100 TB this is what keeps a 10k-task job from
+    emitting 10k tiny files per partition directory, without a driver-side
+    count() to pick a repartition factor.  Pass ``by`` to additionally
+    cluster rows by key (range-style locality for downstream scan pruning);
+    skewed keys are safe — REBALANCE splits hot partitions, unlike
+    repartition(cols) which would hotspot them.
+    """
+    from pyspark.sql import functions as F
+
+    hinted = df.hint("rebalance", *[F.col(c) for c in by]) if by else df.hint("rebalance")
+    hinted.write.mode(mode).parquet(path)

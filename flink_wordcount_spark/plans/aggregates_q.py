@@ -396,3 +396,42 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qty.unionAll(disc).unionAll(orphans).unionAll(total).unionAll(
         nulldate
     ).unionAll(dup_pk).unionAll(childless)
+
+
+@query(
+    "sketch_hll_shard_merge",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           TRUE AS sketch_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def sketch_hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-hour HLL sketches of user_id, merged per
+    event_type — the 100 TB distinct-count shape (shard-local sketches, a
+    few-KB merge; raw IDs never re-shuffle across the day boundary).
+
+    Like approx_distinct_quantile, the engine-specific sketch is value-checked
+    via its error contract: DataSketches HLL at default lgConfigK=12 has
+    rsd ~1.6%, so the merged estimate must sit within 5% (≈3σ) of the exact
+    distinct count; the oracle expects sketch_ok = TRUE per group.
+    """
+    e = table(spark, sf_dir, "events")
+    partials = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = partials.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("apx_users")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users_exact")
+    )
+    return exact.join(F.broadcast(merged), "event_type").select(
+        "event_type",
+        "n_users_exact",
+        (
+            F.abs(F.col("apx_users") - F.col("n_users_exact"))
+            <= 0.05 * F.col("n_users_exact")
+        ).alias("sketch_ok"),
+    )

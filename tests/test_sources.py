@@ -51,3 +51,39 @@ def test_parquet_partitioned_write_prunes(spark, sf_dir, tmp_path):
 def test_noop_sink(spark, sf_dir):
     df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").groupBy("l_returnflag").count()
     df.write.format("noop").mode("overwrite").save()  # executes, discards
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    """ORC is the other columnar interchange format users arrive with."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    path = str(tmp_path / "lineitem_orc")
+    li.write.orc(path)
+    back = spark.read.orc(path)
+    assert back.count() == li.count()
+    a = li.agg(F.round(F.sum("l_extendedprice"), 2).alias("s")).collect()[0].s
+    b = back.agg(F.round(F.sum("l_extendedprice"), 2).alias("s")).collect()[0].s
+    assert a == b
+    # predicate pushdown reaches the ORC scan
+    plan = (
+        back.filter(F.col("l_shipdate") > "1996-01-01")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan
+
+
+def test_write_compacted_bounds_file_count(spark, sf_dir, tmp_path):
+    """200 near-empty input partitions must not become 200 output files —
+    AQE REBALANCE coalesces to the advisory partition size."""
+    import glob
+
+    from flink_wordcount_spark.io import write_compacted
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(200)
+    path = str(tmp_path / "compacted")
+    write_compacted(li, path, by=["l_orderkey"])
+    files = glob.glob(f"{path}/part-*.parquet")
+    assert 1 <= len(files) <= 8, len(files)
+    back = spark.read.parquet(path)
+    assert back.count() == li.count()
