@@ -142,6 +142,18 @@ def bench_streaming(spark) -> dict:
         # with 4x the p50). The most timing-sensitive phase gets the
         # cleanest JVM.
         latency = bench_latency(spark)
+        # Degenerate-window guard: transient host contention during stream
+        # init can collapse the measurement to a handful of batches, which
+        # publishes meaningless percentiles (observed: 1 batch / 101 samples
+        # on a loaded box vs ~40k samples healthy at this rate x run_sec).
+        # One retry with a fresh window; if still thin, the artifact keeps
+        # the larger sample and flags it.
+        if latency.get("n_samples", 0) < 2000:
+            retry = bench_latency(spark)
+            if retry.get("n_samples", 0) > latency.get("n_samples", 0):
+                latency = retry
+            if latency.get("n_samples", 0) < 2000:
+                latency["degenerate_window"] = True
         # best-of-N attempts: a single 50M-word stateful run in one JVM is
         # exposed to GC/JIT roll-of-the-dice (measured 1.3-6.4M words/s for
         # identical runs); the max is the capability number, the MEDIAN is

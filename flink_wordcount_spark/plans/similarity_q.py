@@ -326,3 +326,121 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(any_tf > 0)
         .select("doc_id", F.expr(_BM25_SCORE_SQL).alias("bm25"))
     )
+
+
+# --- k-means (Lloyd's) over embeddings: the iterative-algorithm shape -------
+_KM_K = 8
+_KM_ITERS = 2
+_KM_DIM = 64
+
+
+def _km_oracle() -> str:
+    """DuckDB twin of the 2-iteration Lloyd loop: assignment = lexicographic
+    min over [distance, cluster_id] (deterministic tie-break), update =
+    element-wise mean rounded to 6 decimals (kills cross-engine summation-
+    order ulps before they can flip a later assignment)."""
+    assign = """
+    d{n} AS (
+        SELECT e.vec_id, min([list_distance(v, c), CAST(cluster_id AS DOUBLE)]) AS m
+        FROM e CROSS JOIN c{p} GROUP BY e.vec_id
+    ), a{n} AS (
+        SELECT e.vec_id, v, CAST(m[2] AS INT) AS cl
+        FROM e JOIN d{n} USING (vec_id)
+    )"""
+    update = """
+    c{n} AS (
+        SELECT cl AS cluster_id, list(mv ORDER BY i) AS c
+        FROM (
+            SELECT cl, i, round(avg(v[i]), 6) AS mv
+            FROM a{n}, unnest(range(1, %d)) AS r(i)
+            GROUP BY cl, i
+        ) GROUP BY cl
+    )""" % (_KM_DIM + 1)
+    parts = [
+        f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), c0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster_id, v AS c
+        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_KM_K})
+    )"""
+    ]
+    for it in range(1, _KM_ITERS + 1):
+        parts.append("," + assign.format(n=it, p=it - 1))
+        if it < _KM_ITERS:
+            parts.append("," + update.format(n=it))
+    last = _KM_ITERS
+    parts.append(f"""
+    SELECT cl AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_points,
+           round(sum(list_distance(v, c) ^ 2), 2) AS inertia
+    FROM a{last} JOIN c{last - 1} ON cluster_id = cl
+    GROUP BY cl
+    """)
+    return "".join(parts)
+
+
+@query("kmeans_embed_clusters", oracle=_km_oracle())
+def kmeans_embed_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k=8, 2 iterations, deterministic init =
+    the 8 smallest vec_ids), fully value-checked against a pure-SQL twin.
+
+    The iterative-algorithm shape on Spark: per iteration, broadcast the k
+    centroids (k x dim doubles — bytes, never the corpus), assign via
+    min(struct(distance, cluster_id)) (one partial-agg shuffle keyed on
+    vec_id's group), update centroids via posexplode + per-dimension avg
+    (one k x dim-row aggregate collected to the driver — the same few-KB
+    driver sync MLlib's k-means does per iteration).  Corpus is scanned
+    once per iteration; at 100 TB you'd cache the normalized vectors and
+    the per-iteration cost is the broadcast + one map-side pass.
+
+    Determinism across engines: distances fold sequentially in array order
+    on both sides; centroid means are rounded to 6 decimals each update so
+    parallel-summation ulps cannot flip a later assignment; ties break on
+    cluster_id via lexicographic [dist, id] min.
+    """
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    init = e.orderBy("vec_id").limit(_KM_K).collect()
+    cents = [(i, list(r["v"])) for i, r in enumerate(init)]
+
+    def sqdist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+
+    assigned = None
+    for it in range(_KM_ITERS):
+        cdf = spark.createDataFrame(cents, "cluster_id int, c array<double>")
+        scored = e.crossJoin(F.broadcast(cdf)).select(
+            "vec_id",
+            "v",
+            F.struct(
+                F.sqrt(sqdist(F.col("v"), F.col("c"))).alias("d"),
+                F.col("cluster_id").alias("cl"),
+            ).alias("dc"),
+        )
+        assigned = (
+            scored.groupBy("vec_id")
+            .agg(F.min("dc").alias("m"), F.first("v").alias("v"))
+            .select("vec_id", "v", F.col("m.cl").alias("cl"), F.col("m.d").alias("d"))
+        )
+        if it < _KM_ITERS - 1:
+            upd = (
+                assigned.select("cl", F.posexplode("v").alias("i", "x"))
+                .groupBy("cl", "i")
+                .agg(F.round(F.avg("x"), 6).alias("mv"))
+                .groupBy("cl")
+                .agg(F.array_sort(F.collect_list(F.struct("i", "mv"))).alias("parts"))
+                .select("cl", F.col("parts.mv").alias("c"))
+                .collect()
+            )
+            cents = [(r["cl"], list(r["c"])) for r in upd]
+    return assigned.groupBy(F.col("cl").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.sum(F.pow(F.col("d"), F.lit(2.0))), 2).alias("inertia"),
+    )
