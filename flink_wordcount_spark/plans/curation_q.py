@@ -269,3 +269,38 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# Epoch-shuffle constants: a second odd multiplier and a prime modulus give a
+# full-period permutation-ish ordering independent of the sampling hash.
+_SHUF_K = 2246822519
+_SHUF_M = 1000003
+
+
+@query(
+    "sample_shuffle_order",
+    oracle=f"""
+    SELECT doc_id, shuffle_pos FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY (doc_id * {_SHUF_K}) % {_SHUF_M}, doc_id)
+                   AS shuffle_pos
+        FROM documents
+    ) WHERE shuffle_pos <= 100
+    """,
+)
+def sample_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: global training order = sort by a
+    multiplicative hash of the row key (reproducible across retries, unlike
+    rand()).  At 100 TB the orderBy is a range-partitioned sort whose output
+    IS the shard layout — here the first 100 positions are emitted, so the
+    plan collapses to TakeOrderedAndProject (no global sort materialized).
+    """
+    d = table(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id", ((F.col("doc_id") * _SHUF_K) % _SHUF_M).alias("hk")
+    )
+    head = hashed.orderBy("hk", "doc_id").limit(100)
+    w = Window.orderBy("hk", "doc_id")
+    return head.withColumn("shuffle_pos", F.row_number().over(w)).select(
+        "doc_id", "shuffle_pos"
+    )

@@ -510,3 +510,66 @@ def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
     )
+
+
+@query(
+    "ev_session_paths",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), sessions AS (
+        SELECT user_id, event_id, event_type, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM marked
+    ), paths AS (
+        SELECT user_id, sess_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM sessions GROUP BY user_id, sess_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+)
+def ev_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey strings per 30-min session (sequence-mining shape:
+    sessionize -> order events -> concatenate types -> count paths).
+
+    Sessionization is the same gaps-and-islands as ev_session_window; the
+    in-session ordering is made total with the event_id tie-break, and the
+    path string is built by sorting collected (ts, event_id, type) structs —
+    collect_list alone has no deterministic order under parallel merge.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.withColumn(
+        "is_new",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) >= 1800,
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn("sess_id", F.sum("is_new").over(w))
+    paths = (
+        sess.groupBy("user_id", "sess_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
