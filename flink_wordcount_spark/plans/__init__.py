@@ -53,6 +53,12 @@ _MODIFIED_THIS_ROUND = [
     "lsh_minhash_candidates",  # r04: hashed signature path
     "lsh_simhash64",          # r04: per-occurrence bit sums (one shuffle)
     "mm_frame_sample",        # r04: now value-checked (frame-fold oracle)
+    # r04 late: events.ts normalization became vintage-adaptive
+    # (io.normalize_event_ts) — re-verify the plans whose read path changed
+    "join_asof_two_table",
+    "stream_events_tumbling",
+    "stream_stream_join",
+    "stream_sliding_window",
 ]
 
 

@@ -1,0 +1,66 @@
+"""Property tests for the near-dup core (operators/dedup.py) against a
+pure-Python reference: the inverted-index pair join must equal brute-force
+pairwise Jaccard on any corpus, and containment must dominate Jaccard."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from flink_wordcount_spark.operators.dedup import jaccard_pairs, shingle_hashes
+
+_N = 3
+
+# Small vocab + repeated draws manufactures genuine near-dups often.
+_doc = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=8
+).map(" ".join)
+_corpus = st.lists(_doc, min_size=2, max_size=6)
+
+
+def _py_shingles(text: str) -> set[str]:
+    toks = [t for t in text.split(" ") if t]
+    return {" ".join(toks[i : i + _N]) for i in range(len(toks) - _N + 1)}
+
+
+def _py_pairs(texts, threshold):
+    out = {}
+    for i, a in enumerate(texts):
+        for j in range(i + 1, len(texts)):
+            sa, sb = _py_shingles(a), _py_shingles(texts[j])
+            inter = len(sa & sb)
+            if inter:
+                jac = inter / (len(sa) + len(sb) - inter)
+                if round(jac, 6) >= threshold:
+                    out[(i, j)] = (inter, round(jac, 6))
+    return out
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(texts=_corpus, threshold=st.sampled_from([0.3, 0.6, 0.9]))
+def test_jaccard_pairs_matches_bruteforce(spark, texts, threshold):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sh = shingle_hashes(df, "text", "doc_id", n=_N)
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_shared"], r["jaccard"])
+        for r in jaccard_pairs(sh, threshold).collect()
+    }
+    assert got == _py_pairs(texts, threshold)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(texts=_corpus)
+def test_containment_dominates_jaccard_property(spark, texts):
+    """containment = s/min(a,b) >= s/(a+b-s) = jaccard: every 0-threshold
+    pair must satisfy the dominance, pinning the two metrics' shared
+    machinery against sign/denominator mixups."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sh = shingle_hashes(df, "text", "doc_id", n=_N)
+    pairs = jaccard_pairs(sh, 0.0).collect()
+    sizes = {i: len(_py_shingles(t)) for i, t in enumerate(texts)}
+    for r in pairs:
+        cont = r["n_shared"] / min(sizes[r["id_a"]], sizes[r["id_b"]])
+        assert cont >= r["jaccard"] - 1e-9
