@@ -61,14 +61,18 @@ ROCKSDB_PROVIDER = (
 
 #: Latency phase: live rate source at the reference operating rate
 #: (12,500 sentences/s, StatefulWordCount.java:64), sampled 1-in-1000.
-#: 60 s run, percentiles from samples after a 25 s warm-up. The source ramps
+#: 110 s run, percentiles from samples after a 50 s warm-up. The source ramps
 #: its rate over the first 15 s (covering stream initialization): without the
 #: ramp the source's backdated clock manufactures a ~100k-row startup backlog
 #: that a pipeline with ~5% capacity margin takes minutes to drain, so the
 #: window reports queue-drain progress instead of steady state (measured:
-#: thirds of a 120 s no-ramp run give p50 2.35 s / 1.91 s / 1.86 s).
-LATENCY_RUN_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_LATENCY_SEC", "60"))
-LATENCY_WARMUP_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_LATENCY_WARMUP", "25"))
+#: thirds of a 120 s no-ramp run give p50 2.35 s / 1.91 s / 1.86 s). Even
+#: with the ramp, a transiently loaded host during startup builds a backlog
+#: that a 25 s warm-up doesn't cover (measured: p50 7.0 s at load~3 start vs
+#: 1.9 s steady) — the longer window lets the published p50 measure steady
+#: state; the full-window numbers stay in the artifact for auditability.
+LATENCY_RUN_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_LATENCY_SEC", "110"))
+LATENCY_WARMUP_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_LATENCY_WARMUP", "50"))
 
 
 def materialize(df) -> None:
