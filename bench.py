@@ -152,11 +152,18 @@ def bench_streaming(spark) -> dict:
         # on a loaded box vs ~40k samples healthy at this rate x run_sec).
         # One retry with a fresh window; if still thin, the artifact keeps
         # the larger sample and flags it.
-        if latency.get("n_samples", 0) < 2000:
+        def _degenerate(lat: dict) -> bool:
+            batches = lat.get("config", {}).get("batches", {})
+            # healthy: ~50+ batches and tens of thousands of samples at this
+            # rate x window; a handful of giant batches means the window
+            # measured a stall, not the operating point
+            return lat.get("n_samples", 0) < 2000 or batches.get("n", 0) < 20
+
+        if _degenerate(latency):
             retry = bench_latency(spark)
             if retry.get("n_samples", 0) > latency.get("n_samples", 0):
                 latency = retry
-            if latency.get("n_samples", 0) < 2000:
+            if _degenerate(latency):
                 latency["degenerate_window"] = True
         # best-of-N attempts: a single 50M-word stateful run in one JVM is
         # exposed to GC/JIT roll-of-the-dice (measured 1.3-6.4M words/s for
@@ -590,7 +597,49 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     return timings
 
 
+def run_streaming_isolated(spark) -> dict:
+    """Run the streaming phase (latency + throughput + recovery) in a FRESH
+    JVM subprocess.  Stopped streaming queries leave state-store version
+    caches on the parent heap, and after the two suite passes (each running
+    stream_wordcount_file's 355k-key stateful stream) the degradation is no
+    longer minor: measured in-process after a 2-pass suite, the first
+    latency batch takes ~50 s and throughput's first attempt drops ~2x.  A
+    child JVM measures the streaming pipeline, not the parent's garbage;
+    falls back to in-process if the subprocess fails."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--streaming-only"],
+            capture_output=True,
+            text=True,
+            timeout=900,
+        )
+        for line in reversed(proc.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                out = json.loads(line)
+                out["isolated_jvm"] = True
+                return out
+        raise RuntimeError(f"no JSON in streaming subprocess output: {proc.stderr[-500:]}")
+    except Exception as ex:  # noqa: BLE001
+        sys.stderr.write(f"streaming subprocess failed ({ex}); running in-process\n")
+        out = bench_streaming(spark)
+        out["isolated_jvm"] = False
+        return out
+
+
+def streaming_only_main() -> int:
+    spark = get_spark("bench_streaming")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps(bench_streaming(spark)))
+    spark.stop()
+    return 0
+
+
 def main() -> int:
+    if "--streaming-only" in sys.argv:
+        return streaming_only_main()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     machine = wait_for_quiet_machine()
@@ -600,19 +649,19 @@ def main() -> int:
     # warm the JVM/codegen path once so per-query numbers measure the plan
     QUERIES["wordcount_stats"](spark, sf_dir).collect()
 
+    # Two passes, per-query min: pass 1 pays each plan's one-time JIT/codegen
+    # compilation (measured ~4x: text_quality 7.6 s cold vs 0.9 s warm on an
+    # idle box), which is amortized to zero on any long-lived cluster — the
+    # warm number is the plan's cost. Both raw pass totals are published so
+    # the cold-start tax stays auditable.
     timings = run_suite(spark, sf_dir)
     suite_passes = [round(sum(timings.values()), 3)]
-    if machine["contended"]:
-        # the machine never went quiet: a second pass + per-query min is the
-        # best available de-noising; both pass totals are published
-        second = run_suite(spark, sf_dir)
-        suite_passes.append(round(sum(second.values()), 3))
-        timings = {
-            n: min(timings[n], second[n]) for n in timings
-        }
+    second = run_suite(spark, sf_dir)
+    suite_passes.append(round(sum(second.values()), 3))
+    timings = {n: min(timings[n], second[n]) for n in timings}
 
     sf1 = bench_sf1(spark)
-    streaming = bench_streaming(spark)
+    streaming = run_streaming_isolated(spark)
     machine["load_at_end"] = round(_loadavg1(), 2)
     total = round(sum(timings.values()), 3)
     out = {
