@@ -10,7 +10,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..hints import maybe_broadcast
@@ -443,4 +443,98 @@ def kmeans_embed_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy(F.col("cl").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_points"),
         F.round(F.sum(F.pow(F.col("d"), F.lit(2.0))), 2).alias("inertia"),
+    )
+
+
+_RRF_K = 60
+
+
+@query(
+    "retrieval_rrf_fusion",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_BM25_TOKS} AS t FROM documents
+    ), per AS (
+        SELECT doc_id, len(t) AS dl,
+               {', '.join(f"len(list_filter(t, x -> x = '{w}')) AS tf{i}" for i, w in enumerate(_BM25_TERMS))}
+        FROM toks
+    ), stats AS (
+        SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) AS sdl,
+               {', '.join(f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}" for i in range(len(_BM25_TERMS)))}
+        FROM per
+    ), scored AS (
+        SELECT doc_id, {_BM25_SCORE_SQL} AS bm25,
+               {' + '.join(f'tf{i}' for i in range(len(_BM25_TERMS)))} AS tf_total
+        FROM per CROSS JOIN stats
+        WHERE {' + '.join(f'tf{i}' for i in range(len(_BM25_TERMS)))} > 0
+    ), ranked AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm25,
+               row_number() OVER (ORDER BY tf_total DESC, doc_id) AS r_tf
+        FROM scored
+    )
+    SELECT doc_id, r_bm25, r_tf,
+           round(1.0 / ({_RRF_K} + r_bm25) + 1.0 / ({_RRF_K} + r_tf), 6) AS rrf
+    FROM ranked
+    ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the BM25 ranking fused
+    with a raw term-frequency ranking, RRF score = Σ 1/(k + rank), k=60.
+
+    Rankings use total tie-breaks (score desc, doc_id); the second ranking
+    is integer-scored, so only the BM25 side carries float rounding (same
+    shared-formula round(6) as bm25_keyword_search).  The candidate set —
+    docs matching ≥1 term — is tiny relative to the corpus at 100 TB, so
+    both rank windows run on the reduced set; global row_number on it is a
+    single-partition sort of the match list, never the corpus.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\W+"), lambda w: F.length(w) > 0)
+
+    def _eq(term: str):
+        return lambda x: x == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter(F.col("t"), _eq(w))).alias(f"tf{i}")
+        for i, w in enumerate(_BM25_TERMS)
+    ]
+    per = d.select("doc_id", toks.alias("t")).select(
+        "doc_id", F.size("t").alias("dl"), *tf_cols
+    )
+    stats = per.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").cast("double").alias("sdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    any_tf = sum(F.col(f"tf{i}") for i in range(len(_BM25_TERMS)))
+    scored = (
+        per.crossJoin(F.broadcast(stats))
+        .filter(any_tf > 0)
+        .select(
+            "doc_id",
+            F.expr(_BM25_SCORE_SQL).alias("bm25"),
+            any_tf.alias("tf_total"),
+        )
+    )
+    ranked = scored.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy(F.desc("bm25"), "doc_id")).alias("r_bm25"),
+        F.row_number().over(Window.orderBy(F.desc("tf_total"), "doc_id")).alias("r_tf"),
+    )
+    return (
+        ranked.select(
+            "doc_id",
+            "r_bm25",
+            "r_tf",
+            F.round(
+                1.0 / (_RRF_K + F.col("r_bm25")) + 1.0 / (_RRF_K + F.col("r_tf")), 6
+            ).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(20)
     )
