@@ -327,3 +327,57 @@ def test_latency_recorder_record_once_and_carry(spark, tmp_path):
     rows2 = open(p2).read().strip().splitlines()[1:]
     logged_ts = sorted(r.split(",")[1] for r in rows2)
     assert logged_ts == ["150", "300"]  # in-flight beta@150 + fresh @300
+
+
+def test_streaming_upsert_sink_maintains_keyed_table(spark, tmp_path):
+    """StreamingUpsertSink: a stream of keyed updates maintains a table with
+    last-write-wins per key, snapshot isolation for readers, and replay
+    idempotence (the streaming MERGE/CDC shape)."""
+    from flink_wordcount_spark.streaming.sinks import StreamingUpsertSink
+
+    sink = StreamingUpsertSink(str(tmp_path / "tbl"), key="k")
+    # three micro-batches applied manually (foreachBatch contract)
+    sink(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), 0)
+    sink(spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string"), 1)
+    got = {(r.k, r.v) for r in sink.read(spark).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+    # replay of batch 1 (post-recovery): no duplication, same state
+    sink(spark.createDataFrame([(2, "ZZZ")], "k int, v string"), 1)
+    got = {(r.k, r.v) for r in sink.read(spark).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+    # via a real streaming query: one sink root per query lineage (batch ids
+    # are only unique within a checkpoint lineage — see _commit)
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(3, "C"), (4, "d")], "k int, v string").write.parquet(src)
+    sink2 = StreamingUpsertSink(str(tmp_path / "tbl2"), key="k")
+    stream = spark.readStream.schema("k int, v string").parquet(src)
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(sink2)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    got = {(r.k, r.v) for r in sink2.read(spark).collect()}
+    assert got == {(3, "C"), (4, "d")}
+
+
+def test_observed_metrics_batch_and_stream(spark, sf_dir):
+    """df.observe(): pipeline health counters ride the job instead of a
+    second scan — the per-batch audit hook a 100 TB ingest uses."""
+    from pyspark.sql import Observation
+
+    obs = Observation("doc_audit")
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.when(F.col("n_chars") <= 0, 1).otherwise(0)).alias("empty_docs"),
+        )
+    )
+    n = d.count()
+    assert obs.get["rows"] == n
+    assert obs.get["empty_docs"] == 0
