@@ -74,3 +74,47 @@ def test_anomaly_zscore_schema_and_bounds(spark, sf_dir):
     assert [f.name for f in df.schema.fields] == ["event_id", "event_type", "z"]
     for r in df.collect():
         assert abs(r["z"]) >= 2
+
+
+def test_kmeans_converges_and_partitions(spark, sf_dir):
+    """Lloyd's invariants: every vector assigned exactly once (cluster sizes
+    sum to corpus), and the 2-iteration inertia is no worse than the
+    1-iteration inertia (monotone non-increasing objective)."""
+    import flink_wordcount_spark.plans.similarity_q as sq
+    from pyspark.sql import functions as F2
+
+    n_vec = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    two = QUERIES["kmeans_embed_clusters"](spark, sf_dir)
+    rows = two.collect()
+    assert sum(r["n_points"] for r in rows) == n_vec
+    inertia2 = sum(r["inertia"] for r in rows)
+    old = sq._KM_ITERS
+    try:
+        sq._KM_ITERS = 1
+        inertia1 = sum(
+            r["inertia"]
+            for r in sq.kmeans_embed_clusters(spark, sf_dir).collect()
+        )
+    finally:
+        sq._KM_ITERS = old
+    assert inertia2 <= inertia1 + 1e-6
+
+
+def test_rrf_fusion_scores_consistent(spark, sf_dir):
+    """Every fused row's RRF equals the formula over its own ranks, ranks are
+    valid (>=1, distinct per system), and the output is ordered by rrf desc.
+    (No containment claim: a doc ranked mid-pack by BOTH systems can
+    legitimately out-fuse either system's rank-1.)"""
+    fused = QUERIES["retrieval_rrf_fusion"](spark, sf_dir).collect()
+    assert len(fused) > 0
+    for r in fused:
+        assert r["r_bm25"] >= 1 and r["r_tf"] >= 1
+        assert abs(r["rrf"] - round(1 / (60 + r["r_bm25"]) + 1 / (60 + r["r_tf"]), 6)) < 1e-9
+    assert len({r["r_bm25"] for r in fused}) == len(fused)
+    scores = [r["rrf"] for r in fused]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_hll_shard_merge_bound_holds(spark, sf_dir):
+    rows = QUERIES["sketch_hll_shard_merge"](spark, sf_dir).collect()
+    assert rows and all(r["sketch_ok"] for r in rows)
