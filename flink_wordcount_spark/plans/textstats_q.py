@@ -6,7 +6,7 @@ operators use, so the two sides cannot drift.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..hints import maybe_broadcast
@@ -599,4 +599,50 @@ def text_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.lit(512).cast("bigint"), F.col("n_toks") - 512 * F.col("chunk_id"))
         .cast("bigint")
         .alias("chunk_tokens"),
+    )
+
+
+@query(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH counts AS (
+        SELECT u.w AS word, count(*) AS cnt
+        FROM documents, unnest({_TOKS}) AS u(w)
+        GROUP BY u.w
+    ), ranked AS (
+        SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rnk
+        FROM counts
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_words,
+           round(regr_slope(ln(cnt), ln(rnk)), 4) AS zipf_slope,
+           round(regr_intercept(ln(cnt), ln(rnk)), 4) AS zipf_intercept
+    FROM ranked
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus word-frequency distribution: OLS slope of
+    ln(freq) on ln(rank) — the one-number sanity check that a crawl snapshot
+    has natural-language token statistics (healthy text ~ -1; machine-
+    generated or boilerplate-heavy corpora deviate hard).
+
+    Single wordcount shuffle, rank window over the (tiny) vocabulary, one
+    regr_* aggregate — at 100 TB the vocabulary table is MBs, so everything
+    after the first groupBy is effectively free.  Ranks are total-ordered
+    (cnt desc, word) so both engines see identical (rank, freq) points.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(text, '\\\\W+'), x -> length(x) > 0)")
+    counts = (
+        d.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = counts.select(
+        "cnt",
+        F.row_number().over(Window.orderBy(F.desc("cnt"), "word")).alias("rnk"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.round(F.regr_slope(F.ln("cnt"), F.ln("rnk")), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(F.ln("cnt"), F.ln("rnk")), 4).alias("zipf_intercept"),
     )

@@ -118,3 +118,9 @@ def test_rrf_fusion_scores_consistent(spark, sf_dir):
 def test_hll_shard_merge_bound_holds(spark, sf_dir):
     rows = QUERIES["sketch_hll_shard_merge"](spark, sf_dir).collect()
     assert rows and all(r["sketch_ok"] for r in rows)
+
+
+def test_zipf_slope_is_negative(spark, sf_dir):
+    r = QUERIES["text_zipf_fit"](spark, sf_dir).collect()[0]
+    assert r["n_words"] > 10
+    assert r["zipf_slope"] < 0  # frequency decreases with rank, always
