@@ -152,3 +152,24 @@ def test_funnel_stages_shrink_via_aggregates(spark, sf_dir):
     plan = _plan(QUERIES["ev_funnel_conversion"](spark, sf_dir))
     assert "partial_min" in plan
     assert "Window" not in plan
+
+
+def test_answers_stable_under_adverse_confs(spark, sf_dir):
+    """Plans must be correct, not just fast: with broadcasts disabled and an
+    awkward shuffle partition count (the conf surface a misconfigured
+    cluster presents), the declared queries return identical answers."""
+    baseline = {
+        name: sorted(map(tuple, QUERIES[name](spark, sf_dir).collect()))
+        for name in ("q3_shipping_priority", "dedup_exact_hash", "window_topk_per_group")
+    }
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.shuffle.partitions", "97")
+        for name, want in baseline.items():
+            got = sorted(map(tuple, QUERIES[name](spark, sf_dir).collect()))
+            assert got == want, name
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
