@@ -476,6 +476,14 @@ SF1_QUERIES = [
     "window_running_sum",
     "ev_session_window",
     "embed_cosine_topk",
+    # r04 additions that scale cleanly under key-shifted replication (no
+    # cross-replica pair semantics — dedup/near-dup stays excluded because
+    # replicating identical texts manufactures O(replicas^2) artificial
+    # pairs that real 10x data would not have)
+    "doc_length_histogram",
+    "sample_stratified",
+    "sketch_hll_shard_merge",
+    "curation_quality_gate",
 ]
 
 #: Per-replica key offset for the synthetic sf1 (far above any sf0.1 key).

@@ -33,9 +33,13 @@ from .catalog import query
 _SHINGLE_N = 3
 _CONTAIN_T = 0.9
 
-# Knuth multiplicative hash for the sampling decision: doc_id * K % 1000 is
-# computable bit-identically in Spark and DuckDB (bigint math, no overflow:
-# max doc_id ~5e5 at sf1 -> product ~1.3e15 << 2^63).
+# Knuth multiplicative hash for the sampling decision, computable
+# bit-identically in Spark and DuckDB in bigint math.  The key is reduced
+# mod a prime BEFORE the multiply: raw doc_id * K overflows int64 once ids
+# pass ~3.5e9 (caught by the synthetic-sf1 probe, whose replica offsets
+# put ids at 1e9+), and Spark's ANSI mode correctly refuses the overflow.
+# (p-1)*K ~ 2.65e15 << 2^63 for any id.
+_HASH_P = 1000003
 _HASH_K = 2654435761
 # Per-source sampling rate in permille: sources are 'src<i>'; rate cycles
 # 50/90/130/170/210 by i % 5 — a stand-in for per-domain mixture weights.
@@ -88,7 +92,7 @@ def curation_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_sampled,
            CAST(sum(doc_id) AS BIGINT) AS id_checksum
     FROM documents
-    WHERE (doc_id * {_HASH_K}) % 1000 < {_PERMILLE_SQL}
+    WHERE ((doc_id % {_HASH_P}) * {_HASH_K}) % 1000 < {_PERMILLE_SQL}
     GROUP BY source
     """,
 )
@@ -101,7 +105,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate = F.expr(_PERMILLE_SQL)
     return (
         d.withColumn("rate_permille", rate)
-        .filter((F.col("doc_id") * F.lit(_HASH_K)) % 1000 < rate)
+        .filter(((F.col("doc_id") % _HASH_P) * F.lit(_HASH_K)) % 1000 < rate)
         .groupBy("source", "rate_permille")
         .agg(
             F.count(F.lit(1)).alias("n_sampled"),
@@ -272,7 +276,9 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Epoch-shuffle constants: a second odd multiplier and a prime modulus give a
-# full-period permutation-ish ordering independent of the sampling hash.
+# full-period permutation-ish ordering independent of the sampling hash; the
+# key reduces mod the prime before multiplying (same int64-overflow guard as
+# _HASH_K — raw id * K overflows past ~4e9 ids).
 _SHUF_K = 2246822519
 _SHUF_M = 1000003
 
@@ -282,7 +288,7 @@ _SHUF_M = 1000003
     oracle=f"""
     SELECT doc_id, shuffle_pos FROM (
         SELECT doc_id,
-               row_number() OVER (ORDER BY (doc_id * {_SHUF_K}) % {_SHUF_M}, doc_id)
+               row_number() OVER (ORDER BY ((doc_id % {_SHUF_M}) * {_SHUF_K}) % {_SHUF_M}, doc_id)
                    AS shuffle_pos
         FROM documents
     ) WHERE shuffle_pos <= 100
@@ -297,7 +303,7 @@ def sample_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     hashed = d.select(
-        "doc_id", ((F.col("doc_id") * _SHUF_K) % _SHUF_M).alias("hk")
+        "doc_id", (((F.col("doc_id") % _SHUF_M) * _SHUF_K) % _SHUF_M).alias("hk")
     )
     head = hashed.orderBy("hk", "doc_id").limit(100)
     w = Window.orderBy("hk", "doc_id")
