@@ -64,3 +64,33 @@ def test_containment_dominates_jaccard_property(spark, texts):
     for r in pairs:
         cont = r["n_shared"] / min(sizes[r["id_a"]], sizes[r["id_b"]])
         assert cont >= r["jaccard"] - 1e-9
+
+
+def test_operators_handle_empty_and_degenerate_inputs(spark):
+    """Empty corpus, single doc, and all-short docs must flow through the
+    near-dup machinery without errors and produce empty pair sets."""
+    from flink_wordcount_spark.operators.dedup import (
+        connected_components,
+        exact_dedup,
+        minhash_signatures,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert jaccard_pairs(shingle_hashes(empty, "text", "doc_id", n=3), 0.5).count() == 0
+    assert exact_dedup(empty, "text", "doc_id").count() == 0
+
+    one = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    assert jaccard_pairs(shingle_hashes(one, "text", "doc_id", n=3), 0.5).count() == 0
+
+    # docs shorter than the shingle width: no shingles, no pairs, no crash
+    short = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "")], "doc_id long, text string"
+    )
+    assert shingle_hashes(short, "text", "doc_id", n=3).count() == 0
+
+    # connected components on an empty edge set: empty assignment
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(edges).count() == 0
+
+    # minhash on empty: no signatures
+    assert minhash_signatures(shingle_hashes(empty, "text", "doc_id", n=3)).count() == 0
