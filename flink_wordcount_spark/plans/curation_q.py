@@ -310,3 +310,62 @@ def sample_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return head.withColumn("shuffle_pos", F.row_number().over(w)).select(
         "doc_id", "shuffle_pos"
     )
+
+
+# DuckDB twin: near-dup pairs (same shingle machinery as dedup_q's oracle,
+# jaccard >= 0.8) rolled up to the canonicalized source-pair matrix.
+_DUP_BY_SOURCE_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, list_filter(regexp_split_to_array(text, '\\W+'), x -> length(x) > 0) AS t
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+{_SHINGLE_N - 1}], ' ') AS s
+    FROM toks, unnest(range(1, len(t) - {_SHINGLE_N - 2})) AS u(i)
+), sizes AS (
+    SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+    FROM sh a JOIN sh b USING (s)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), pairs AS (
+    SELECT id_a, id_b
+    FROM shared JOIN sizes x ON x.doc_id = id_a JOIN sizes y ON y.doc_id = id_b
+    WHERE round(n_shared / (x.n + y.n - n_shared), 6) >= 0.8
+)
+SELECT least(da.source, db.source) AS source_lo,
+       greatest(da.source, db.source) AS source_hi,
+       CAST(count(*) AS BIGINT) AS n_dup_pairs
+FROM pairs
+JOIN documents da ON da.doc_id = id_a
+JOIN documents db ON db.doc_id = id_b
+GROUP BY 1, 2
+"""
+
+
+@query("dedup_rate_by_source", oracle=_DUP_BY_SOURCE_ORACLE)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-domain duplication matrix: near-dup pairs (0.8 Jaccard, exact
+    verification) rolled up by canonicalized source pair — the first
+    question after a dedup run ("which domains mirror each other?"), and
+    the input to per-domain crawl-priority decisions.
+
+    Same hashed-shingle inverted-index pair join as dedup_ngram_jaccard;
+    the roll-up joins the (tiny) pair set back to the corpus for its two
+    source labels, so the added cost over the pair scan is two key joins of
+    |pairs| rows."""
+    from ..operators.dedup import jaccard_pairs
+
+    d = table(spark, sf_dir, "documents")
+    sh = shingle_hashes(d, "text", "doc_id", n=_SHINGLE_N)
+    pairs = jaccard_pairs(sh, 0.8).select("id_a", "id_b")
+    src = d.select("doc_id", "source")
+    return (
+        pairs.join(src.withColumnsRenamed({"doc_id": "id_a", "source": "src_a"}), "id_a")
+        .join(src.withColumnsRenamed({"doc_id": "id_b", "source": "src_b"}), "id_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_lo"),
+            F.greatest("src_a", "src_b").alias("source_hi"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    )
