@@ -547,12 +547,15 @@ def ev_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # micros precision, NOT ts.cast("long"): the long cast truncates to
+    # seconds, and a gap within 1 s of the 30-min boundary then splits
+    # differently from the oracle's full-precision interval compare
+    # (caught by the sf0.1 sweep — sf0.001/0.01 had no boundary-straddling
+    # gap)
+    us = F.unix_micros(F.col("ts"))
     marked = e.withColumn(
         "is_new",
-        F.when(
-            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) >= 1800,
-            1,
-        ).otherwise(0),
+        F.when(us - F.lag(us).over(w) >= 1_800_000_000, 1).otherwise(0),
     )
     sess = marked.withColumn("sess_id", F.sum("is_new").over(w))
     paths = (
