@@ -40,3 +40,32 @@ def salted_agg(df: DataFrame, key: str, measure: Column, salt_buckets: int = 16)
     salted = df.withColumn("__salt", (F.rand(seed=0) * salt_buckets).cast("int"))
     partial = salted.groupBy(key, "__salt").agg(F.sum(measure).alias("__partial"))
     return partial.groupBy(key).agg(F.sum("__partial").alias("total"))
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+    salt_on: str | None = None,
+) -> DataFrame:
+    """Skew join via salting: spread a hot join key across ``salt_buckets``
+    reducers by replicating the dim side per salt value and salting the fact
+    side per-row.
+
+    Exact for any join where ``dim`` is unique on ``key``: each fact row
+    meets its dim row exactly once, under whichever salt it drew. The salt is a
+    deterministic hash of ``salt_on`` (pass a high-cardinality fact column,
+    e.g. the fact PK; defaults to the join key, which spreads only if the
+    key itself is high-cardinality) so speculative re-execution re-derives
+    the same salt. This is the manual form of what AQE skew-join
+    does at runtime; declared here for plans that must pin the shape (e.g.
+    when the skew is known and the dim is too big to broadcast but cheap to
+    replicate S times).
+    """
+    salt_col = F.pmod(F.xxhash64(F.col(salt_on if salt_on else key)), F.lit(salt_buckets))
+    fact_s = fact.withColumn("__salt", salt_col.cast("int"))
+    dim_s = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return fact_s.join(dim_s, [key, "__salt"]).drop("__salt")

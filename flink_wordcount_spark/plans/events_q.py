@@ -576,3 +576,33 @@ def ev_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(20)
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared salted skew join: orders (fact, salted per-row on its PK)
+    against customer replicated across 8 salt values, joined on
+    (custkey, salt) — the manual hot-key spread for when a skewed key's dim
+    side is too big to broadcast but cheap to replicate.  Result is
+    provably identical to the plain join (dim unique on the key), which is
+    exactly what the oracle checks."""
+    from ..operators.skew import salted_join
+
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = salted_join(o, c, "o_custkey", salt_buckets=8, salt_on="o_orderkey")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
