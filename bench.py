@@ -80,6 +80,35 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def degenerate_window(lat: dict) -> bool:
+    """True when a latency window measured a stall, not the operating point.
+
+    A healthy window at trigger T over run R commits ~R/T batches of
+    ~rate*T rows each. A stalled window instead shows a few giant batches:
+    BENCH_r04 published p50 12,470 ms from exactly 20 batches of ~187k rows
+    (~440 expected at 0.25 s trigger over 110 s) because the old guard used
+    an absolute ``n < 20`` threshold and the stall passed by one batch.
+    Degenerate iff any of:
+      - sample count too small for stable percentiles (< 2000),
+      - batch count < 25% of ``run_sec / trigger_sec`` (relative, so the
+        threshold scales with the configured window instead of hard-coding
+        a count a stall can straddle),
+      - median batch execution > 4x the trigger interval (batches are
+        queueing — percentiles would measure backlog drain).
+    """
+    cfg = lat.get("config", {})
+    batches = cfg.get("batches", {})
+    trigger_sec = float(cfg.get("trigger_sec") or 0.25)
+    run_sec = float(cfg.get("run_sec") or LATENCY_RUN_SEC)
+    expected = run_sec / trigger_sec
+    p50_exec = batches.get("trigger_exec_ms_p50")
+    return (
+        lat.get("n_samples", 0) < 2000
+        or batches.get("n", 0) < 0.25 * expected
+        or (p50_exec is not None and p50_exec > 4 * trigger_sec * 1000)
+    )
+
+
 def bench_streaming(spark) -> dict:
     """Words/s through generator -> tokenizer -> stateful running count.
 
@@ -146,24 +175,20 @@ def bench_streaming(spark) -> dict:
         # with 4x the p50). The most timing-sensitive phase gets the
         # cleanest JVM.
         latency = bench_latency(spark)
-        # Degenerate-window guard: transient host contention during stream
-        # init can collapse the measurement to a handful of batches, which
-        # publishes meaningless percentiles (observed: 1 batch / 101 samples
-        # on a loaded box vs ~40k samples healthy at this rate x run_sec).
-        # One retry with a fresh window; if still thin, the artifact keeps
-        # the larger sample and flags it.
-        def _degenerate(lat: dict) -> bool:
-            batches = lat.get("config", {}).get("batches", {})
-            # healthy: ~50+ batches and tens of thousands of samples at this
-            # rate x window; a handful of giant batches means the window
-            # measured a stall, not the operating point
-            return lat.get("n_samples", 0) < 2000 or batches.get("n", 0) < 20
-
-        if _degenerate(latency):
+        # Degenerate-window guard (see degenerate_window): transient host
+        # contention during stream init can collapse the measurement to a
+        # handful of giant batches, which publishes stall percentiles as if
+        # they were steady state (BENCH_r04 shipped p50 12.47 s from exactly
+        # 20 backlogged batches where ~440 were expected). One retry with a
+        # fresh window; if still degenerate, the artifact keeps the larger
+        # sample and flags it honestly.
+        if degenerate_window(latency):
             retry = bench_latency(spark)
-            if retry.get("n_samples", 0) > latency.get("n_samples", 0):
+            if not degenerate_window(retry) or retry.get(
+                "n_samples", 0
+            ) > latency.get("n_samples", 0):
                 latency = retry
-            if _degenerate(latency):
+            if degenerate_window(latency):
                 latency["degenerate_window"] = True
         # best-of-N attempts: a single 50M-word stateful run in one JVM is
         # exposed to GC/JIT roll-of-the-dice (measured 1.3-6.4M words/s for
@@ -421,6 +446,7 @@ def bench_latency(
         "trigger_sec": trigger_sec,
         "partitions": partitions,
         "gen_partitions": gen_partitions,
+        "run_sec": run_sec,
         "warmup_sec": warmup_sec,
         "changelog_checkpointing": confs[
             "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
@@ -684,7 +710,7 @@ def main() -> int:
     sf1 = bench_sf1(spark)
     machine["load_at_end"] = round(_loadavg1(), 2)
     total = round(sum(timings.values()), 3)
-    out = {
+    detail = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
@@ -696,8 +722,54 @@ def main() -> int:
         "streaming": streaming,
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     }
-    print(json.dumps(out))
+    # Full detail goes to a committed file; stdout gets a compact line.
+    # BENCH_r04.json was `parsed: null` because the full dict (sf1 probe,
+    # 5 batch-progress dicts, machine context) outgrew the driver's ~2 KB
+    # tail capture — the official artifact of the whole round was a
+    # truncated string. The driver parses stdout, humans read the file.
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    detail_path.write_text(json.dumps(detail, indent=2) + "\n")
+    print(json.dumps(compact_line(detail)))
     return 0
+
+
+def compact_line(detail: dict) -> dict:
+    """Reduce the full bench dict to a driver-parseable line (≤ ~1.5 KB).
+
+    Keeps: headline metric + per-query seconds (the BASELINE.md comparison
+    surface), the streaming summary (throughput best/median, latency
+    percentiles + degenerate flag, recovery), and load context. Everything
+    else (sf1 probe, batch progress, attempt lists, suite passes) lives in
+    BENCH_DETAIL.json.
+    """
+    s = detail.get("streaming", {})
+    lat = s.get("latency_ms", {})
+    rec = s.get("recovery", {})
+    lat_compact = {
+        k: lat[k] for k in ("p50", "p95", "p99", "n_samples") if k in lat
+    }
+    if lat.get("degenerate_window"):
+        lat_compact["degenerate_window"] = True
+    machine = detail.get("machine", {})
+    return {
+        "metric": detail["metric"],
+        "value": detail["value"],
+        "unit": detail["unit"],
+        "queries": detail["queries"],
+        "sf": detail["sf"],
+        "streaming": {
+            "words_per_sec_best": s.get("words_per_sec_best"),
+            "words_per_sec_median": s.get("words_per_sec_median"),
+            "latency_ms": lat_compact,
+            "recovery_sec": rec.get("restart_to_first_commit_sec"),
+            "exactly_once_ok": rec.get("exactly_once_ok"),
+        },
+        "machine": {
+            "load_at_start": machine.get("load_at_start"),
+            "contended": machine.get("contended"),
+        },
+        "detail": "BENCH_DETAIL.json",
+    }
 
 
 if __name__ == "__main__":

@@ -1,0 +1,135 @@
+"""bench.py artifact hygiene: the stall guard and the compact stdout line.
+
+Round-4 postmortem (VERDICT r04 "What's wrong" #1/#2): the latency window
+captured a stall — exactly 20 giant batches where ~440 were expected at a
+0.25 s trigger over 110 s — and the absolute ``n < 20`` threshold let it
+publish p50 12,470 ms unflagged; separately the one-line JSON outgrew the
+driver's tail capture and BENCH_r04.json parsed as null. These tests pin
+both fixes without needing a SparkSession.
+"""
+
+from __future__ import annotations
+
+import json
+
+from bench import compact_line, degenerate_window
+
+
+def _lat(n_samples, n_batches, p50_exec_ms, trigger_sec=0.25, run_sec=110):
+    return {
+        "n_samples": n_samples,
+        "p50": 2300,
+        "p95": 7000,
+        "config": {
+            "trigger_sec": trigger_sec,
+            "run_sec": run_sec,
+            "batches": {
+                "n": n_batches,
+                "trigger_exec_ms_p50": p50_exec_ms,
+                "trigger_exec_ms_max": p50_exec_ms * 2,
+            },
+        },
+    }
+
+
+def test_healthy_window_passes():
+    # ~230 batches of ~250 ms exec at a 0.25 s trigger over 110 s: healthy.
+    assert not degenerate_window(_lat(40_000, 230, 240))
+
+
+def test_bench_r04_stall_is_flagged():
+    # The exact shape that slipped through in round 4: 20 giant backlogged
+    # batches (4,370 ms median exec at a 250 ms trigger). Both the relative
+    # batch-count check (20 < 0.25 * 440) and the exec-time check fire.
+    assert degenerate_window(_lat(40_000, 20, 4_370))
+
+
+def test_batch_count_is_relative_to_expected():
+    # 30 batches would have passed the old absolute >= 20 rule but is < 25%
+    # of the ~440 expected — still a stall even with fast individual batches.
+    assert degenerate_window(_lat(40_000, 30, 200))
+    # ...while the same 30 batches at a 1 s trigger (110 expected) is fine.
+    assert not degenerate_window(_lat(40_000, 30, 900, trigger_sec=1.0))
+
+
+def test_queueing_batches_flagged_even_when_count_ok():
+    # Plenty of batches, but median exec 4x past the trigger: percentiles
+    # would measure backlog drain, not steady state.
+    assert degenerate_window(_lat(40_000, 230, 1_100))
+
+
+def test_thin_sample_flagged():
+    assert degenerate_window(_lat(101, 230, 240))
+
+
+def test_missing_batch_stats_is_degenerate():
+    # No progress captured at all -> nothing proves the window was healthy.
+    assert degenerate_window({"n_samples": 40_000, "config": {}})
+
+
+def _detail_fixture(degenerate=False):
+    lat = {
+        "n_samples": 38_412,
+        "p50": 2_301,
+        "p95": 7_512,
+        "p99": 9_104,
+        "max": 12_001,
+        "full_window": {"n_samples": 51_002, "p50": 4_100, "p95": 9_000},
+        "config": {"trigger_sec": 0.25, "run_sec": 110, "batches": {"n": 230}},
+    }
+    if degenerate:
+        lat["degenerate_window"] = True
+    return {
+        "metric": "headline_suite_seconds",
+        "value": 20.6,
+        "unit": "sec",
+        "queries": {f"q{i}": 1.234 for i in range(17)},
+        "suite_passes": [55.1, 21.0],
+        "machine": {
+            "load_at_invoke": 0.5,
+            "load_at_start": 0.5,
+            "load_at_end": 30.1,
+            "waited_sec": 0.0,
+            "contended": False,
+            "nproc": 32,
+        },
+        "sf": 0.1,
+        "sf1": {"queries_sec": {f"q{i}": 9.9 for i in range(12)}},
+        "streaming": {
+            "words_per_sec_best": 2_390_000,
+            "words_per_sec_median": 2_360_000,
+            "words_per_sec_attempts": [2_390_000, 2_360_000, 1_970_000],
+            "latency_ms": lat,
+            "recovery": {
+                "killed_after_batches": 2,
+                "restart_to_first_commit_sec": 2.97,
+                "exactly_once_ok": True,
+            },
+        },
+        "cpus": 32,
+    }
+
+
+def test_compact_line_fits_driver_capture():
+    line = json.dumps(compact_line(_detail_fixture()))
+    # driver tail-capture budget with margin (r04 failed at ~2 KB)
+    assert len(line) <= 1_500, f"compact line too big: {len(line)} bytes"
+
+
+def test_compact_line_has_driver_required_fields():
+    c = compact_line(_detail_fixture())
+    assert c["metric"] == "headline_suite_seconds"
+    assert c["value"] == 20.6
+    assert len(c["queries"]) == 17
+    assert c["streaming"]["words_per_sec_median"] == 2_360_000
+    assert c["streaming"]["latency_ms"]["p50"] == 2_301
+    assert c["streaming"]["recovery_sec"] == 2.97
+    assert c["streaming"]["exactly_once_ok"] is True
+    # the bulky sections must NOT leak into the stdout line
+    assert "sf1" not in c and "suite_passes" not in c
+    assert "last5" not in json.dumps(c)
+
+
+def test_compact_line_preserves_degenerate_flag():
+    c = compact_line(_detail_fixture(degenerate=True))
+    assert c["streaming"]["latency_ms"]["degenerate_window"] is True
