@@ -30,13 +30,27 @@ def salted_count(df: DataFrame, key: str, salt_buckets: int = 16) -> DataFrame:
     addition is commutative; for non-decomposable aggregates use a
     deterministic salt (hash of a secondary column) instead.
     """
+    _assert_no_salt_column(df)
     salted = df.withColumn("__salt", (F.rand(seed=0) * salt_buckets).cast("int"))
     partial = salted.groupBy(key, "__salt").agg(F.count(F.lit(1)).alias("__partial"))
     return partial.groupBy(key).agg(F.sum("__partial").cast("bigint").alias("cnt"))
 
 
+def _assert_no_salt_column(*dfs: DataFrame) -> None:
+    """``__salt`` is this module's scratch column; withColumn/explode would
+    silently overwrite (and the final drop remove) a caller column of the
+    same name, corrupting results instead of failing loudly."""
+    for df in dfs:
+        if "__salt" in df.columns:
+            raise ValueError(
+                "input already has a '__salt' column; rename it before "
+                "using the salted operators"
+            )
+
+
 def salted_agg(df: DataFrame, key: str, measure: Column, salt_buckets: int = 16) -> DataFrame:
     """Exact per-key SUM of ``measure`` with the same two-phase shape."""
+    _assert_no_salt_column(df)
     salted = df.withColumn("__salt", (F.rand(seed=0) * salt_buckets).cast("int"))
     partial = salted.groupBy(key, "__salt").agg(F.sum(measure).alias("__partial"))
     return partial.groupBy(key).agg(F.sum("__partial").alias("total"))
@@ -63,6 +77,7 @@ def salted_join(
     when the skew is known and the dim is too big to broadcast but cheap to
     replicate S times).
     """
+    _assert_no_salt_column(fact, dim)
     salt_col = F.pmod(F.xxhash64(F.col(salt_on if salt_on else key)), F.lit(salt_buckets))
     fact_s = fact.withColumn("__salt", salt_col.cast("int"))
     dim_s = dim.withColumn(

@@ -178,23 +178,29 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                stddev_samp(value) OVER w AS sd
         FROM events
         WINDOW w AS (PARTITION BY event_type, date_trunc('hour', ts))
+    ), zr AS (
+        SELECT event_id, event_type, sd, round((value - mu) / sd, 3) AS z
+        FROM st
     )
-    SELECT event_id, event_type, round((value - mu) / sd, 3) AS z
-    FROM st WHERE sd > 0 AND abs((value - mu) / sd) >= 2
+    SELECT event_id, event_type, z
+    FROM zr WHERE sd > 0 AND abs(z) >= 2
     """,
 )
 def ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per (event_type, hour) z-score outliers (|z| >= 2; the fixture's value column is bounded, max |z| ~2.4) — the windowed
     anomaly flag a metrics pipeline runs on ingest.  Group stats via a
-    window over the natural partition key; no self-join."""
+    window over the natural partition key; no self-join.  The cutoff is
+    applied to the ROUNDED z (repo convention: round before compare) so a
+    float-summation-order difference between Spark and DuckDB window
+    aggregates can never flip the kept set at the |z| = 2 boundary."""
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type", F.date_trunc("hour", F.col("ts")))
     z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
     return (
         e.withColumn("sd", F.stddev_samp("value").over(w))
-        .withColumn("z", z)
+        .withColumn("z", F.round(z, 3))
         .filter((F.col("sd") > 0) & (F.abs(F.col("z")) >= 2))
-        .select("event_id", "event_type", F.round("z", 3).alias("z"))
+        .select("event_id", "event_type", "z")
     )
 
 

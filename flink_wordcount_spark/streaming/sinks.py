@@ -52,11 +52,21 @@ class StreamingUpsertSink:
     Delta/Hudi) and partition-level rewrite; the foreachBatch + anti-join +
     union core — and its exactly-once contract — is exactly what those
     writers do under the hood per commit.
+
+    Intra-batch key duplicates (CDC batches carrying several updates to one
+    key): pass ``order_col`` (e.g. the change's event-time or LSN column)
+    and the sink keeps the last write per key within the batch before
+    merging. Without ``order_col`` the batch is REQUIRED to be unique per
+    key — the usual contract for update-mode streaming aggregates, which
+    emit one row per changed key per batch — because the anti-join only
+    removes prior-snapshot rows, so duplicates inside one batch would both
+    survive and break the keyed-table invariant.
     """
 
-    def __init__(self, root: str, key: str) -> None:
+    def __init__(self, root: str, key: str, order_col: str | None = None) -> None:
         self.root = root
         self.key = key
+        self.order_col = order_col
         os.makedirs(root, exist_ok=True)
 
     def _vdir(self, batch_id: int) -> str:
@@ -71,6 +81,16 @@ class StreamingUpsertSink:
             self._commit(batch_id)  # replay: version exists, just re-point
             return
         spark = batch_df.sparkSession
+        if self.order_col is not None:
+            from pyspark.sql import Window
+            from pyspark.sql import functions as F
+
+            w = Window.partitionBy(self.key).orderBy(F.col(self.order_col).desc())
+            batch_df = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
         latest = self.read(spark)
         merged = batch_df if latest is None else (
             latest.join(batch_df.select(self.key), self.key, "leftanti")

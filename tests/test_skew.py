@@ -37,3 +37,22 @@ def test_salted_plan_has_two_exchanges(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     plan = salted_count(li, "l_returnflag", 8)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") >= 2  # (key,salt) exchange + key exchange
+
+
+def test_salted_ops_reject_existing_salt_column(spark, sf_dir):
+    """A caller '__salt' column would be silently overwritten (and dropped)
+    by the salting scratch column — must fail loudly instead (ADVICE r04)."""
+    import pytest
+
+    from flink_wordcount_spark.operators.skew import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10)
+    poisoned = li.withColumn("__salt", F.lit(99))
+    with pytest.raises(ValueError, match="__salt"):
+        salted_count(poisoned, "l_returnflag")
+    with pytest.raises(ValueError, match="__salt"):
+        salted_agg(poisoned, "l_returnflag", F.col("l_quantity"))
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(poisoned, li.limit(1), "l_orderkey")
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(li.limit(1), poisoned, "l_orderkey")

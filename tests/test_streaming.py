@@ -381,3 +381,28 @@ def test_observed_metrics_batch_and_stream(spark, sf_dir):
     n = d.count()
     assert obs.get["rows"] == n
     assert obs.get["empty_docs"] == 0
+
+
+def test_streaming_upsert_sink_intra_batch_duplicates(spark, tmp_path):
+    """CDC-style batches can carry several updates to one key; with an
+    ordering column the sink keeps the last write per key (ADVICE r04 —
+    previously both rows survived and broke the keyed-table invariant)."""
+    from flink_wordcount_spark.streaming.sinks import StreamingUpsertSink
+
+    sink = StreamingUpsertSink(str(tmp_path / "tbl"), key="k", order_col="lsn")
+    sink(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 11), (2, "b2", 12), (2, "b3", 13)],
+            "k int, v string, lsn int",
+        ),
+        0,
+    )
+    got = {(r.k, r.v) for r in sink.read(spark).collect()}
+    assert got == {(1, "a"), (2, "b3")}
+    # a later batch still upserts over the deduped snapshot
+    sink(
+        spark.createDataFrame([(1, "A", 20), (1, "A2", 21)], "k int, v string, lsn int"),
+        1,
+    )
+    got = {(r.k, r.v) for r in sink.read(spark).collect()}
+    assert got == {(1, "A2"), (2, "b3")}
