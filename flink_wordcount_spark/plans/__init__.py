@@ -42,23 +42,17 @@ from . import catalog as _catalog
 # jump the queue regardless of prior green rows (ADVICE r03: the round-3
 # session-window oracle break shipped unverified precisely because a stale
 # green row pinned it behind the budget).  Reset this list each round.
-_MODIFIED_THIS_ROUND = [
-    "ev_session_window",      # r04: event_id projected through marked CTE
-    "stream_session_window",  # r04: same oracle fix
-    "approx_distinct_quantile",  # r04: bounded-error within_bounds check
-    "dedup_ngram_jaccard",    # r04: hashed shingle join keys
-    "dedup_minhash_verified",  # r04: hashed + dedup-free signature path
-    "dedup_cluster_representatives",  # r04: hashed keys + edges checkpoint
-    "dedup_keep_list",        # r04: same
-    "lsh_minhash_candidates",  # r04: hashed signature path
-    "lsh_simhash64",          # r04: per-occurrence bit sums (one shuffle)
-    "mm_frame_sample",        # r04: now value-checked (frame-fold oracle)
-    # r04 late: events.ts normalization became vintage-adaptive
-    # (io.normalize_event_ts) — re-verify the plans whose read path changed
-    "join_asof_two_table",
-    "stream_events_tumbling",
-    "stream_stream_join",
-    "stream_sliding_window",
+_MODIFIED_THIS_ROUND: list[str] = [
+    # Edited AFTER the r04 driver verification (commit ef0b010, the
+    # advice-list closes): the driver has never seen these versions.
+    "ev_anomaly_zscore",   # rounded-z cutoff on both sides
+    "join_salted_skew",    # __salt-collision guard in salted_join
+    "agg_salted_two_phase",  # same guard in salted_count
+    # NEW in r05 (never driver-verified):
+    "ev_session_dynamic_gap",     # per-event-gap session_window
+    "stream_stream_left_join",    # outer stream-stream join w/ flush sentinels
+    # The rest of r05's budget goes to the stale back catalog (the 33
+    # queries last verified in r01 sort first via staleness).
 ]
 
 

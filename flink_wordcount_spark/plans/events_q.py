@@ -606,3 +606,73 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@query(
+    "ev_session_dynamic_gap",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN event_type = 'purchase' THEN INTERVAL '45 minutes'
+                    ELSE INTERVAL '30 minutes' END AS gap
+        FROM events
+    ), m AS (
+        SELECT user_id, ts, value, event_id, gap,
+               max(ts + gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING) AS prev_end
+        FROM g
+    ), marked AS (
+        SELECT user_id, ts, value, gap,
+               CASE WHEN prev_end IS NULL OR ts >= prev_end THEN 1 ELSE 0
+               END AS is_new,
+               event_id
+        FROM m
+    ), sessions AS (
+        SELECT user_id, ts, value, gap,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS sess_id
+        FROM marked
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts + gap), '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM sessions GROUP BY user_id, sess_id
+    """,
+)
+def ev_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a PER-EVENT gap: purchases hold the session open
+    for 45 min, everything else 30 min (``session_window`` with a gap
+    expression — the dynamic-gap form Flink exposes as
+    ``SessionWindowTimeGapExtractor``).  Merge semantics: each event extends
+    the session to ``ts + gap(event)``; a session closes when the next
+    event's ts reaches the running ``max(ts + gap)``.  The oracle reproduces
+    exactly that with gaps-and-islands over a running max — note
+    ``>=``: Spark's window is half-open [start, end), so an event landing
+    exactly on the session end starts a new session.  Scale shape: one hash
+    exchange on user_id, per-partition sort — same cost as fixed-gap
+    sessionization; the gap expression is evaluated map-side."""
+    e = table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "purchase", "45 minutes").otherwise(
+        "30 minutes"
+    )
+    sw = F.session_window("ts", gap)
+    return (
+        e.groupBy(sw, "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("session_window.start"), _TS_FMT).alias(
+                "session_start"
+            ),
+            F.date_format(F.col("session_window.end"), _TS_FMT).alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -304,3 +304,142 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_completion(agg, output_mode="complete")
+
+
+@query(
+    "stream_stream_left_join",
+    oracle="""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+           CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS secs_to_purchase
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = v.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every view, with its within-1-hour
+    purchase when one exists, NULLs otherwise.  The outer side is the part
+    inner joins don't exercise: an unmatched view can only emit once the
+    watermark proves no matching purchase can still arrive, so emission is
+    driven by state EVICTION, not arrival.
+
+    A file-replayed stream never advances the watermark past its own tail
+    (the watermark is computed from the previous batch's max event time), so
+    the final window of unmatched views would sit in the state store forever
+    and the replay would silently drop them.  The fix is the standard
+    flush-sentinel pattern: two far-future sentinel rows per side appended
+    as separate files (maxFilesPerTrigger=1 keeps them in their own
+    micro-batches), so sentinel batch #1 advances the watermark past all
+    real data and sentinel batch #2 makes the engine apply it — the final
+    unmatched views then emit in a DATA batch, which processAllAvailable is
+    guaranteed to wait for (no reliance on no-data-batch timing).  Sentinels
+    carry negative event_ids and are filtered after the join.  At scale this
+    is exactly how a bounded backfill through a streaming job is drained."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = _left_join_stream_dir(spark, sf_dir, schema)
+
+    def side(event_type: str, alias: str):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .transform(normalize_event_ts)
+            .filter(F.col("event_type") == event_type)
+            .selectExpr(f"event_id AS {alias}_id", "user_id", f"ts AS {alias}_ts")
+            .withWatermark(f"{alias}_ts", "2 hours")
+        )
+
+    views, purchases = side("view", "view"), side("purchase", "purchase")
+    joined = views.join(
+        purchases,
+        (views.user_id == purchases.user_id)
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select(
+        "view_id",
+        "purchase_id",
+        views.user_id.alias("user_id"),
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts")
+        ).cast("bigint").alias("secs_to_purchase"),
+    )
+    # The sentinel filter must run on the RESULT table, not in the stream:
+    # in-stream, Catalyst pushes `view_id >= 0` through the left-outer join
+    # AND the EventTimeWatermark node into the left scan (view_id is not the
+    # event-time column), which deletes the left sentinel before it reaches
+    # the watermark node — the global watermark (min over both sides) then
+    # never passes the real data and the tail of unmatched views stays in
+    # state forever (observed: exactly the last watermark-window of views
+    # missing).  Post-hoc it is the same predicate, minus the side effect.
+    return run_to_completion(joined, output_mode="append").filter(
+        F.col("view_id") >= 0
+    )
+
+
+def _left_join_stream_dir(spark: SparkSession, sf_dir: str, schema) -> str:
+    """Stage events.parquet plus two watermark-flush sentinel files.
+
+    Layout (file source processes in mtime order, one file per trigger):
+      part-00000.parquet  -> symlink to the real events table
+      part-00001.parquet  -> sentinel view+purchase rows at T+10 years
+      part-00002.parquet  -> sentinel rows at T+20 years
+    Batch 2 advances the watermark past every real event; batch 3 applies
+    that watermark, evicting (and thus emitting) all remaining unmatched
+    left rows.  Cached per sf_dir."""
+    import hashlib
+    import time as _time
+
+    key = hashlib.sha1(f"{sf_dir}/events.parquet#lj".encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"fws_streamdir_{key}")
+    if os.path.exists(os.path.join(d, "_STAGED")):
+        return d
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "part-00000.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    for i, year in ((1, "2035"), (2, "2045")):
+        # Sentinel user_ids are NEGATIVE and non-null: the equi-join lets
+        # Catalyst infer IsNotNull(user_id) and push it into the parquet
+        # scan, so a NULL-user sentinel would be filtered AT THE SOURCE and
+        # never advance the watermark (numInputRows=0 — observed). Distinct
+        # negative ids also keep the two sentinels from joining each other.
+        flush = (
+            spark.createDataFrame(
+                [
+                    (-2 * i, f"{year}-01-01 00:00:00", "view", -1),
+                    (-2 * i - 1, f"{year}-01-01 00:00:00", "purchase", -2),
+                ],
+                "event_id long, ts_s string, event_type string, user_id long",
+            )
+            .select(
+                F.col("event_id"),
+                F.to_timestamp("ts_s").alias("ts"),
+                F.col("event_type"),
+                F.col("user_id"),
+            )
+        )
+        # conform to the events schema (missing columns -> NULL literals)
+        cols = []
+        for f in schema.fields:
+            if f.name == "ts" and f.dataType.simpleString() == "bigint":
+                # nanos fixture vintage (io.normalize_event_ts): a plain
+                # timestamp->bigint cast would yield SECONDS, not nanos
+                cols.append((F.unix_micros("ts") * 1000).alias("ts"))
+            elif f.name in flush.columns:
+                cols.append(F.col(f.name).cast(f.dataType))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        out = os.path.join(d, f"flush_{i}")
+        flush.select(*cols).coalesce(1).write.mode("overwrite").parquet(out)
+        part = next(
+            p for p in os.listdir(out) if p.endswith(".parquet") and p.startswith("part")
+        )
+        os.rename(os.path.join(out, part), os.path.join(d, f"part-0000{i}.parquet"))
+        # mtime ordering is the replay ordering contract
+        _time.sleep(0.05)
+        os.utime(os.path.join(d, f"part-0000{i}.parquet"), None)
+    Path = __import__("pathlib").Path
+    Path(os.path.join(d, "_STAGED")).touch()
+    return d
