@@ -117,3 +117,85 @@ def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT d.doc_id, t.pos, t.word FROM __udtf_docs d, LATERAL split_words(d.text) t"
     )
+
+
+@query(
+    "udf_grouped_map",
+    oracle="""
+    WITH st AS (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               avg(o_totalprice)         OVER w AS mu,
+               stddev_samp(o_totalprice) OVER w AS sd
+        FROM orders WHERE o_orderkey % 13 = 0
+        WINDOW w AS (PARTITION BY o_orderpriority)
+    )
+    SELECT o_orderkey, o_orderpriority,
+           round((o_totalprice - mu) / sd, 3) AS z
+    FROM st WHERE sd > 0
+    """,
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-MAP pandas UDF (``applyInPandas``): per-group z-normalization,
+    one arbitrary-shape pandas function per group — the API for per-group
+    logic a window expression can't say (model-per-group fits, per-group
+    resampling).  This one IS window-expressible on purpose, so the oracle
+    checks the Arrow group-map machinery bit-for-bit (float64 both sides;
+    pandas ``mean``/``std(ddof=1)`` == avg/stddev_samp).  Scale shape: one
+    hash exchange on the group key, groups stream through Arrow one at a
+    time — same shuffle as the window twin; per-group state must fit one
+    task (fine: group count is small, rows/group bounded)."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 13 == 0)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+
+    def znorm(pdf):
+        sd = pdf["o_totalprice"].std(ddof=1)
+        if not sd or sd != sd or sd == 0:
+            return pdf.iloc[0:0][["o_orderkey", "o_orderpriority"]].assign(z=[])
+        mu = pdf["o_totalprice"].mean()
+        out = pdf[["o_orderkey", "o_orderpriority"]].copy()
+        out["z"] = ((pdf["o_totalprice"] - mu) / sd).round(3)
+        return out
+
+    return o.groupBy("o_orderpriority").applyInPandas(
+        znorm, "o_orderkey long, o_orderpriority string, z double"
+    )
+
+
+@query(
+    "fn_variant",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+           count(*) AS n
+    FROM events WHERE json_valid(props)
+    GROUP BY event_type
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via the VARIANT type (Spark 4): ``parse_json``
+    once into a binary variant, then typed ``variant_get`` extraction —
+    the open-format answer to schema-on-read JSON columns.  Versus
+    ``get_json_object`` (fn_json), the variant parses each document ONCE
+    and every later path access is a binary probe, which is the right cost
+    model when many fields are read per row at 100 TB."""
+    e = table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.parse_json(F.col("props")).alias("pv")
+    )
+    return (
+        v.select(
+            "event_type",
+            F.try_variant_get("pv", "$.k", "long").alias("k"),
+        )
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("k_sum"),
+            F.max("k").alias("k_max"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
