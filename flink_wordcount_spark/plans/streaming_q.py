@@ -443,3 +443,76 @@ def _left_join_stream_dir(spark: SparkSession, sf_dir: str, schema) -> str:
     Path = __import__("pathlib").Path
     Path(os.path.join(d, "_STAGED")).touch()
     return d
+
+
+@query(
+    "stream_session_dynamic_gap",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN event_type = 'purchase' THEN INTERVAL '45 minutes'
+                    ELSE INTERVAL '30 minutes' END AS gap
+        FROM events
+    ), m AS (
+        SELECT user_id, ts, value, event_id, gap,
+               max(ts + gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING) AS prev_end
+        FROM g
+    ), marked AS (
+        SELECT user_id, ts, value, gap,
+               CASE WHEN prev_end IS NULL OR ts >= prev_end THEN 1 ELSE 0
+               END AS is_new,
+               event_id
+        FROM m
+    ), sessions AS (
+        SELECT user_id, ts, value, gap,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS sess_id
+        FROM marked
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts + gap), '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM sessions GROUP BY user_id, sess_id
+    """,
+)
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-gap session windows on the LIVE stream (the streaming twin
+    of ev_session_dynamic_gap): purchases hold the session open 45 min,
+    everything else 30 min, with the state store merging variable-width
+    ranges as micro-batches arrive.  Same gaps-and-islands running-max
+    oracle as the batch twin — the point of the pair is that the identical
+    ``session_window(gap_expr)`` expression produces identical sessions in
+    both engines."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir_for(f"{sf_dir}/events.parquet"))
+        .transform(normalize_event_ts)
+    )
+    gap = F.when(F.col("event_type") == "purchase", "45 minutes").otherwise(
+        "30 minutes"
+    )
+    agg = (
+        stream.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format(F.col("session_window.end"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_to_completion(agg, output_mode="complete")
