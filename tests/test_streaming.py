@@ -406,3 +406,30 @@ def test_streaming_upsert_sink_intra_batch_duplicates(spark, tmp_path):
     )
     got = {(r.k, r.v) for r in sink.read(spark).collect()}
     assert got == {(1, "A2"), (2, "b3")}
+
+
+def test_left_join_flush_sentinels_contract(spark, sf_dir):
+    """The outer stream-stream join's drain depends on three staged-file
+    invariants: (1) three part files, real data first by mtime (replay
+    order), (2) sentinel user_ids are NON-NULL — the equi-join's inferred
+    IsNotNull(user_id) is pushed into the scan, and a NULL-user sentinel
+    would be source-filtered and never advance the watermark, and
+    (3) sentinels are far-future and negative-id so they can be dropped
+    post-stream."""
+    import os
+
+    from flink_wordcount_spark.plans.streaming_q import _left_join_stream_dir
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    d = _left_join_stream_dir(spark, sf_dir, schema)
+    parts = sorted(p for p in os.listdir(d) if p.endswith(".parquet"))
+    assert parts == ["part-00000.parquet", "part-00001.parquet", "part-00002.parquet"]
+    mtimes = [os.stat(os.path.join(d, p)).st_mtime for p in parts]
+    assert mtimes[0] < mtimes[1] < mtimes[2], "replay order is mtime order"
+    flush = spark.read.schema(schema).parquet(os.path.join(d, "part-00001.parquet"))
+    rows = {r.event_type: r for r in flush.collect()}
+    assert set(rows) == {"view", "purchase"}
+    for r in rows.values():
+        assert r.user_id is not None and r.user_id < 0
+        assert r.event_id < 0
+        assert r.ts.year >= 2030
