@@ -6,6 +6,12 @@ reference rate 12,500 sentences/s) across the candidate levers, ONE CONFIG
 PER JVM — stopped streaming queries leave state-store caches on the heap, so
 in-process sweeps degrade monotonically and mis-rank the levers.
 
+Round 5: each JVM is JIT-WARMED (bench.warm_jvm_for_latency) before its
+measured window.  The round-4 sweep ran cold JVMs, where live capacity sits
+below the arrival rate (0.97M words/s cold vs 5.9M warm for the identical
+plan), so its windows measured HotSpot compilation + backlog drain and its
+lever rankings were confounded by which config burned warm-up fastest.
+
 Usage:
   python scripts/latency_sweep.py            # full sweep, prints a table
   python scripts/latency_sweep.py --one '<json config>'   # internal: one run
@@ -27,37 +33,30 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(ROOT))
 
-RUN_SEC = int(os.environ.get("SPARK_GRAFT_SWEEP_SEC", "30"))
+RUN_SEC = int(os.environ.get("SPARK_GRAFT_SWEEP_SEC", "45"))
 
 CONFIGS = [
-    # r02/r03 operating point: the baseline to beat
-    {"name": "base_1s_16p_snapshot", "trigger_sec": 1.0, "partitions": 16,
+    # lever 1: trigger interval around the r05 operating point (0.5 s).
+    # Warm capacity is ~1.5M words/s vs 1.25M arrival (~20% margin): 0.25 s
+    # leaves the pipeline permanently one batch behind; 1 s pays a larger
+    # quantum in p50.
+    {"name": "warm_1s_16p", "trigger_sec": 1.0, "partitions": 16,
+     "changelog": True, "extra": {}},
+    {"name": "warm_500ms_16p", "trigger_sec": 0.5, "partitions": 16,
+     "changelog": True, "extra": {}},
+    {"name": "warm_250ms_16p", "trigger_sec": 0.25, "partitions": 16,
+     "changelog": True, "extra": {}},
+    # lever 2: state partitions at the operating trigger
+    {"name": "warm_500ms_8p", "trigger_sec": 0.5, "partitions": 8,
+     "changelog": True, "extra": {}},
+    {"name": "warm_500ms_32p", "trigger_sec": 0.5, "partitions": 32,
+     "changelog": True, "extra": {}},
+    # lever 3: changelog checkpointing off (full snapshot per commit)
+    {"name": "warm_500ms_16p_snapshot", "trigger_sec": 0.5, "partitions": 16,
      "changelog": False, "extra": {}},
-    # lever 1: changelog checkpointing alone (commit = delta append)
-    {"name": "changelog_1s_16p", "trigger_sec": 1.0, "partitions": 16,
-     "changelog": True, "extra": {}},
-    # lever 2: shorter trigger (needs lever 1's fast commits to not queue)
-    {"name": "changelog_500ms_16p", "trigger_sec": 0.5, "partitions": 16,
-     "changelog": True, "extra": {}},
-    {"name": "changelog_250ms_16p", "trigger_sec": 0.25, "partitions": 16,
-     "changelog": True, "extra": {}},
-    {"name": "changelog_100ms_16p", "trigger_sec": 0.1, "partitions": 16,
-     "changelog": True, "extra": {}},
-    # lever 3: partition count at the best trigger
-    {"name": "changelog_250ms_8p", "trigger_sec": 0.25, "partitions": 8,
-     "changelog": True, "extra": {}},
-    {"name": "changelog_250ms_32p", "trigger_sec": 0.25, "partitions": 32,
-     "changelog": True, "extra": {}},
-    # lever 4: async progress tracking (offset/commit log writes off the
-    # critical path) on top of the best synchronous config
-    {"name": "changelog_250ms_16p_async", "trigger_sec": 0.25, "partitions": 16,
-     "changelog": True,
-     "extra": {"spark.sql.streaming.asyncProgressTrackingEnabled": "true"}},
-    # control: default HDFS-backed store at the best trigger (is RocksDB
-    # itself on the floor?)
-    {"name": "defaultstore_250ms_16p", "trigger_sec": 0.25, "partitions": 16,
-     "changelog": False, "extra": {},
-     "provider": "default"},
+    # control: default HDFS-backed store (is RocksDB itself on the floor?)
+    {"name": "warm_defaultstore_500ms_16p", "trigger_sec": 0.5,
+     "partitions": 16, "changelog": False, "extra": {}, "provider": "default"},
 ]
 
 
@@ -76,6 +75,7 @@ def run_one(cfg: dict) -> dict:
     extra[
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     ] = "true" if cfg.get("changelog") else "false"
+    warm = bench.warm_jvm_for_latency(spark)
     res = bench.bench_latency(
         spark,
         trigger_sec=cfg["trigger_sec"],
@@ -84,6 +84,7 @@ def run_one(cfg: dict) -> dict:
         run_sec=RUN_SEC,
     )
     res["name"] = cfg["name"]
+    res["jit_warmup"] = warm
     spark.stop()
     return res
 
