@@ -233,6 +233,12 @@ def bench_streaming(spark) -> dict:
                 latency = retry
             if degenerate_window(latency):
                 latency["degenerate_window"] = True
+        # Margin evidence (VERDICT r04 #7): saturate the live path at 2x the
+        # reference rate and report the drained rows/s — deliberately NOT a
+        # latency point (a saturated window's percentiles measure queue
+        # depth, which is exactly what the degenerate guard exists to
+        # flag). Measured r5: ~21k rows/s (~2.1M words/s) vs 12.5k arrival.
+        capacity = bench_capacity(spark)
         # best-of-N attempts: a single 50M-word stateful run in one JVM is
         # exposed to GC/JIT roll-of-the-dice (measured 1.3-6.4M words/s for
         # identical runs); the max is the capability number, the MEDIAN is
@@ -269,7 +275,38 @@ def bench_streaming(spark) -> dict:
         "sentences_per_sec": round(STREAM_SENTENCES / dt),
         "latency_ms": latency,
         "jit_warmup": jit_warm,
+        "live_capacity": capacity,
         "recovery": recovery,
+    }
+
+
+def bench_capacity(spark, probe_rate: int = 25000, run_sec: int = 40) -> dict:
+    """Live-path capacity via a deliberate saturation probe.
+
+    Drive the full live pipeline (rate source -> sentence UDF -> tokenize ->
+    355k-key stateful count, checkpointing on) at 2x the reference rate so
+    batches run back-to-back; the drained rows-per-exec-second IS the
+    capacity, and capacity / 12,500 is the margin behind the operating
+    point's percentiles. Latency percentiles of this window are discarded
+    on purpose: a saturated window measures queue depth, not latency.
+    """
+    lat = bench_latency(
+        spark,
+        run_sec=run_sec,
+        warmup_sec=10,
+        rows_per_second=probe_rate,
+    )
+    batches = lat.get("config", {}).get("batches", {})
+    drained = batches.get("rows_per_exec_sec_p50")
+    return {
+        "probe_rows_per_sec": probe_rate,
+        "probe_run_sec": run_sec,
+        "drained_rows_per_exec_sec": drained,
+        "words_per_sec_capacity": drained * SENTENCE_SIZE if drained else None,
+        "margin_vs_reference_rate": (
+            round(drained / 12500, 2) if drained else None
+        ),
+        "n_batches": batches.get("n"),
     }
 
 
@@ -520,6 +557,19 @@ def bench_latency(
                 "trigger_exec_ms_max": execs[-1],
                 "last5": progress[-5:],
             }
+            # Live-path capacity evidence (margin over the arrival rate):
+            # rows drained per second of batch execution. For saturated
+            # batches this IS the capacity; for drained sub-trigger batches
+            # it is a lower bound — either way margin = this / arrival rate.
+            rates = sorted(
+                p["numInputRows"] / (p["triggerExecution_ms"] / 1000.0)
+                for p in progress
+                if p["triggerExecution_ms"]
+            )
+            if rates:
+                cfg["batches"]["rows_per_exec_sec_p50"] = round(
+                    rates[len(rates) // 2]
+                )
     if not lat:
         return {"n_samples": 0, "config": cfg}
 
@@ -817,6 +867,9 @@ def compact_line(detail: dict) -> dict:
             "latency_ms": lat_compact,
             "recovery_sec": rec.get("restart_to_first_commit_sec"),
             "exactly_once_ok": rec.get("exactly_once_ok"),
+            "capacity_margin": s.get("live_capacity", {}).get(
+                "margin_vs_reference_rate"
+            ),
         },
         "machine": {
             "load_at_start": machine.get("load_at_start"),
