@@ -646,3 +646,75 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(F.ln("cnt"), F.ln("rnk")), 4).alias("zipf_slope"),
         F.round(F.regr_intercept(F.ln("cnt"), F.ln("rnk")), 4).alias("zipf_intercept"),
     )
+
+
+@query(
+    "text_char_lm_score",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id,
+               substr(text, CAST(u.i AS INT), 3) AS g3,
+               substr(text, CAST(u.i AS INT), 2) AS g2
+        FROM documents, unnest(generate_series(1, length(text) - 2)) AS u(i)
+        WHERE length(text) >= 3
+    ), m3 AS (
+        SELECT g3, count(*) AS c3 FROM grams GROUP BY g3
+    ), m2 AS (
+        SELECT g2, count(*) AS c2 FROM grams GROUP BY g2
+    ), vocab AS (
+        SELECT count(DISTINCT substr(g3, 3, 1)) AS v FROM grams
+    )
+    SELECT g.doc_id,
+           round(avg(ln((m3.c3 + 1.0) / (m2.c2 + vocab.v))), 3) AS avg_logp,
+           count(*) AS n_trigrams
+    FROM grams g
+    JOIN m3 USING (g3) JOIN m2 USING (g2) CROSS JOIN vocab
+    GROUP BY g.doc_id
+    """,
+)
+def text_char_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: per-document mean log-likelihood
+    under a char-trigram language model fit on the corpus itself (add-one
+    smoothing over the observed character alphabet).  The KenLM-style gate
+    a crawl pipeline runs to drop gibberish/binary-ish documents — done
+    entirely in DataFrame ops, no model library.
+
+    Two-pass scale shape: pass 1 aggregates the trigram/context model (one
+    shuffle on the gram key; model cardinality is bounded by alphabet^3,
+    i.e. MBs at any corpus size), pass 2 re-streams the corpus joining
+    trigrams to the broadcast model — the same build-small-then-broadcast
+    topology as BM25.  Docs shorter than 3 chars are excluded BEFORE the
+    index sequence on both sides (Spark's sequence(1, 0) is the DESCENDING
+    [1, 0], which would substr garbage)."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") >= 3)
+    )
+    g = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text") - 2)).alias("i"),
+        "text",
+    ).select(
+        "doc_id",
+        F.col("text").substr(F.col("i"), F.lit(3)).alias("g3"),
+        F.col("text").substr(F.col("i"), F.lit(2)).alias("g2"),
+    )
+    m3 = g.groupBy("g3").agg(F.count(F.lit(1)).alias("c3"))
+    m2 = g.groupBy("g2").agg(F.count(F.lit(1)).alias("c2"))
+    vocab = g.select(
+        F.count_distinct(F.col("g3").substr(F.lit(3), F.lit(1))).alias("v")
+    )
+    return (
+        g.join(maybe_broadcast(m3), "g3")
+        .join(maybe_broadcast(m2), "g2")
+        .crossJoin(maybe_broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(F.ln((F.col("c3") + F.lit(1.0)) / (F.col("c2") + F.col("v")))),
+                3,
+            ).alias("avg_logp"),
+            F.count(F.lit(1)).alias("n_trigrams"),
+        )
+    )
