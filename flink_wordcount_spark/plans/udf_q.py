@@ -171,7 +171,8 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
            CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
            count(*) AS n
-    FROM events WHERE json_valid(props)
+    FROM events
+    WHERE json_valid(props) AND json_extract(props, '$.k') IS NOT NULL
     GROUP BY event_type
     """,
 )
