@@ -156,11 +156,16 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             return pdf.iloc[0:0][["o_orderkey", "o_orderpriority"]].assign(z=[])
         mu = pdf["o_totalprice"].mean()
         out = pdf[["o_orderkey", "o_orderpriority"]].copy()
-        out["z"] = ((pdf["o_totalprice"] - mu) / sd).round(3)
+        out["z"] = (pdf["o_totalprice"] - mu) / sd
         return out
 
-    return o.groupBy("o_orderpriority").applyInPandas(
-        znorm, "o_orderkey long, o_orderpriority string, z double"
+    # round on the SPARK side, not in pandas: numpy .round is half-even,
+    # Spark/DuckDB round() are half-away-from-zero — a boundary-straddling
+    # z would hash-mismatch (repo rounding convention, plans/catalog.py)
+    return (
+        o.groupBy("o_orderpriority")
+        .applyInPandas(znorm, "o_orderkey long, o_orderpriority string, z double")
+        .withColumn("z", F.round("z", 3))
     )
 
 
