@@ -160,7 +160,14 @@ def test_answers_stable_under_adverse_confs(spark, sf_dir):
     cluster presents), the declared queries return identical answers."""
     baseline = {
         name: sorted(map(tuple, QUERIES[name](spark, sf_dir).collect()))
-        for name in ("q3_shipping_priority", "dedup_exact_hash", "window_topk_per_group")
+        for name in (
+            "q3_shipping_priority",
+            "dedup_exact_hash",
+            "window_topk_per_group",
+            # r05 additions with broadcast/shuffle-sensitive shapes
+            "text_char_lm_score",
+            "ev_session_dynamic_gap",
+        )
     }
     old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
