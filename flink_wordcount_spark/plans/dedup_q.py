@@ -284,3 +284,49 @@ def dedup_incremental_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_new = shingle_hashes(d.filter(is_new), "text", "doc_id", n=_SHINGLE_N)
     sh_old = shingle_hashes(d.filter(~is_new), "text", "doc_id", n=_SHINGLE_N)
     return incremental_jaccard_pairs(sh_new, sh_old, _THRESHOLD)
+
+
+@query(
+    "dedup_minhash_estimate",
+    oracle=f"""
+    SELECT id_a, id_b, n_shared, jaccard, TRUE AS est_within
+    FROM ({_JACCARD_ORACLE})
+    """,
+)
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash as an ESTIMATOR, value-checked: for every verified near-dup
+    pair, the signature-agreement fraction (matching components / k) must
+    sit within 0.25 of the exact Jaccard — ~3.5 sigma at k=32 for s >= 0.8
+    (sd = sqrt(s(1-s)/32) <= 0.071; empirical max error 0.06 across
+    fixtures).  Same boolean-contract pattern as approx_distinct_quantile:
+    the estimate itself is engine-specific (xxhash permutations), so the
+    oracle checks the error CONTRACT, which is what a pipeline relying on
+    signature-only dedup actually assumes.  Costs one extra broadcast join
+    of the (already-computed) signatures onto the verified pairs."""
+    d = table(spark, sf_dir, "documents")
+    sh = shingle_hashes(d, "text", "doc_id", n=_SHINGLE_N, dedup=False)
+    sig = minhash_signatures(sh, 32)
+    cands = lsh_candidate_pairs(sig, 32, 8, max_bucket_size=_MAX_BUCKET)
+    cand_ids = cands.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
+    cand_docs = d.join(
+        maybe_broadcast(cand_ids.withColumnRenamed("id", "doc_id")), "doc_id", "leftsemi"
+    )
+    cand_sh = shingle_hashes(cand_docs, "text", "doc_id", n=_SHINGLE_N)
+    verified = jaccard_pairs(cand_sh, _THRESHOLD).join(cands, ["id_a", "id_b"], "leftsemi")
+    a = sig.select(
+        F.col("id").alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(32)]
+    )
+    b = sig.select(
+        F.col("id").alias("id_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(32)]
+    )
+    matches = None
+    for i in range(32):
+        t = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        matches = t if matches is None else matches + t
+    est = matches / F.lit(32.0)
+    return (
+        verified.join(maybe_broadcast(a), "id_a")
+        .join(maybe_broadcast(b), "id_b")
+        .withColumn("est_within", F.abs(est - F.col("jaccard")) <= F.lit(0.25))
+        .select("id_a", "id_b", "n_shared", "jaccard", "est_within")
+    )
