@@ -130,7 +130,7 @@ def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY o_orderpriority)
     )
     SELECT o_orderkey, o_orderpriority,
-           round((o_totalprice - mu) / sd, 3) AS z
+           round((o_totalprice - mu) / sd, 3) + 0 AS z
     FROM st WHERE sd > 0
     """,
 )
@@ -161,11 +161,14 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # round on the SPARK side, not in pandas: numpy .round is half-even,
     # Spark/DuckDB round() are half-away-from-zero — a boundary-straddling
-    # z would hash-mismatch (repo rounding convention, plans/catalog.py)
+    # z would hash-mismatch (repo rounding convention, plans/catalog.py).
+    # The `+ 0.0` on BOTH sides normalizes IEEE negative zero: DuckDB's
+    # round emits -0.0 for tiny negative z while Spark emits +0.0, and the
+    # exact-repr compare distinguishes them (caught at sf0.1, 2 rows).
     return (
         o.groupBy("o_orderpriority")
         .applyInPandas(znorm, "o_orderkey long, o_orderpriority string, z double")
-        .withColumn("z", F.round("z", 3))
+        .withColumn("z", F.round("z", 3) + F.lit(0.0))
     )
 
 
