@@ -7,6 +7,12 @@ convention here:
 
 - Deterministic output only: no ``rand()``; every LIMIT/top-k has a total
   tie-break order; floats that aggregate are rounded at the end.
+- A rounded float that can sit near zero needs ``+ 0.0`` AFTER the round on
+  BOTH sides: DuckDB's round emits IEEE -0.0 for tiny negatives, Spark's
+  emits +0.0, and the exact-repr compare distinguishes them (bit us at
+  sf0.1 in udf_grouped_map). Never round integer-quotient ratios at all —
+  they land on exact decimal halves where Spark's BigDecimal HALF_UP and
+  DuckDB's float-multiply diverge; emit the raw IEEE division.
 - Column names identical on both sides (alias everything computed).
 - Timestamps/dates leave the query as formatted strings (engine-neutral).
 - Queries without an oracle entry (genuinely non-SQL-expressible) get the
