@@ -394,6 +394,20 @@ def _left_join_stream_dir(spark: SparkSession, sf_dir: str, schema) -> str:
     key = hashlib.sha1(f"{sf_dir}/events.parquet#lj".encode()).hexdigest()[:12]
     d = os.path.join(tempfile.gettempdir(), f"fws_streamdir_{key}")
     if os.path.exists(os.path.join(d, "_STAGED")):
+        # Self-heal the mtime ordering: if the fixture was regenerated
+        # after this dir was staged (its mtime now exceeds the cached flush
+        # files'), the file source would replay the sentinels FIRST, the
+        # watermark would pass the real data before it arrives, and every
+        # late row would be dropped. Re-touching the flush files restores
+        # data-then-sentinels order.
+        import time as _time
+
+        data_mtime = os.stat(f"{sf_dir}/events.parquet").st_mtime
+        for i in (1, 2):
+            p = os.path.join(d, f"part-0000{i}.parquet")
+            if os.stat(p).st_mtime <= data_mtime:
+                _time.sleep(0.05)
+                os.utime(p, None)
         return d
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "part-00000.parquet")
