@@ -56,6 +56,7 @@ _MODIFIED_THIS_ROUND: list[str] = [
     "stream_session_dynamic_gap",  # live twin of ev_session_dynamic_gap
     "text_char_lm_score",         # char-trigram LM perplexity proxy
     "dedup_minhash_estimate",     # signature-vs-exact error contract
+    "ts_profile_similarity",      # time-series profile top-k search
     # The rest of r05's budget goes to the stale back catalog (the 33
     # queries last verified in r01 sort first via staleness).
 ]

@@ -676,3 +676,64 @@ def ev_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "ts_profile_similarity",
+    oracle="""
+    WITH prof AS (
+        SELECT user_id, CAST(extract(hour FROM ts) AS BIGINT) AS hod,
+               avg(value) AS v
+        FROM events GROUP BY 1, 2
+    ), ref AS (
+        SELECT min(user_id) AS ref_user FROM events
+    ), dist AS (
+        SELECT p.user_id,
+               round(sum((p.v - r.v) * (p.v - r.v)), 4) AS ssd,
+               count(*) AS n_hours
+        FROM prof p
+        JOIN ref ON p.user_id <> ref.ref_user
+        JOIN prof r ON r.user_id = ref.ref_user AND r.hod = p.hod
+        GROUP BY p.user_id
+    )
+    SELECT user_id, ssd, n_hours FROM dist
+    ORDER BY ssd, user_id LIMIT 10
+    """,
+)
+def ts_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (EDBT'19 streaming-similarity shape):
+    each user's hour-of-day activity profile (24-dim avg(value) series) is
+    matched against a reference user's profile by squared Euclidean
+    distance over the common hours; top-10 nearest, totally ordered.
+
+    Scale shape: profiles are ONE groupBy over the fact table (24 rows per
+    user — the classic dimensionality reduction that makes series search
+    tractable at 100 TB); the reference profile is a <=24-row broadcast, so
+    the search is a map-side join + partial agg, and top-k plans as
+    TakeOrdered.  Swap the single reference for an LSH bucket join
+    (operators/similarity.py) for all-pairs search."""
+    e = table(spark, sf_dir, "events")
+    prof = (
+        e.select("user_id", F.hour("ts").cast("long").alias("hod"), "value")
+        .groupBy("user_id", "hod")
+        .agg(F.avg("value").alias("v"))
+    )
+    ref_user = e.agg(F.min("user_id").alias("ref_user"))
+    ref_prof = (
+        prof.join(
+            maybe_broadcast(ref_user),
+            prof.user_id == F.col("ref_user"),
+        )
+        .select("hod", F.col("v").alias("rv"), "ref_user")
+    )
+    return (
+        prof.join(maybe_broadcast(ref_prof), "hod")
+        .filter(F.col("user_id") != F.col("ref_user"))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum((F.col("v") - F.col("rv")) * (F.col("v") - F.col("rv"))), 4).alias("ssd"),
+            F.count(F.lit(1)).alias("n_hours"),
+        )
+        .orderBy("ssd", "user_id")
+        .limit(10)
+    )
