@@ -180,3 +180,20 @@ def test_answers_stable_under_adverse_confs(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def test_r05_additions_plan_shapes(spark, sf_dir):
+    """The round-5 queries plan with their designed-for physical shapes:
+    ts_profile_similarity's top-k must be TakeOrdered (never a global sort)
+    with the reference profile broadcast; text_char_lm_score must broadcast
+    the trigram model onto the corpus re-stream rather than shuffling the
+    corpus to the model."""
+    ts = _plan(QUERIES["ts_profile_similarity"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in ts
+    assert "BroadcastHashJoin" in ts
+    assert "rangepartitioning" not in ts.lower()
+    lm = _plan(QUERIES["text_char_lm_score"](spark, sf_dir))
+    assert "BroadcastHashJoin" in lm
+    # doc_id final agg is the only shuffle consuming the probe side: the
+    # model joins must not shuffle the exploded trigram stream
+    assert lm.count("SortMergeJoin") == 0
