@@ -243,10 +243,18 @@ def bench_streaming_latency(spark) -> dict:
         # timing-sensitive measurement and the unloads keep the JVM sane
         recovery = bench_recovery(spark, path)
     finally:
+        # restore OR unset: leaving the RocksDB override in place when the
+        # conf was previously unset silently changes the shared session's
+        # default on the in-process fallback path (ADVICE r05)
         if prev_provider:
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev_provider
             )
+        else:
+            try:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            except Exception:
+                pass
     return {
         "latency_ms": latency,
         "jit_warmup": jit_warm,

@@ -281,6 +281,190 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# The end-to-end curation flagship (VERDICT r05 #7): ONE declared query
+# chaining the full pretraining-data pipeline over `documents` —
+#   input -> exact dedup -> MinHash near-dup keep-list -> eval decontam ->
+#   quality gate -> mixture sampling
+# with a survival count + id checksum per stage (the curation_filter_funnel
+# pattern extended to the real operator chain).  This is the single query a
+# training-data user actually runs; every stage reuses the operator the
+# standalone query for it uses, so the funnel value-checks the COMPOSITION.
+#
+# Scale shape: stages 1-2 are the dedup family's hashed-shingle machinery
+# (fixed-width shuffle keys, LSH-bounded pair generation); decontam
+# broadcasts the eval-gram set; the quality gate and sampler are map-side
+# decisions.  The corpus is scanned once per shingling pass and once at the
+# end — no stage collects to the driver.
+# ---------------------------------------------------------------------------
+
+_E2E_DECON_N = 4
+_E2E_EVAL_MOD, _E2E_EVAL_RES = 10, 7
+_E2E_LANGS = ("en", "fr", "de", "es")
+_E2E_MIN_CHARS = 100
+
+_E2E_ORACLE = f"""
+WITH RECURSIVE keep1 AS (
+    SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+), s1 AS (
+    SELECT d.* FROM documents d JOIN keep1 USING (doc_id)
+), toks AS (
+    SELECT doc_id, list_filter(regexp_split_to_array(text, '\\W+'), x -> length(x) > 0) AS t
+    FROM s1
+), sh AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+{_SHINGLE_N - 1}], ' ') AS s
+    FROM toks, unnest(range(1, len(t) - {_SHINGLE_N - 2})) AS u(i)
+), sizes AS (
+    SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+    FROM sh a JOIN sh b USING (s)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), pairs AS (
+    SELECT id_a, id_b
+    FROM shared JOIN sizes x ON x.doc_id = id_a JOIN sizes y ON y.doc_id = id_b
+    WHERE round(n_shared / (x.n + y.n - n_shared), 6) >= 0.8
+), edges AS (
+    SELECT id_a AS s, id_b AS t FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+    UNION SELECT id_a, id_a FROM pairs
+    UNION SELECT id_b, id_b FROM pairs
+), reach AS (
+    SELECT s, t FROM edges
+    UNION
+    SELECT r.s, e.t FROM reach r JOIN edges e ON e.s = r.t
+), assign AS (
+    SELECT s AS doc_id, min(t) AS rep_id FROM reach GROUP BY s
+), s2 AS (
+    SELECT d.* FROM s1 d
+    WHERE NOT EXISTS (SELECT 1 FROM assign a
+                      WHERE a.doc_id = d.doc_id AND a.rep_id <> d.doc_id)
+), toks4 AS (
+    SELECT doc_id, list_filter(regexp_split_to_array(text, '\\W+'), x -> length(x) > 0) AS t
+    FROM documents
+), gr4 AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+{_E2E_DECON_N - 1}], ' ') AS s
+    FROM toks4, unnest(range(1, len(t) - {_E2E_DECON_N - 2})) AS u(i)
+), evsh AS (
+    SELECT DISTINCT s FROM gr4 WHERE doc_id % {_E2E_EVAL_MOD} = {_E2E_EVAL_RES}
+), contaminated AS (
+    SELECT DISTINCT doc_id FROM gr4 JOIN evsh USING (s)
+    WHERE doc_id % {_E2E_EVAL_MOD} <> {_E2E_EVAL_RES}
+), s3 AS (
+    SELECT * FROM s2
+    WHERE doc_id % {_E2E_EVAL_MOD} <> {_E2E_EVAL_RES}
+      AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+), s4 AS (
+    SELECT * FROM s3
+    WHERE n_chars >= {_E2E_MIN_CHARS} AND lang IN {str(tuple(_E2E_LANGS))}
+), s5 AS (
+    SELECT * FROM s4
+    WHERE ((doc_id % {_HASH_P}) * {_HASH_K}) % 1000 < {_PERMILLE_SQL}
+)
+SELECT stage, n_docs, id_checksum FROM (
+    SELECT '1_input' AS stage, count(*) AS n_docs,
+           CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_checksum FROM documents
+    UNION ALL
+    SELECT '2_exact_dedup', count(*), CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM s1
+    UNION ALL
+    SELECT '3_near_dedup', count(*), CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM s2
+    UNION ALL
+    SELECT '4_decontam', count(*), CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM s3
+    UNION ALL
+    SELECT '5_quality', count(*), CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM s4
+    UNION ALL
+    SELECT '6_mixture', count(*), CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM s5
+)
+"""
+
+
+@query("curation_end_to_end", oracle=_E2E_ORACLE)
+def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data curation pipeline as one declared query:
+    exact dedup -> MinHash-LSH near-dup keep-list -> eval-set decontamination
+    -> quality gate -> per-source mixture sampling, emitting (stage, n_docs,
+    id_checksum) per stage.  Each stage reuses the exact operator its
+    standalone query uses (dedup_exact, dedup_minhash_verified's candidate +
+    verify pipeline, decontam_eval_overlap's gram join, sample_stratified's
+    multiplicative hash), so a green row here value-checks the composition —
+    including that the near-dup stage runs on the exact-dedup SURVIVORS and
+    decontam on the near-dup survivors, the ordering a real pipeline uses."""
+    from ..operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    d = table(spark, sf_dir, "documents")
+
+    # stage 2: exact dedup (min-id representative per distinct text)
+    keep1 = d.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    s1 = d.join(keep1, "doc_id", "leftsemi")
+
+    # stage 3: MinHash-LSH candidates -> exact verify -> components -> drop
+    # non-representatives (the dedup_minhash_verified + dedup_keep_list path,
+    # restricted to the exact-dedup survivors)
+    sh = shingle_hashes(s1, "text", "doc_id", n=_SHINGLE_N, dedup=False)
+    cands = lsh_candidate_pairs(minhash_signatures(sh, 32), 32, 8, max_bucket_size=1024)
+    cand_ids = cands.select(F.explode(F.array("id_a", "id_b")).alias("doc_id")).distinct()
+    cand_docs = s1.join(F.broadcast(cand_ids), "doc_id", "leftsemi")
+    cand_sh = shingle_hashes(cand_docs, "text", "doc_id", n=_SHINGLE_N)
+    pairs = (
+        jaccard_pairs(cand_sh, 0.8)
+        .join(cands, ["id_a", "id_b"], "leftsemi")
+        .select("id_a", "id_b")
+    )
+    drop = connected_components(pairs).filter(F.col("rep_id") != F.col("doc_id"))
+    s2 = s1.join(F.broadcast(drop.select("doc_id")), "doc_id", "leftanti")
+
+    # stage 4: eval decontam — drop the eval split itself and any training doc
+    # sharing a distinct 4-gram with it (eval grams from the FULL corpus: the
+    # held-out set is fixed, not subject to upstream dedup)
+    gr4 = shingles(d, "text", "doc_id", n=_E2E_DECON_N)
+    is_eval = (F.col("id") % _E2E_EVAL_MOD) == _E2E_EVAL_RES
+    ev_grams = gr4.filter(is_eval).select("shingle").distinct()
+    contaminated = (
+        gr4.filter(~is_eval)
+        .join(F.broadcast(ev_grams), "shingle", "leftsemi")
+        .select(F.col("id").alias("doc_id"))
+        .distinct()
+    )
+    s3 = s2.filter(
+        (F.col("doc_id") % _E2E_EVAL_MOD) != _E2E_EVAL_RES
+    ).join(F.broadcast(contaminated), "doc_id", "leftanti")
+
+    # stage 5: quality gate (map-side; in production the threshold column is
+    # a model score — same shape)
+    s4 = s3.filter(
+        (F.col("n_chars") >= _E2E_MIN_CHARS) & F.col("lang").isin(*_E2E_LANGS)
+    )
+
+    # stage 6: deterministic per-source mixture sampling (sample_stratified's
+    # multiplicative hash — reproducible under retries/speculation)
+    s5 = s4.filter(
+        ((F.col("doc_id") % _HASH_P) * F.lit(_HASH_K)) % 1000 < F.expr(_PERMILLE_SQL)
+    )
+
+    def st(name: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("doc_id"), F.lit(0)).cast("bigint").alias("id_checksum"),
+        )
+
+    return (
+        st("1_input", d)
+        .unionAll(st("2_exact_dedup", s1))
+        .unionAll(st("3_near_dedup", s2))
+        .unionAll(st("4_decontam", s3))
+        .unionAll(st("5_quality", s4))
+        .unionAll(st("6_mixture", s5))
+    )
+
+
 # Epoch-shuffle constants: a second odd multiplier and a prime modulus give a
 # full-period permutation-ish ordering independent of the sampling hash; the
 # key reduces mod the prime before multiplying (same int64-overflow guard as

@@ -25,6 +25,7 @@ from ..operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     shingle_hashes,
+    shingles,
     simhash,
 )
 from .catalog import query
@@ -284,6 +285,240 @@ def dedup_incremental_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_new = shingle_hashes(d.filter(is_new), "text", "doc_id", n=_SHINGLE_N)
     sh_old = shingle_hashes(d.filter(~is_new), "text", "doc_id", n=_SHINGLE_N)
     return incremental_jaccard_pairs(sh_new, sh_old, _THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# Value-checked LSH twins (VERDICT r05 #1): the production candidate
+# generators above hash with xxhash64 (engine-specific, so rows-only); these
+# twins run the IDENTICAL banding/bucketing pipeline on a hash BOTH engines
+# compute bit-identically — md5 truncated to an integer — so the oracle
+# value-checks candidate generation end-to-end (the step that determines
+# recall at 100 TB).  Same shared-constant trick as lsh_cosine_candidates
+# (similarity_q.py): every permutation constant below is embedded verbatim in
+# both the Spark plan and the DuckDB SQL.
+# ---------------------------------------------------------------------------
+
+_P31 = 2_147_483_647  # Mersenne prime 2^31-1: (P-1)^2 < 2^62, no int64 overflow
+
+
+def _perm_consts(k: int) -> list[tuple[int, int]]:
+    """Deterministic affine-permutation constants (a_i, b_i) over GF(P31),
+    derived from a splitmix64-style mix of the index — pure function of i,
+    identical every run, shared by the Spark plan and the oracle SQL."""
+    out = []
+    for i in range(k):
+        z = (i * 0x9E3779B97F4A7C15 + 0xBF58476D1CE4E5B9) % (1 << 64)
+        z ^= z >> 30
+        z = (z * 0x94D049BB133111EB) % (1 << 64)
+        z ^= z >> 27
+        out.append((1 + z % (_P31 - 1), (z >> 32) % _P31))
+    return out
+
+
+_MD5_K, _MD5_BANDS = 32, 8
+_MD5_PERMS = _perm_consts(_MD5_K)
+
+# Spark-side shared hash: first 15 md5 hex chars as a 60-bit integer.
+def _md5_h60(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _minhash_md5_oracle() -> str:
+    r = _MD5_K // _MD5_BANDS
+    mins = ",\n               ".join(
+        f"min(({a} * hm + {b}) % {_P31}) AS m{i}"
+        for i, (a, b) in enumerate(_MD5_PERMS)
+    )
+    band_cases = "\n                 ".join(
+        "WHEN {bi} THEN ".format(bi=bi)
+        + " || ':' || ".join(f"CAST(m{bi * r + j} AS VARCHAR)" for j in range(r))
+        for bi in range(_MD5_BANDS)
+    )
+    band_vals = ", ".join(f"({bi})" for bi in range(_MD5_BANDS))
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(text, '\\W+'), x -> length(x) > 0) AS t
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+{_SHINGLE_N - 1}], ' ') AS s
+        FROM toks, unnest(range(1, len(t) - {_SHINGLE_N - 2})) AS u(i)
+    ), hm AS (
+        SELECT doc_id, ('0x' || substring(md5(s), 1, 15))::BIGINT % {_P31} AS hm
+        FROM sh
+    ), sig AS (
+        SELECT doc_id,
+               {mins}
+        FROM hm GROUP BY doc_id
+    ), bands AS (
+        SELECT doc_id, band_idx,
+               CASE band_idx
+                 {band_cases}
+               END AS band_key
+        FROM sig CROSS JOIN (VALUES {band_vals}) AS bb(band_idx)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b USING (band_idx, band_key)
+    WHERE a.doc_id < b.doc_id
+    """
+
+
+@query("lsh_minhash_candidates_md5", oracle=_minhash_md5_oracle())
+def lsh_minhash_candidates_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs, value-checked: distinct shingles -> shared
+    md5-60bit hash -> 32 affine permutations mod 2^31-1 -> per-doc mins ->
+    8 bands of 4 keyed by the exact min tuple (string key: zero band-hash
+    collisions, so the bucket membership is literally the signature agreement
+    the oracle recomputes).  The xxhash64 path (lsh_minhash_candidates) stays
+    as the production perf variant — same pipeline shape, cheaper hash."""
+    d = table(spark, sf_dir, "documents")
+    sh = shingles(d, "text", "doc_id", n=_SHINGLE_N)
+    hm = sh.select("id", (_md5_h60(F.col("shingle")) % _P31).alias("hm"))
+    sig = hm.groupBy("id").agg(
+        *[
+            F.min((F.lit(a) * F.col("hm") + F.lit(b)) % _P31).alias(f"m{i}")
+            for i, (a, b) in enumerate(_MD5_PERMS)
+        ]
+    )
+    r = _MD5_K // _MD5_BANDS
+    stacked = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_idx"),
+                        F.concat_ws(
+                            ":", *[F.col(f"m{bi * r + j}").cast("string") for j in range(r)]
+                        ).alias("band_key"),
+                    )
+                    for bi in range(_MD5_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "b.band_idx", "b.band_key")
+    a = stacked.select(F.col("id").alias("id_a"), "band_idx", "band_key")
+    b = stacked.select(F.col("id").alias("id_b"), "band_idx", "band_key")
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def _simhash_md5_oracle() -> str:
+    lo_sums = ",\n               ".join(
+        f"sum(CASE WHEN (lo >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS sl{i}"
+        for i in range(32)
+    )
+    hi_sums = ",\n               ".join(
+        f"sum(CASE WHEN (hi >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS sh{i}"
+        for i in range(32)
+    )
+    fp_lo = " + ".join(
+        f"(CASE WHEN sl{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32)
+    )
+    fp_hi = " + ".join(
+        f"(CASE WHEN sh{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(text, '\\W+'), x -> length(x) > 0) AS t
+        FROM documents
+    ), tok AS (
+        SELECT doc_id,
+               ('0x' || substring(md5(u.w), 1, 8))::BIGINT AS hi,
+               ('0x' || substring(md5(u.w), 9, 8))::BIGINT AS lo
+        FROM toks, unnest(t) AS u(w)
+    ), sums AS (
+        SELECT doc_id,
+               {lo_sums},
+               {hi_sums}
+        FROM tok GROUP BY doc_id
+    ), fp AS (
+        SELECT doc_id, CAST({fp_lo} AS BIGINT) AS fp_lo, CAST({fp_hi} AS BIGINT) AS fp_hi
+        FROM sums
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.fp_hi, b.fp_hi)) + bit_count(xor(a.fp_lo, b.fp_lo)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON (a.fp_hi >> 16) = (b.fp_hi >> 16)
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.fp_hi, b.fp_hi)) + bit_count(xor(a.fp_lo, b.fp_lo)) <= 8
+    """
+
+
+@query("lsh_simhash64_md5", oracle=_simhash_md5_oracle())
+def lsh_simhash64_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, value-checked: the 64-bit fingerprint is built
+    from a shared md5-derived token hash (two 32-bit halves, so every bit
+    test and the prefix bucket are plain positive-int arithmetic in BOTH
+    engines — no signed-shift or overflow edge), tf-weighted ±1 bit sums,
+    16-bit-prefix bucketing, Hamming <= 8.  Value-checks the full SimHash
+    pipeline the production lsh_simhash64 (xxhash64) runs rows-only."""
+    from ..operators.text import TOKEN_SPLIT_REGEX
+
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            F.col("doc_id").alias("id"),
+            F.explode(F.split("text", TOKEN_SPLIT_REGEX)).alias("w"),
+        )
+        .filter(F.length("w") > 0)
+        .select(
+            "id",
+            F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("hi"),
+            F.conv(F.substring(F.md5("w"), 9, 8), 16, 10).cast("long").alias("lo"),
+        )
+    )
+    one = F.lit(1).cast("long")
+    sums = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("lo", i).bitwiseAND(F.lit(1)) == 1, one).otherwise(-one)
+            ).alias(f"sl{i}")
+            for i in range(32)
+        ],
+        *[
+            F.sum(
+                F.when(F.shiftright("hi", i).bitwiseAND(F.lit(1)) == 1, one).otherwise(-one)
+            ).alias(f"sh{i}")
+            for i in range(32)
+        ],
+    )
+
+    def _fp(prefix: str):
+        acc = None
+        for i in range(32):
+            bit = F.when(F.col(f"{prefix}{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            acc = bit if acc is None else acc + bit  # disjoint bits: + == OR
+        return acc
+
+    fp = sums.select("id", _fp("sl").alias("fp_lo"), _fp("sh").alias("fp_hi"))
+    a = fp.select(
+        F.col("id").alias("id_a"),
+        F.col("fp_lo").alias("lo_a"),
+        F.col("fp_hi").alias("hi_a"),
+        F.shiftright("fp_hi", 16).alias("bucket"),
+    )
+    b = fp.select(
+        F.col("id").alias("id_b"),
+        F.col("fp_lo").alias("lo_b"),
+        F.col("fp_hi").alias("hi_b"),
+        F.shiftright("fp_hi", 16).alias("bucket"),
+    )
+    hamming = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).cast("bigint")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 8)
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 @query(

@@ -164,11 +164,30 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(joined, output_mode="append")
 
 
-@query("stream_sentences_golden")  # rows-only: xxhash64 generator is Spark-specific
+@query(
+    "stream_sentences_golden",
+    oracle="""
+    SELECT CAST(40406 AS BIGINT) AS total_words,
+           CAST(37789 AS BIGINT) AS distinct_words,
+           CAST(389 AS BIGINT) AS max_count,
+           CAST(0 AS BIGINT) AS n_mismatch_vs_batch
+    """,
+)
 def stream_sentences_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rate-source parity: the seeded sentence generator (reference source
-    semantics — sample timestamps, skew knob off) replayed through a real
-    streaming query; deterministic counts from (seed, row_id) alone."""
+    """Rate-source parity, VALUE-CHECKED via a golden contract (VERDICT r05
+    #4): the seeded sentence generator (reference source semantics — sample
+    timestamps, skew knob off) replayed through a real streaming query.
+
+    The generator is a pure function of (seed, row_id), so the replayed
+    stream's word-count table is a deterministic constant: the contract row
+    pins the total token count (40,406 — the 2,000 x 20 word draws plus the
+    extra tokens the \\W+ tokenizer splits off apostrophe vocabulary words),
+    the distinct-token count (37,789) and the max per-token count (389,
+    possessive 's), all golden values recomputed from the generator
+    parameters; plus n_mismatch_vs_batch = 0, which asserts the STREAMING
+    result is row-identical to a batch regeneration of the same prefix —
+    the exactly-once replay property the reference's checkpointing
+    experiment is about."""
     n_rows, size, seed, period = 2000, 20, 42, 100
     # cache key carries every generator parameter plus the vocabulary size,
     # so changing any of them regenerates instead of replaying a stale copy
@@ -185,7 +204,34 @@ def stream_sentences_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = tokenize(stream, text_col="sentence", out_col="word").groupBy("word").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    return run_to_completion(counts, output_mode="complete").orderBy(F.desc("cnt"), F.asc("word"))
+    streamed = run_to_completion(counts, output_mode="complete")
+    # batch twin: regenerate the identical prefix and count it in one batch
+    # plan — any divergence (missed/duplicated micro-batch rows) lands in
+    # n_mismatch_vs_batch
+    batch_counts = (
+        tokenize(
+            batch_golden(spark, n_rows, sentence_size=size, sample_period=period, seed=seed),
+            text_col="sentence",
+            out_col="word",
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("bcnt"))
+    )
+    mismatch = (
+        streamed.join(batch_counts, "word", "full_outer")
+        .filter(
+            F.col("cnt").isNull()
+            | F.col("bcnt").isNull()
+            | (F.col("cnt") != F.col("bcnt"))
+        )
+        .agg(F.count(F.lit(1)).alias("n_mismatch_vs_batch"))
+    )
+    stats = streamed.agg(
+        F.sum("cnt").cast("bigint").alias("total_words"),
+        F.count(F.lit(1)).alias("distinct_words"),
+        F.max("cnt").alias("max_count"),
+    )
+    return stats.crossJoin(mismatch)
 
 
 @query(
@@ -398,17 +444,25 @@ def _left_join_stream_dir(spark: SparkSession, sf_dir: str, schema) -> str:
         # after this dir was staged (its mtime now exceeds the cached flush
         # files'), the file source would replay the sentinels FIRST, the
         # watermark would pass the real data before it arrives, and every
-        # late row would be dropped. Re-touching the flush files restores
-        # data-then-sentinels order.
+        # late row would be dropped. When ANY file is out of order, re-touch
+        # BOTH sentinels in sequence (touching only the stale one could
+        # reorder it after its sibling — ADVICE r05), then assert the full
+        # data < part-00001 < part-00002 ordering; a fixture carrying a
+        # FUTURE mtime (copied with preserved timestamps) can defeat
+        # os.utime(now), in which case the dir is restaged from scratch.
+        import shutil
         import time as _time
 
         data_mtime = os.stat(f"{sf_dir}/events.parquet").st_mtime
-        for i in (1, 2):
-            p = os.path.join(d, f"part-0000{i}.parquet")
-            if os.stat(p).st_mtime <= data_mtime:
+        parts = [os.path.join(d, f"part-0000{i}.parquet") for i in (1, 2)]
+        if any(os.stat(p).st_mtime <= data_mtime for p in parts):
+            for p in parts:
                 _time.sleep(0.05)
                 os.utime(p, None)
-        return d
+        mtimes = [os.stat(p).st_mtime for p in parts]
+        if data_mtime < mtimes[0] < mtimes[1]:
+            return d
+        shutil.rmtree(d)  # unorderable (future-dated fixture): restage
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "part-00000.parquet")
     if not os.path.exists(link):

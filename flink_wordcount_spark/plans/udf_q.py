@@ -192,8 +192,12 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     and every later path access is a binary probe, which is the right cost
     model when many fields are read per row at 100 TB."""
     e = table(spark, sf_dir, "events")
+    # try_parse_json, not parse_json: the oracle guards with json_valid(props),
+    # so a malformed document must become a NULL variant (dropped by the
+    # k IS NOT NULL filter below) rather than a runtime error — keeps parity
+    # symmetric on fixture vintages with bad JSON (ADVICE r05).
     v = e.select(
-        "event_type", F.parse_json(F.col("props")).alias("pv")
+        "event_type", F.try_parse_json(F.col("props")).alias("pv")
     )
     return (
         v.select(
