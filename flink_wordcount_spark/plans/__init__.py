@@ -43,22 +43,16 @@ from . import catalog as _catalog
 # session-window oracle break shipped unverified precisely because a stale
 # green row pinned it behind the budget).  Reset this list each round.
 _MODIFIED_THIS_ROUND: list[str] = [
-    # Edited AFTER the r04 driver verification (commit ef0b010, the
-    # advice-list closes): the driver has never seen these versions.
-    "ev_anomaly_zscore",   # rounded-z cutoff on both sides
-    "join_salted_skew",    # __salt-collision guard in salted_join
-    "agg_salted_two_phase",  # same guard in salted_count
-    # NEW in r05 (never driver-verified):
-    "ev_session_dynamic_gap",     # per-event-gap session_window
-    "stream_stream_left_join",    # outer stream-stream join w/ flush sentinels
-    "udf_grouped_map",            # applyInPandas grouped-map parity
-    "fn_variant",                 # VARIANT parse_json/variant_get
-    "stream_session_dynamic_gap",  # live twin of ev_session_dynamic_gap
-    "text_char_lm_score",         # char-trigram LM perplexity proxy
-    "dedup_minhash_estimate",     # signature-vs-exact error contract
-    "ts_profile_similarity",      # time-series profile top-k search
-    # The rest of r05's budget goes to the stale back catalog (the 33
-    # queries last verified in r01 sort first via staleness).
+    # NEW in r06 (never driver-verified):
+    "lsh_minhash_candidates_md5",  # value-checked MinHash-LSH twin (shared md5 hash)
+    "lsh_simhash64_md5",           # value-checked SimHash twin
+    "curation_end_to_end",         # full curation pipeline funnel
+    # Edited in r06 (the driver has never seen these versions):
+    "stream_sentences_golden",     # rows-only -> golden value contract
+    "fn_variant",                  # try_parse_json (oracle json_valid parity)
+    "stream_stream_left_join",     # sentinel staging self-heal hardening
+    # The rest of r06's budget goes to the stale back catalog: the 23-query
+    # cohort last verified in r02 sorts first via staleness (VERDICT r05 #2).
 ]
 
 

@@ -451,18 +451,21 @@ def _left_join_stream_dir(spark: SparkSession, sf_dir: str, schema) -> str:
         # FUTURE mtime (copied with preserved timestamps) can defeat
         # os.utime(now), in which case the dir is restaged from scratch.
         import shutil
-        import time as _time
 
         data_mtime = os.stat(f"{sf_dir}/events.parquet").st_mtime
         parts = [os.path.join(d, f"part-0000{i}.parquet") for i in (1, 2)]
         if any(os.stat(p).st_mtime <= data_mtime for p in parts):
-            for p in parts:
-                _time.sleep(0.05)
-                os.utime(p, None)
+            # anchor EXPLICIT mtimes past the data file (utime(now) is
+            # defeated by a future-dated fixture copied with preserved
+            # timestamps), re-touching BOTH sentinels so their relative
+            # order survives too
+            t1 = max(_time.time(), data_mtime + 1.0)
+            os.utime(parts[0], (t1, t1))
+            os.utime(parts[1], (t1 + 1.0, t1 + 1.0))
         mtimes = [os.stat(p).st_mtime for p in parts]
         if data_mtime < mtimes[0] < mtimes[1]:
             return d
-        shutil.rmtree(d)  # unorderable (future-dated fixture): restage
+        shutil.rmtree(d)  # ordering still unestablishable: restage
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "part-00000.parquet")
     if not os.path.exists(link):
