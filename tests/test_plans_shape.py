@@ -197,3 +197,19 @@ def test_r05_additions_plan_shapes(spark, sf_dir):
     # doc_id final agg is the only shuffle consuming the probe side: the
     # model joins must not shuffle the exploded trigram stream
     assert lm.count("SortMergeJoin") == 0
+
+
+def test_r06_additions_plan_shapes(spark, sf_dir):
+    """Round-6 queries keep their designed shapes.
+
+    lsh_minhash_candidates_md5: the 32 permutation mins fold into ONE
+    groupBy(id) (a single signature exchange with map-side partials) and the
+    band bucketing never degenerates to a cartesian product.
+    curation_end_to_end: the stage anti/semi joins run broadcast at fixture
+    scale and the whole funnel plans without a cartesian product."""
+    mh = _plan(QUERIES["lsh_minhash_candidates_md5"](spark, sf_dir))
+    assert "partial_min" in mh
+    assert "CartesianProduct" not in mh
+    e2e = _plan(QUERIES["curation_end_to_end"](spark, sf_dir))
+    assert "CartesianProduct" not in e2e
+    assert "BroadcastHashJoin" in e2e
