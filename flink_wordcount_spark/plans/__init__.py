@@ -46,7 +46,9 @@ _MODIFIED_THIS_ROUND: list[str] = [
     # NEW in r06 (never driver-verified):
     "lsh_minhash_candidates_md5",  # value-checked MinHash-LSH twin (shared md5 hash)
     "lsh_simhash64_md5",           # value-checked SimHash twin
+    "lsh_ivf_topk_checked",        # value-checked IVF twin (rounded comparisons)
     "curation_end_to_end",         # full curation pipeline funnel
+    "stream_curation_gate",        # streaming ingest quality gate + dedup
     # Edited in r06 (the driver has never seen these versions):
     "stream_sentences_golden",     # rows-only -> golden value contract
     "fn_variant",                  # try_parse_json (oracle json_valid parity)

@@ -75,6 +75,99 @@ def lsh_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IVF twin (r06): lsh_ivf_topk's centroids are deterministic (every 50th
+# vector) and its pruning is pure argmin/top-n logic, so the WHOLE pipeline
+# is SQL semantics once comparisons run on ROUNDED similarities (repo
+# convention: round before compare — a last-ulp cosine difference between
+# engines can otherwise flip a cell assignment at a near-tie).  The xxhash-
+# free twin value-checks cell assignment + probe selection + in-cell exact
+# scoring end-to-end; lsh_ivf_topk stays as the unrounded perf variant whose
+# recall is covered by tests.
+_IVF_ORACLE = f"""
+WITH c AS (
+    SELECT CAST(vec_id // 50 AS INTEGER) AS cell_id,
+           CAST(embedding AS DOUBLE[]) AS cv
+    FROM embeddings WHERE vec_id % 50 = 0
+), v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+), scored AS (
+    SELECT vec_id, cell_id, round(list_cosine_similarity(vv, cv), 6) AS sim
+    FROM v CROSS JOIN c
+), assign AS (
+    SELECT vec_id, cell_id FROM (
+        SELECT vec_id, cell_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell_id) AS rn
+        FROM scored
+    ) WHERE rn = 1
+), probes AS (
+    SELECT vec_id AS query_id, cell_id FROM (
+        SELECT vec_id, cell_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell_id) AS rn
+        FROM scored WHERE vec_id < {_N_QUERIES}
+    ) WHERE rn <= 3
+), pairs AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.vv, n.vv), 6) AS cos_sim
+    FROM probes p JOIN assign a USING (cell_id)
+    JOIN v q ON q.vec_id = p.query_id
+    JOIN v n ON n.vec_id = a.vec_id
+    WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM pairs
+) WHERE rank <= {_K}
+"""
+
+
+@query("lsh_ivf_topk_checked", oracle=_IVF_ORACLE)
+def lsh_ivf_topk_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned approximate top-k, VALUE-CHECKED: identical pipeline to
+    lsh_ivf_topk (deterministic every-50th-vector centroids, nprobe=3,
+    partition-prunable cell equi-join) with every selection comparison on
+    round(sim, 6) + total tie-breaks, so the DuckDB twin reproduces cell
+    assignment, probe choice and the final ranking exactly."""
+    from ..operators.similarity import cosine
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.filter(F.col("vec_id") % 50 == 0)
+        .select(
+            F.expr("CAST(vec_id div 50 AS INT)").alias("cell_id"),
+            as_double(F.col("embedding")).alias("cv"),
+        )
+    )
+    v = emb.select("vec_id", as_double(F.col("embedding")).alias("vv"))
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cell_id", "vv", F.round(cosine(F.col("vv"), F.col("cv")), 6).alias("sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell_id"))
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    assign = ranked.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), "cell_id", F.col("vv").alias("nv")
+    )
+    probes = (
+        ranked.filter((F.col("vec_id") < _N_QUERIES) & (F.col("rn") <= 3))
+        .select(F.col("vec_id").alias("query_id"), "cell_id", F.col("vv").alias("qv"))
+    )
+    pairs = (
+        assign.join(F.broadcast(probes), "cell_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return pairs.withColumn("rank", F.row_number().over(wk).cast("bigint")).filter(
+        F.col("rank") <= _K
+    )
+
+
 _DUP_T = 0.45
 _N_TABLES = 8
 _BITS = 4

@@ -517,6 +517,46 @@ def _left_join_stream_dir(spark: SparkSession, sf_dir: str, schema) -> str:
 
 
 @query(
+    "stream_curation_gate",
+    oracle="""
+    SELECT source, CAST(count(DISTINCT text) AS BIGINT) AS n_unique_kept
+    FROM documents
+    WHERE n_chars >= 100 AND lang IN ('en', 'fr', 'de', 'es')
+    GROUP BY source
+    """,
+)
+def stream_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest curation: the quality gate + exact-dedup stages of
+    curation_end_to_end running ON THE INGEST STREAM — filter (map-side,
+    before any state) then ``dropDuplicates`` keyed on (source, sha2(text)),
+    so the state store holds one 32-byte digest per unique kept document
+    instead of document bodies.  This is the shape that admits documents to
+    a training corpus as they arrive, rather than re-running batch dedup
+    over the full corpus per ingest; the batch oracle (distinct texts per
+    source over the gated set) pins that replaying the stream admits exactly
+    the batch-correct set."""
+    from ..streaming.wordcount import stream_dir_for
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(
+        stream_dir_for(f"{sf_dir}/documents.parquet")
+    )
+    gated = stream.filter(
+        (F.col("n_chars") >= 100) & F.col("lang").isin("en", "fr", "de", "es")
+    )
+    deduped = gated.select(
+        "source", F.sha2("text", 256).alias("text_sha")
+    ).dropDuplicates(["source", "text_sha"])
+    # append-mode stream emits each admitted (source, digest) exactly once;
+    # the per-source rollup runs on the materialized admission table (keeps
+    # the streaming query single-stateful-operator, supported everywhere)
+    admitted = run_to_completion(deduped, output_mode="append")
+    return admitted.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_unique_kept")
+    )
+
+
+@query(
     "stream_session_dynamic_gap",
     oracle="""
     WITH g AS (

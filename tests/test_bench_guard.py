@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import json
 
-from bench import compact_line, degenerate_window
+from bench import compact_line, degenerate_window, io_stall_window
 
 
 def _lat(n_samples, n_batches, p50_exec_ms, trigger_sec=0.25, run_sec=110):
@@ -65,6 +65,46 @@ def test_thin_sample_flagged():
 def test_missing_batch_stats_is_degenerate():
     # No progress captured at all -> nothing proves the window was healthy.
     assert degenerate_window({"n_samples": 40_000, "config": {}})
+
+
+def _lat_commits(p50, p99, spikes):
+    return {
+        "n_samples": 40_000,
+        "p95": 7_000,
+        "config": {
+            "trigger_sec": 0.5,
+            "run_sec": 110,
+            "batches": {
+                "n": 200,
+                "state_commit_ms_p50": p50,
+                "state_commit_ms_p99": p99,
+                "commit_spikes": spikes,
+            },
+        },
+    }
+
+
+def test_io_stall_flagged_on_pure_filesync_spikes():
+    # The r06 sandbox shape: commit p99 blown out, every spike ~100% fileSync
+    # (flush/compact/checkpoint ~0) — the storage layer stalling fsync.
+    spike = {"stateCommit_ms": 8_662, "fileSync_ms": 8_646, "flush_ms": 0}
+    assert io_stall_window(_lat_commits(2_064, 8_662, [spike]))
+
+
+def test_snapshot_flush_spike_is_not_io_stall():
+    # A flush-dominated spike is the snapshot-cadence (engine) behavior the
+    # minDeltasForSnapshot fix targets — must NOT be excused as host IO.
+    spike = {"stateCommit_ms": 33_243, "fileSync_ms": 3_955, "flush_ms": 28_135}
+    assert not io_stall_window(_lat_commits(2_016, 33_243, [spike]))
+
+
+def test_modest_commit_tail_is_not_io_stall():
+    spike = {"stateCommit_ms": 3_000, "fileSync_ms": 2_900, "flush_ms": 0}
+    assert not io_stall_window(_lat_commits(2_000, 3_000, [spike]))
+
+
+def test_missing_commit_stats_is_not_io_stall():
+    assert not io_stall_window({"n_samples": 40_000, "config": {}})
 
 
 def _detail_fixture(degenerate=False):
