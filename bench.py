@@ -645,7 +645,7 @@ def bench_latency(
                     ("compact_ms", "rocksdbCommitCompactLatency"),
                     ("checkpoint_ms", "rocksdbCommitCheckpointLatency"),
                     ("fileSync_ms", "rocksdbCommitFileSyncLatencyMs"),
-                    ("snapshot_pending", "rocksdbFilesCopied"),
+                    ("files_copied", "rocksdbFilesCopied"),
                 ):
                     if key in cm:
                         row[short] = cm[key]

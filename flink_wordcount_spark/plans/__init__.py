@@ -49,6 +49,7 @@ _MODIFIED_THIS_ROUND: list[str] = [
     "lsh_ivf_topk_checked",        # value-checked IVF twin (rounded comparisons)
     "curation_end_to_end",         # full curation pipeline funnel
     "stream_curation_gate",        # streaming ingest quality gate + dedup
+    "dedup_edit_distance",         # Levenshtein-verified near-dup (SimHash cands)
     # Edited in r06 (the driver has never seen these versions):
     "stream_sentences_golden",     # rows-only -> golden value contract
     "fn_variant",                  # try_parse_json (oracle json_valid parity)
