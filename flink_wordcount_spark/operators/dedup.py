@@ -33,8 +33,15 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     )
 
 
-def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
+def shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, dedup: bool = True
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    ``dedup=False`` skips the distinct (its own shuffle) for consumers whose
+    aggregate is duplicate-invariant — MinHash mins over a multiset equal
+    mins over its set — mirroring :func:`shingle_hashes`.
+    """
     toks = F.filter(F.split(F.col(text_col), TOKEN_SPLIT_REGEX), lambda w: F.length(w) > 0)
     base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
     # guard: sequence(1, 0) in Spark is the DESCENDING [1, 0], so short docs
@@ -44,7 +51,8 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame
         f"transform(sequence(1, size(toks) - {n - 1}), i -> concat_ws(' ', slice(toks, i, {n}))) "
         f"ELSE array() END"
     )
-    return base.select("id", F.explode(sh).alias("shingle")).distinct()
+    out = base.select("id", F.explode(sh).alias("shingle"))
+    return out.distinct() if dedup else out
 
 
 def jaccard_pairs(

@@ -400,8 +400,14 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
 
-    # stage 2: exact dedup (min-id representative per distinct text)
-    keep1 = d.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    # stage 2: exact dedup — keyed on the sha2 digest so the shuffle carries
+    # 32 bytes/row instead of document bodies (dedup_exact_hash's 100 TB
+    # shape; the oracle groups by text, identical modulo a 2^-128 collision)
+    keep1 = (
+        d.groupBy(F.sha2("text", 256))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
     s1 = d.join(keep1, "doc_id", "leftsemi")
 
     # stage 3: MinHash-LSH candidates -> exact verify -> components -> drop

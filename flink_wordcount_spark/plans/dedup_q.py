@@ -371,7 +371,10 @@ def lsh_minhash_candidates_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle recomputes).  The xxhash64 path (lsh_minhash_candidates) stays
     as the production perf variant — same pipeline shape, cheaper hash."""
     d = table(spark, sf_dir, "documents")
-    sh = shingles(d, "text", "doc_id", n=_SHINGLE_N)
+    # dedup=False: MinHash mins are duplicate-invariant (min over a multiset
+    # == min over its set, which is why the oracle's DISTINCT sh CTE yields
+    # the same signatures), so the whole signature pipeline is ONE shuffle
+    sh = shingles(d, "text", "doc_id", n=_SHINGLE_N, dedup=False)
     hm = sh.select("id", (_md5_h60(F.col("shingle")) % _P31).alias("hm"))
     sig = hm.groupBy("id").agg(
         *[
