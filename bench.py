@@ -257,7 +257,10 @@ def bench_streaming_latency(spark) -> dict:
         # percentiles through backlog drain without starving batches. One
         # retry; keep the cleaner window by p95 and attach the stalled
         # window's spike evidence so the artifact still shows what happened.
-        elif io_stall_window(latency):
+        # Screened on whatever window the degenerate branch ADOPTED (an
+        # independent `if`, not elif): a degenerate first window's retry can
+        # itself contain the stall and must not be published unflagged.
+        if not latency.get("degenerate_window") and io_stall_window(latency):
             stall_evidence = latency.get("config", {}).get("batches", {}).get(
                 "commit_spikes"
             )
@@ -726,10 +729,15 @@ def bench_latency(
                 cfg["batches"]["state_commit_ms_p99"] = commits[
                     min(len(commits) - 1, int(len(commits) * 0.99))
                 ]
+                # un-truncated: io_stall_window's all() classification must
+                # see EVERY spike — a dropped flush-dominated spike behind a
+                # fileSync prefix would let an engine spike be excused as
+                # host IO (review r06); a window has <= ~200 batches, so the
+                # worst-case detail size is bounded anyway
                 cfg["batches"]["commit_spikes"] = [
                     p for p in progress
                     if (p.get("stateCommit_ms") or 0) > 3 * max(p50c, 1)
-                ][:8]
+                ]
             # Live-path capacity evidence (margin over the arrival rate):
             # rows drained per second of batch execution. For saturated
             # batches this IS the capacity; for drained sub-trigger batches
@@ -838,6 +846,12 @@ def build_sf1(spark, src_dir: str = "/root/testdata/sf0.1") -> str:
     from pyspark.sql import functions as F
 
     out_root = os.path.join(tempfile.gettempdir(), "fws_sf1_x10_v3")
+    # reap superseded cache vintages: each is ~GBs of replicated parquet
+    # that nothing reads once the key bumps (review r06)
+    import shutil
+
+    for stale in ("fws_sf1_x10", "fws_sf1_x10_v2"):
+        shutil.rmtree(os.path.join(tempfile.gettempdir(), stale), ignore_errors=True)
     os.makedirs(out_root, exist_ok=True)
     for name, keys in _SF1_KEYS.items():
         dest = os.path.join(out_root, f"{name}.parquet")

@@ -213,6 +213,43 @@ def lsh_candidate_pairs(
     )
 
 
+def minhash_verified_pairs(
+    d: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket_size: int | None = 1024,
+) -> DataFrame:
+    """MinHash-LSH candidate pruning + exact-Jaccard verification, as ONE
+    operator: the candidate->verify chain shared by dedup_minhash_verified
+    and curation_end_to_end (extracted so a band/threshold/bucket-cap tuning
+    can never silently diverge between the standalone query and the funnel).
+
+    Candidate generation runs on 64-bit shingle hashes without the distinct
+    (MinHash mins are duplicate-invariant -> one shuffle); the verify branch
+    re-shingles only the semi-joined candidate member docs; verified pairs
+    are intersected with the candidate set to keep LSH semantics honest.
+    Returns (id_a, id_b, n_shared, jaccard) with jaccard >= threshold.
+    """
+    from ..hints import maybe_broadcast
+
+    sh = shingle_hashes(d, text_col, id_col, n=n, dedup=False)
+    cands = lsh_candidate_pairs(
+        minhash_signatures(sh, num_hashes), num_hashes, bands,
+        max_bucket_size=max_bucket_size,
+    )
+    cand_ids = cands.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
+    cand_docs = d.join(
+        maybe_broadcast(cand_ids.withColumnRenamed("id", id_col)), id_col, "leftsemi"
+    )
+    cand_sh = shingle_hashes(cand_docs, text_col, id_col, n=n)
+    return jaccard_pairs(cand_sh, threshold).join(cands, ["id_a", "id_b"], "leftsemi")
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     """Min-id connected components over an undirected similar-pair list.
 

@@ -392,9 +392,7 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     decontam on the near-dup survivors, the ordering a real pipeline uses."""
     from ..operators.dedup import (
         connected_components,
-        jaccard_pairs,
-        lsh_candidate_pairs,
-        minhash_signatures,
+        minhash_verified_pairs,
         shingles,
     )
 
@@ -411,18 +409,13 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = d.join(keep1, "doc_id", "leftsemi")
 
     # stage 3: MinHash-LSH candidates -> exact verify -> components -> drop
-    # non-representatives (the dedup_minhash_verified + dedup_keep_list path,
-    # restricted to the exact-dedup survivors)
-    sh = shingle_hashes(s1, "text", "doc_id", n=_SHINGLE_N, dedup=False)
-    cands = lsh_candidate_pairs(minhash_signatures(sh, 32), 32, 8, max_bucket_size=1024)
-    cand_ids = cands.select(F.explode(F.array("id_a", "id_b")).alias("doc_id")).distinct()
-    cand_docs = s1.join(F.broadcast(cand_ids), "doc_id", "leftsemi")
-    cand_sh = shingle_hashes(cand_docs, "text", "doc_id", n=_SHINGLE_N)
-    pairs = (
-        jaccard_pairs(cand_sh, 0.8)
-        .join(cands, ["id_a", "id_b"], "leftsemi")
-        .select("id_a", "id_b")
-    )
+    # non-representatives — the SAME operator dedup_minhash_verified runs
+    # (minhash_verified_pairs: one shared implementation, so band/threshold
+    # tuning can never diverge between the standalone query and the funnel),
+    # restricted to the exact-dedup survivors
+    pairs = minhash_verified_pairs(
+        s1, "text", "doc_id", n=_SHINGLE_N, threshold=0.8, max_bucket_size=1024
+    ).select("id_a", "id_b")
     drop = connected_components(pairs).filter(F.col("rep_id") != F.col("doc_id"))
     s2 = s1.join(F.broadcast(drop.select("doc_id")), "doc_id", "leftanti")
 
