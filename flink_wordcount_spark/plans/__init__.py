@@ -43,19 +43,18 @@ from . import catalog as _catalog
 # session-window oracle break shipped unverified precisely because a stale
 # green row pinned it behind the budget).  Reset this list each round.
 _MODIFIED_THIS_ROUND: list[str] = [
-    # NEW in r06 (never driver-verified):
-    "lsh_minhash_candidates_md5",  # value-checked MinHash-LSH twin (shared md5 hash)
-    "lsh_simhash64_md5",           # value-checked SimHash twin
-    "lsh_ivf_topk_checked",        # value-checked IVF twin (rounded comparisons)
-    "curation_end_to_end",         # full curation pipeline funnel
-    "stream_curation_gate",        # streaming ingest quality gate + dedup
-    "dedup_edit_distance",         # Levenshtein-verified near-dup (SimHash cands)
-    # Edited in r06 (the driver has never seen these versions):
-    "stream_sentences_golden",     # rows-only -> golden value contract
-    "fn_variant",                  # try_parse_json (oracle json_valid parity)
-    "stream_stream_left_join",     # sentinel staging self-heal hardening
-    # The rest of r06's budget goes to the stale back catalog: the 23-query
-    # cohort last verified in r02 sorts first via staleness (VERDICT r05 #2).
+    # Edited in r07 (the driver has never seen these versions):
+    "curation_end_to_end",      # forced broadcasts -> maybe_broadcast (VERDICT r06 #1)
+    "lsh_simhash64_md5",        # 4x16-bit-band bucketing (recall 11/28 -> 27/28)
+    "lsh_simhash64",            # same banding upgrade, production hash
+    "dedup_edit_distance",      # rides on the banded SimHash candidates + size-gated
+                                # pair broadcast (22 verified pairs at sf0.01, was 7)
+    "dedup_minhash_verified",   # ADVICE r06: r06's shared-operator rewrite was
+                                # never driver-verified (omitted from r06's list)
+    "stream_curation_gate",     # NULL-text parity hardening (ADVICE r06)
+    "stream_stream_left_join",  # restage-path mtime re-validation (ADVICE r06)
+    # The rest of r07's budget goes to the stale back catalog: the 23-query
+    # cohort last verified in r03 sorts first via staleness (VERDICT r06 #4).
 ]
 
 

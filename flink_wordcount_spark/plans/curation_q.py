@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..hints import maybe_broadcast
 from ..io import table
 from ..operators.dedup import shingle_hashes
 from .catalog import query
@@ -389,7 +390,15 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify pipeline, decontam_eval_overlap's gram join, sample_stratified's
     multiplicative hash), so a green row here value-checks the composition —
     including that the near-dup stage runs on the exact-dedup SURVIVORS and
-    decontam on the near-dup survivors, the ordering a real pipeline uses."""
+    decontam on the near-dup survivors, the ordering a real pipeline uses.
+
+    RECALL ASSUMPTION (ADVICE r06): the oracle models stage 3 as exact
+    all-pairs Jaccard while the Spark plan restricts pairs to MinHash-LSH
+    candidates, so parity requires 100% LSH recall on the fixture.  That
+    assumption is gated explicitly by
+    tests/test_lsh_recall.py::test_minhash_lsh_recall_covers_exact_pairs —
+    a fixture vintage with a recall miss fails that named test, not this
+    funnel's hash check."""
     from ..operators.dedup import (
         connected_components,
         minhash_verified_pairs,
@@ -417,7 +426,10 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         s1, "text", "doc_id", n=_SHINGLE_N, threshold=0.8, max_bucket_size=1024
     ).select("id_a", "id_b")
     drop = connected_components(pairs).filter(F.col("rep_id") != F.col("doc_id"))
-    s2 = s1.join(F.broadcast(drop.select("doc_id")), "doc_id", "leftanti")
+    # size-gated: the drop list is O(dup_rate x corpus) ids — tiny at fixture
+    # scale (AQE still converts to broadcast at runtime), corpus-scaling at
+    # 100 TB, where an unconditional broadcast is a driver OOM
+    s2 = s1.join(maybe_broadcast(drop.select("doc_id")), "doc_id", "leftanti")
 
     # stage 4: eval decontam — drop the eval split itself and any training doc
     # sharing a distinct 4-gram with it (eval grams from the FULL corpus: the
@@ -425,15 +437,17 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     gr4 = shingles(d, "text", "doc_id", n=_E2E_DECON_N)
     is_eval = (F.col("id") % _E2E_EVAL_MOD) == _E2E_EVAL_RES
     ev_grams = gr4.filter(is_eval).select("shingle").distinct()
+    # both sides below scale with the corpus (eval grams with the eval split,
+    # the contaminated id set with the training split) — size-gated hints only
     contaminated = (
         gr4.filter(~is_eval)
-        .join(F.broadcast(ev_grams), "shingle", "leftsemi")
+        .join(maybe_broadcast(ev_grams), "shingle", "leftsemi")
         .select(F.col("id").alias("doc_id"))
         .distinct()
     )
     s3 = s2.filter(
         (F.col("doc_id") % _E2E_EVAL_MOD) != _E2E_EVAL_RES
-    ).join(F.broadcast(contaminated), "doc_id", "leftanti")
+    ).join(maybe_broadcast(contaminated), "doc_id", "leftanti")
 
     # stage 5: quality gate (map-side; in production the threshold column is
     # a model score — same shape)

@@ -470,6 +470,13 @@ def _left_join_stream_dir(spark: SparkSession, sf_dir: str, schema) -> str:
     link = os.path.join(d, "part-00000.parquet")
     if not os.path.exists(link):
         os.symlink(f"{sf_dir}/events.parquet", link)
+    # Explicit mtime anchor for the staging loop (ADVICE r06): utime(now) +
+    # sleep is defeated by coarse-timestamp filesystems and future-dated
+    # fixtures — the exact tie that forces a restage could otherwise recur
+    # in the restaged dir and be returned silently.  Same anchoring as the
+    # self-heal branch: sentinel i pinned to max(now, data+1) + (i-1).
+    data_mtime = os.stat(f"{sf_dir}/events.parquet").st_mtime
+    anchor = max(_time.time(), data_mtime + 1.0)
     for i, year in ((1, "2035"), (2, "2045")):
         # Sentinel user_ids are NEGATIVE and non-null: the equi-join lets
         # Catalyst infer IsNotNull(user_id) and push it into the parquet
@@ -507,10 +514,23 @@ def _left_join_stream_dir(spark: SparkSession, sf_dir: str, schema) -> str:
         part = next(
             p for p in os.listdir(out) if p.endswith(".parquet") and p.startswith("part")
         )
-        os.rename(os.path.join(out, part), os.path.join(d, f"part-0000{i}.parquet"))
-        # mtime ordering is the replay ordering contract
-        _time.sleep(0.05)
-        os.utime(os.path.join(d, f"part-0000{i}.parquet"), None)
+        dst = os.path.join(d, f"part-0000{i}.parquet")
+        os.rename(os.path.join(out, part), dst)
+        # mtime ordering is the replay ordering contract — pin it explicitly
+        t = anchor + (i - 1) * 1.0
+        os.utime(dst, (t, t))
+    # Re-validate the full ordering before publishing the dir: if it cannot
+    # be established even with explicit anchors (e.g. the fixture's mtime
+    # moved mid-staging), fail loudly rather than hand the file source an
+    # unordered replay that silently drops every late row.
+    staged = [
+        os.stat(os.path.join(d, f"part-0000{i}.parquet")).st_mtime for i in (1, 2)
+    ]
+    if not (os.stat(f"{sf_dir}/events.parquet").st_mtime < staged[0] < staged[1]):
+        raise RuntimeError(
+            f"sentinel mtime ordering unestablishable in {d}: "
+            f"data={os.stat(f'{sf_dir}/events.parquet').st_mtime} parts={staged}"
+        )
     Path = __import__("pathlib").Path
     Path(os.path.join(d, "_STAGED")).touch()
     return d
@@ -542,7 +562,13 @@ def stream_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_dir_for(f"{sf_dir}/documents.parquet")
     )
     gated = stream.filter(
-        (F.col("n_chars") >= 100) & F.col("lang").isin("en", "fr", "de", "es")
+        (F.col("n_chars") >= 100)
+        & F.col("lang").isin("en", "fr", "de", "es")
+        # NULL texts never reach state: sha2(NULL) is NULL, and the batch
+        # oracle's count(DISTINCT text) ignores NULLs — without this filter a
+        # fixture vintage with a NULL text passing the quality gate would
+        # admit a NULL-digest row the oracle doesn't count (ADVICE r06)
+        & F.col("text").isNotNull()
     )
     deduped = gated.select(
         "source", F.sha2("text", 256).alias("text_sha")

@@ -213,3 +213,23 @@ def test_r06_additions_plan_shapes(spark, sf_dir):
     e2e = _plan(QUERIES["curation_end_to_end"](spark, sf_dir))
     assert "CartesianProduct" not in e2e
     assert "BroadcastHashJoin" in e2e
+
+
+def test_funnel_has_no_unconditional_broadcast(spark, sf_dir):
+    """VERDICT r06 What's-wrong #1: every join side in the end-to-end funnel
+    scales with the corpus — the near-dup drop list is O(dup_rate x corpus),
+    the eval-gram set and contaminated id set are O(corpus) — so none may
+    carry an unconditional broadcast hint.  Simulated 100 TB (shrink the
+    threshold to 1 byte): every size-gated hint must drop and the plan must
+    contain ZERO broadcast joins; at fixture scale with the default threshold
+    they come back (previous test).  Same contract for dedup_edit_distance's
+    candidate-pair broadcast."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1b")
+        for q in ("curation_end_to_end", "dedup_edit_distance"):
+            plan = _plan(QUERIES[q](spark, sf_dir))
+            assert "BroadcastHashJoin" not in plan, q
+            assert "BroadcastNestedLoopJoin" not in plan, q
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
