@@ -53,6 +53,9 @@ _MODIFIED_THIS_ROUND: list[str] = [
                                 # never driver-verified (omitted from r06's list)
     "stream_curation_gate",     # NULL-text parity hardening (ADVICE r06)
     "stream_stream_left_join",  # restage-path mtime re-validation (ADVICE r06)
+    # NEW in r07 (never driver-verified):
+    "shard_by_token_budget",    # two-phase global cumsum -> token-budget shards
+    "quality_cutoff_per_lang",  # per-lang exact-quantile threshold calibration
     # The rest of r07's budget goes to the stale back catalog: the 23-query
     # cohort last verified in r03 sorts first via staleness (VERDICT r06 #4).
 ]

@@ -572,3 +572,187 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# r07 additions: the two ops between "curated corpus" and "training job" —
+# shard layout (token-budgeted output files) and per-language quality-cutoff
+# calibration.
+# ---------------------------------------------------------------------------
+
+#: Tokens per output shard for shard_by_token_budget (fixture-sized; a real
+#: run uses ~100M-1B tokens/shard — the math is scale-free).
+_SHARD_TOKENS = 20_000
+
+# DuckDB-side token array (same \W+ split the Spark side uses everywhere).
+_TOKS_SQL = "list_filter(regexp_split_to_array(text, '\\W+'), x -> length(x) > 0)"
+
+
+@query(
+    "shard_by_token_budget",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+               ((doc_id % {_SHUF_M}) * {_SHUF_K}) % {_SHUF_M} AS pos
+        FROM documents
+    ), c AS (
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY pos, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_tokens_before
+        FROM t
+    )
+    SELECT doc_id, n_tokens, cum_tokens_before,
+           CAST(cum_tokens_before // {_SHARD_TOKENS} AS BIGINT) AS shard_id
+    FROM c
+    """,
+)
+def shard_by_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted shard assignment: docs in deterministic epoch-shuffle
+    order (sample_shuffle_order's multiplicative hash) are packed greedily
+    into shards of ~_SHARD_TOKENS tokens — the layout step that turns a
+    curated corpus into balanced training files.
+
+    100 TB shape: a naive `SUM OVER (ORDER BY ...)` is a SINGLE-PARTITION
+    window — the whole corpus through one task.  This plan is the two-phase
+    scan instead: split the order-key space into FIXED ranges (deterministic
+    pid — unlike spark_partition_id over repartitionByRange, whose sampled
+    boundaries can diverge if the exchange is recomputed per DAG branch),
+    per-range token subtotals (one tiny row per range), prefix-sum the
+    subtotals on the driver-sized frame, broadcast the offsets back, and
+    cumsum WITHIN each range — the global running total without a global
+    window.  The plan-shape test pins that every corpus-sized window is
+    partitioned."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\W+"), lambda w: F.length(w) > 0)
+    n_ranges = 32
+    base = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (((F.col("doc_id") % _SHUF_M) * _SHUF_K) % _SHUF_M).alias("pos"),
+    )
+    # phase 1: deterministic range id from the (uniform multiplicative-hash)
+    # order key — pid order == global pos order by construction
+    parts = base.withColumn(
+        "pid",
+        F.floor(F.col("pos") / F.lit((_SHUF_M + n_ranges - 1) // n_ranges)).cast(
+            "int"
+        ),
+    )
+    # phase 2: per-range subtotals -> prefix offsets (a n_ranges-row frame:
+    # the only unpartitioned window runs over ~32 rows)
+    per = parts.groupBy("pid").agg(F.sum("n_tokens").alias("ptoks"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = per.select(
+        "pid", F.coalesce(F.sum("ptoks").over(w_off), F.lit(0)).alias("off")
+    )
+    # phase 3: intra-partition cumsum + broadcast offset = global cumsum
+    w_in = (
+        Window.partitionBy("pid")
+        .orderBy("pos", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = (
+        F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)) + F.col("off")
+    ).cast("bigint")
+    return (
+        parts.join(F.broadcast(offs), "pid")  # offs: one row per partition
+        .withColumn("cum_tokens_before", cum_before)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "cum_tokens_before",
+            F.floor(F.col("cum_tokens_before") / F.lit(_SHARD_TOKENS))
+            .cast("bigint")
+            .alias("shard_id"),
+        )
+    )
+
+
+#: Keep-fraction for the per-language quality calibration.
+_CUTOFF_KEEP = 0.8
+
+
+def _quality_score_sql() -> str:
+    from ..operators.textstats import STOPWORDS
+
+    stop_list = ", ".join(repr(w) for w in STOPWORDS["en"])
+    return f"""
+        SELECT doc_id, lang,
+               least(len({_TOKS_SQL}) / 400.0, 1.0) * 0.4
+               + len(list_filter({_TOKS_SQL},
+                     w -> list_contains([{stop_list}], lower(w))))
+                 / greatest(len({_TOKS_SQL}), 1) * 0.3
+               + (1 - length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                      / greatest(length(text), 1)) * 0.2
+               + (1 - length(regexp_replace(text, '[^0-9]', '', 'g'))
+                      / greatest(length(text), 1)) * 0.1 AS q
+        FROM documents
+    """
+
+
+@query(
+    "quality_cutoff_per_lang",
+    oracle=f"""
+    WITH s AS ({_quality_score_sql()}),
+    r AS (
+        SELECT lang, q,
+               row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM s
+    ),
+    cut AS (
+        SELECT lang, q AS cutoff_score, CAST(n AS BIGINT) AS n_docs
+        FROM r WHERE rn = CAST(ceil({_CUTOFF_KEEP} * n) AS BIGINT)
+    )
+    SELECT s.lang, max(cut.n_docs) AS n_docs, max(cut.cutoff_score) AS cutoff_score,
+           CAST(count(*) FILTER (WHERE s.q >= cut.cutoff_score) AS BIGINT) AS n_kept
+    FROM s JOIN cut ON cut.lang = s.lang
+    GROUP BY s.lang
+    """,
+)
+def quality_cutoff_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-threshold calibration: per language, the EXACT score cutoff
+    that keeps the top _CUTOFF_KEEP fraction of documents (ties kept, so
+    n_kept >= ceil(keep*n)) — how a curation pipeline turns "keep the best
+    80% per language" into a concrete filter constant, without a global
+    magic number that over-prunes low-resource languages.
+
+    Uses text_quality's composite score (same expression, bit-equal in both
+    engines).  Scale: one per-lang window sort (partition key = lang, AQE
+    skew-splits a dominant language) + a broadcast of the per-lang cutoff
+    row back onto the score stream.  The exact-quantile window is the
+    calibration-time choice; the ingest-time filter then applies the
+    materialized constant map-side.  approx_percentile would avoid the sort
+    but its cutoff is engine-specific — calibration wants a reproducible
+    constant."""
+    from ..operators.textstats import quality_features
+
+    d = table(spark, sf_dir, "documents")
+    scored = d.select("doc_id", "lang", quality_features("text")[6])
+    w_rank = Window.partitionBy("lang").orderBy(
+        F.desc("quality_score"), "doc_id"
+    )
+    w_lang = Window.partitionBy("lang")
+    ranked = scored.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "n", F.count(F.lit(1)).over(w_lang)
+    )
+    cut = ranked.filter(
+        F.col("rn") == F.ceil(F.lit(_CUTOFF_KEEP) * F.col("n")).cast("bigint")
+    ).select(
+        "lang",
+        F.col("quality_score").alias("cutoff_score"),
+        F.col("n").cast("bigint").alias("n_docs"),
+    )
+    return (
+        scored.join(F.broadcast(cut), "lang")  # cut: one row per language
+        .filter(F.col("quality_score") >= F.col("cutoff_score"))
+        .groupBy("lang")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.max("cutoff_score").alias("cutoff_score"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )

@@ -215,6 +215,25 @@ def test_r06_additions_plan_shapes(spark, sf_dir):
     assert "BroadcastHashJoin" in e2e
 
 
+def test_shard_cumsum_avoids_global_window(spark, sf_dir):
+    """shard_by_token_budget's global running total must be the two-phase
+    scan, not a single-partition window over the corpus: the corpus-sized
+    cumsum window is partitioned by the deterministic range id, and the only
+    SinglePartition exchange in the plan feeds the per-range subtotal frame
+    (~32 rows, already aggregated by a hashpartitioning(pid) exchange)."""
+    import re
+
+    plan = _plan(QUERIES["shard_by_token_budget"](spark, sf_dir))
+    assert re.search(r"Window \[sum\(n_tokens[^\n]*\], \[pid#\d+\], \[pos#", plan), (
+        "corpus cumsum window lost its pid partitioning"
+    )
+    singles = [m.start() for m in re.finditer(r"Exchange SinglePartition", plan)]
+    assert len(singles) == 1, f"expected exactly one SinglePartition, got {len(singles)}"
+    assert "hashpartitioning(pid" in plan[singles[0]:], (
+        "SinglePartition exchange is not over the per-range aggregate"
+    )
+
+
 def test_funnel_has_no_unconditional_broadcast(spark, sf_dir):
     """VERDICT r06 What's-wrong #1: every join side in the end-to-end funnel
     scales with the corpus — the near-dup drop list is O(dup_rate x corpus),
