@@ -137,3 +137,76 @@ def text_ngram_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("boiler_ratio"),
         )
     )
+
+
+#: Semantic-contamination threshold: the fixture's near-dup embedding
+#: clusters sit at cos >= 0.45 (same operating point as similarity_q._DUP_T);
+#: real pipelines calibrate this against the eval benchmark's own paraphrase
+#: distance.
+_SEM_T = 0.45
+
+
+@query(
+    "decontam_semantic",
+    oracle=f"""
+    WITH ev AS (
+        SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS evv
+        FROM embeddings WHERE vec_id % {_EVAL_MOD} = {_EVAL_RES}
+    ), tr AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS tvv
+        FROM embeddings WHERE vec_id % {_EVAL_MOD} <> {_EVAL_RES}
+    ), scored AS (
+        SELECT tr.vec_id, eval_id,
+               round(list_cosine_similarity(tvv, evv), 6) AS cos_sim
+        FROM tr CROSS JOIN ev
+    ), flagged AS (
+        SELECT vec_id, eval_id, cos_sim,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_sim DESC, eval_id) AS rn
+        FROM scored WHERE cos_sim >= {_SEM_T}
+    )
+    SELECT vec_id, eval_id, cos_sim FROM flagged WHERE rn = 1
+    """,
+)
+def decontam_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic decontamination: flag training vectors whose
+    embedding sits within cosine >= {_SEM_T} of ANY held-out eval vector —
+    the paraphrase-leak check n-gram decontamination misses (a reworded
+    benchmark question shares no 4-gram but lands next to it in embedding
+    space).  Emits each contaminated vector with its nearest eval neighbor
+    (ties -> min eval_id), the evidence row a curation run logs before
+    dropping.
+
+    Scale shape: same as decontam_eval_overlap — the eval side is
+    benchmark-sized by design, so it broadcasts (size-gated) and the
+    training corpus is scanned ONCE with no corpus shuffle; the only
+    exchange is the per-flagged-vector argmax window, whose input is the
+    (tiny) above-threshold pair set.  Both engines widen float32 -> float64
+    before arithmetic and rank AFTER rounding to 6 decimals, the
+    embed_cosine_topk convention."""
+    from ..operators.similarity import as_double, dot, norm
+
+    emb = table(spark, sf_dir, "embeddings")
+    is_eval = (F.col("vec_id") % _EVAL_MOD) == _EVAL_RES
+    ev = emb.filter(is_eval).select(
+        F.col("vec_id").alias("eval_id"), as_double(F.col("embedding")).alias("evv")
+    ).withColumn("evn", norm(F.col("evv")))
+    tr = emb.filter(~is_eval).select(
+        "vec_id", as_double(F.col("embedding")).alias("tvv")
+    ).withColumn("tvn", norm(F.col("tvv")))
+    scored = tr.crossJoin(maybe_broadcast(ev)).select(
+        "vec_id",
+        "eval_id",
+        F.round(
+            dot(F.col("tvv"), F.col("evv")) / (F.col("tvn") * F.col("evn")), 6
+        ).alias("cos_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "eval_id")
+    return (
+        scored.filter(F.col("cos_sim") >= _SEM_T)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "eval_id", "cos_sim")
+    )

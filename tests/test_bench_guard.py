@@ -107,6 +107,32 @@ def test_missing_commit_stats_is_not_io_stall():
     assert not io_stall_window({"n_samples": 40_000, "config": {}})
 
 
+def _with_sync_p50(lat, sync_p50):
+    lat["config"]["batches"]["fileSync_ms_p50"] = sync_p50
+    return lat
+
+
+def test_elevated_baseline_filesync_is_io_stall():
+    # The r06 DRIVER shape (VERDICT r06 #2): no discrete spike ever crosses
+    # the 4x test, but EVERY tiny changelog append pays 1-2 s of fsync —
+    # median fileSync dominates the commit median.
+    lat = _with_sync_p50(_lat_commits(1_898, 4_782, []), 1_300)
+    assert io_stall_window(lat)
+
+
+def test_small_sync_dominated_commits_not_flagged():
+    # Healthy fast storage: commits are tiny and naturally sync-dominated
+    # (20 ms commit, 12 ms sync) — the 250 ms absolute floor must hold.
+    lat = _with_sync_p50(_lat_commits(20, 35, []), 12)
+    assert not io_stall_window(lat)
+
+
+def test_modest_sync_share_not_flagged():
+    # Sync present but under half the commit median: engine-side cost.
+    lat = _with_sync_p50(_lat_commits(2_000, 3_500, []), 600)
+    assert not io_stall_window(lat)
+
+
 def _detail_fixture(degenerate=False):
     lat = {
         "n_samples": 38_412,
