@@ -114,26 +114,39 @@ def degenerate_window(lat: dict) -> bool:
 
 def io_stall_window(lat: dict) -> bool:
     """True when a latency window's commit-time cost is a HOST IO stall,
-    not engine behavior.  Two regimes, both observed on this sandbox:
+    not engine behavior.  Two regimes:
 
     - Discrete spikes: commit p99 blown out (> 4x p50) with every spike's
       breakdown ~pure fileSync (flush/compaction/checkpoint ~0) —
-      reproducible ~8-90 s fsyncs of a small changelog append on an idle VM.
-    - Elevated baseline (r06 driver artifact, VERDICT r06 #2): EVERY commit
-      pays 1-2 s of fileSync on a tiny changelog append (median fileSync
-      dominates the commit median), so no individual batch crosses the 4x
-      spike test but the whole window sits on the storage layer.  Flagged
-      when median fileSync > 50% of commit p50 AND > 250 ms absolute (a
-      few-MB changelog append syncs in tens of ms on healthy storage; the
-      floor keeps a fast window whose tiny commits are naturally
-      sync-dominated from misfiring).
+      reproducible ~8-90 s fsyncs of a small changelog append on an idle VM
+      (observed r5/r6).
+    - Elevated baseline: every batch's PER-PARTITION median fileSync
+      exceeds 250 ms and dominates the commit median.
+
+    UNITS (r07 finding): ``stateCommit_ms``/``fileSync_ms`` from
+    ``customMetrics`` are SUMS across the state partitions, not wall time —
+    r6's artifact shows stateCommit 1,904 ms inside a 1,063 ms trigger
+    execution, impossible for serial wall time.  A healthy 16-partition
+    window at this operating point measures ~2.1 s summed fileSync
+    (~130 ms/partition, overlapped in wall time; quiet-machine probe, load
+    0.29), so the elevated-baseline test normalizes per partition — an
+    un-normalized 250 ms floor would flag every healthy run.  The r07
+    tmpfs-vs-disk A/B (commit ratio 0.8, tmpfs NOT faster) additionally
+    shows the baseline sum is not raw storage sync; only large
+    per-partition excursions are credibly host IO.
 
     Distinct from degenerate_window (batch starvation): the stream keeps
-    pace here, only the durability sync blocks."""
+    pace here, only the durability path blocks."""
     bt = lat.get("config", {}).get("batches", {})
+    parts = lat.get("config", {}).get("partitions") or 16
     p50 = bt.get("state_commit_ms_p50") or 0
     sync_p50 = bt.get("fileSync_ms_p50")
-    if p50 and sync_p50 is not None and sync_p50 > 250 and sync_p50 > 0.5 * p50:
+    if (
+        p50
+        and sync_p50 is not None
+        and sync_p50 / parts > 250
+        and sync_p50 > 0.5 * p50
+    ):
         return True
     spikes = bt.get("commit_spikes") or []
     p99 = bt.get("state_commit_ms_p99") or 0
