@@ -756,3 +756,84 @@ def quality_cutoff_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_kept"),
         )
     )
+
+
+#: Temperature-mixture parameters: alpha < 1 upsamples small sources
+#: relative to their natural share (the multilingual-pretraining trick);
+#: the target corpus is 40% of the input.
+_TEMP_ALPHA = 0.7
+_TEMP_TARGET_FRAC = 0.4
+
+
+@query(
+    "sample_temperature_mixture",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+    ), tot AS (
+        SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+               sum(pow(n_docs, {_TEMP_ALPHA})) AS z
+        FROM counts
+    ), rates AS (
+        SELECT source, n_docs,
+               round(least(1.0, pow(n_docs, {_TEMP_ALPHA}) / z
+                          * ({_TEMP_TARGET_FRAC} * n_total) / n_docs), 6) AS rate
+        FROM counts CROSS JOIN tot
+    )
+    SELECT r.source, r.n_docs, r.rate,
+           CAST(count(*) FILTER (
+               WHERE ((d.doc_id % {_HASH_P}) * {_HASH_K}) % 1000000
+                     < CAST(floor(r.rate * 1000000) AS BIGINT)
+           ) AS BIGINT) AS n_sampled
+    FROM documents d JOIN rates r ON r.source = d.source
+    GROUP BY r.source, r.n_docs, r.rate
+    """,
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling: per-source rates proportional to
+    n^alpha (alpha = {_TEMP_ALPHA}) renormalized to a {_TEMP_TARGET_FRAC:.0%}
+    target corpus, capped at 1.0 — small sources keep a larger share of
+    themselves than big ones (the standard multilingual-pretraining
+    rebalance), and the per-doc keep decision is the same deterministic
+    multiplicative hash as sample_stratified (reproducible under retries
+    and speculative execution, unlike rand()).
+
+    Scale shape: per-source counts are one tiny aggregate; the rate table
+    (one row per source) broadcasts back onto the corpus scan, so sampling
+    is a map-side decision — the only full-corpus exchanges are the two
+    per-source aggregations.  The rate is rounded to 6 decimals at
+    definition in BOTH engines: its normalizer z is a float SUM whose
+    accumulation order is engine- (and run-) dependent in the low bits, so
+    the raw double is not comparable — the same convention as the cosine
+    oracles (pow sums don't land on exact decimal halves, so the rounding
+    itself is boundary-safe); predicate and emitted column share the
+    rounded value."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.sum(F.pow("n_docs", F.lit(_TEMP_ALPHA))).alias("z"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(  # tot: single row
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.pow("n_docs", F.lit(_TEMP_ALPHA))
+                / F.col("z")
+                * (F.lit(_TEMP_TARGET_FRAC) * F.col("n_total"))
+                / F.col("n_docs"),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    keep = ((F.col("doc_id") % _HASH_P) * _HASH_K) % 1000000 < F.floor(
+        F.col("rate") * 1000000
+    ).cast("bigint")
+    return (
+        d.join(maybe_broadcast(rates), "source")
+        .groupBy("source", "n_docs", "rate")
+        .agg(F.count(F.when(keep, 1)).alias("n_sampled"))
+        .select("source", "n_docs", "rate", "n_sampled")
+    )
