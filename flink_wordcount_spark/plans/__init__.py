@@ -58,6 +58,7 @@ _MODIFIED_THIS_ROUND: list[str] = [
     "quality_cutoff_per_lang",  # per-lang exact-quantile threshold calibration
     "decontam_semantic",        # SemDeDup-style eval-vs-train embedding cosine
     "sample_temperature_mixture",  # n^alpha per-source rebalance, hash sampling
+    "semdedup_drop_list",       # cluster-then-prune semantic dedup (SemDeDup)
     # The rest of r07's budget goes to the stale back catalog: the 23-query
     # cohort last verified in r03 sorts first via staleness (VERDICT r06 #4).
 ]

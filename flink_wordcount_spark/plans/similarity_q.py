@@ -631,3 +631,101 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), "doc_id")
         .limit(20)
     )
+
+
+#: SemDeDup within-cell near-dup threshold (the fixture's embedding dup
+#: clusters sit at cos >= 0.45, similarity_q._DUP_T's operating point).
+_SEMDEDUP_T = 0.45
+
+_SEMDEDUP_ORACLE = f"""
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT CAST(vec_id // 50 AS INTEGER) AS cell_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id % 50 = 0),
+scored AS (
+    SELECT id, cell_id, v, round(list_cosine_similarity(v, cv), 6) AS sim
+    FROM e CROSS JOIN c
+),
+assign AS (
+    SELECT id, cell_id, v FROM (
+        SELECT id, cell_id, v,
+               row_number() OVER (PARTITION BY id ORDER BY sim DESC, cell_id) AS rn
+        FROM scored) WHERE rn = 1
+),
+pairs AS (
+    SELECT a.id AS id_a, b.id AS id_b, b.cell_id,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+    FROM assign a JOIN assign b USING (cell_id)
+    WHERE a.id < b.id
+      AND round(list_cosine_similarity(a.v, b.v), 6) >= {_SEMDEDUP_T}
+)
+SELECT id_b AS vec_id, cell_id, id_a AS dup_of, cos_sim FROM (
+    SELECT id_a, id_b, cell_id, cos_sim,
+           row_number() OVER (PARTITION BY id_b ORDER BY id_a) AS rn
+    FROM pairs) WHERE rn = 1
+"""
+
+
+@query("semdedup_drop_list", oracle=_SEMDEDUP_ORACLE)
+def semdedup_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-then-prune semantic dedup): assign every vector to
+    its nearest centroid (the IVF cell assignment, deterministic every-50th
+    centroids and round(sim,6) + tie-break comparisons), then WITHIN each
+    cell drop any vector with a smaller-id neighbor at cosine >=
+    {_SEMDEDUP_T}; each dropped vector carries its smallest-id witness.
+    The embedding-space analogue of dedup_keep_list — prunes paraphrase/
+    re-encode duplicates that shingle dedup can't see.
+
+    100 TB shape: the centroid broadcast and one-scan assignment are IVF's
+    (similarity_q scale notes); pairwise cosine then runs ONLY within
+    cells, so the quadratic term is bounded by the cell size (k ~ sqrt(n)
+    centroids keeps cells ~sqrt(n); a production run sizes k so cells fit
+    the executor, exactly like the paper's k=50k at 1e9 scale).  No
+    corpus-wide pair join exists in the plan."""
+    from ..operators.similarity import cosine
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.expr("CAST(vec_id div 50 AS INT)").alias("cell_id"),
+        as_double(F.col("embedding")).alias("cv"),
+    )
+    v = emb.select("vec_id", as_double(F.col("embedding")).alias("vv"))
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cell_id",
+        "vv",
+        F.round(cosine(F.col("vv"), F.col("cv")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell_id"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell_id", "vv")
+    )
+    a = assign.select(
+        F.col("vec_id").alias("id_a"), "cell_id", F.col("vv").alias("va")
+    )
+    b = assign.select(
+        F.col("vec_id").alias("id_b"), "cell_id", F.col("vv").alias("vb")
+    )
+    pairs = (
+        a.join(b, "cell_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "cell_id",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _SEMDEDUP_T)
+    )
+    wd = Window.partitionBy("id_b").orderBy("id_a")
+    return (
+        pairs.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("id_b").alias("vec_id"),
+            "cell_id",
+            F.col("id_a").alias("dup_of"),
+            "cos_sim",
+        )
+    )
