@@ -215,6 +215,23 @@ def test_r06_additions_plan_shapes(spark, sf_dir):
     assert "BroadcastHashJoin" in e2e
 
 
+def test_r07_additions_plan_shapes(spark, sf_dir):
+    """decontam_semantic / semdedup_drop_list: the only all-pairs structure
+    is against a broadcast-sized side (eval split / centroid table) — the
+    plan must show a broadcast nested-loop or broadcast hash join, never an
+    un-broadcast CartesianProduct.  quality_cutoff_per_lang: the cutoff
+    row joins back broadcast, and the corpus window is partitioned (lang).
+    sample_temperature_mixture: the rate table joins back broadcast."""
+    for q in ("decontam_semantic", "semdedup_drop_list"):
+        plan = _plan(QUERIES[q](spark, sf_dir))
+        assert "CartesianProduct" not in plan, q
+        assert "Broadcast" in plan, q
+    for q in ("quality_cutoff_per_lang", "sample_temperature_mixture"):
+        plan = _plan(QUERIES[q](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, q
+        assert "CartesianProduct" not in plan, q
+
+
 def test_shard_cumsum_avoids_global_window(spark, sf_dir):
     """shard_by_token_budget's global running total must be the two-phase
     scan, not a single-partition window over the corpus: the corpus-sized
