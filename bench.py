@@ -411,12 +411,28 @@ def bench_streaming_throughput(spark) -> dict:
     vocab = len(wordlist())
     path = _golden_sentences_path(spark)
 
+    # Row-count tracking does a GET for every PUT to maintain the
+    # numTotalStateRows metric; this workload updates ~355k keys per batch,
+    # so the tracking read IS the dominant RocksDB cost.  Measured (r07,
+    # chronological 4-attempt runs, same quiet machine): default
+    # [4.0, 2.7, 2.3, 2.8] M words/s vs tracking-off [3.4, 9.0, 9.9, 9.3] —
+    # the sustained rate matches the no-RocksDB default store (~9 M), i.e.
+    # the put path itself was never the bottleneck.  The metric is
+    # observability-only (Flink's wordcount tracks no such count either);
+    # the knob is published in the artifact.
+    _TRACK_ROWS_CONF = "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
+
     def one_run(provider: str | None) -> tuple[int, float]:
         if provider:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+            spark.conf.set(_TRACK_ROWS_CONF, "false")
         else:
             try:
                 spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            except Exception:
+                pass
+            try:
+                spark.conf.unset(_TRACK_ROWS_CONF)
             except Exception:
                 pass
         ckpt = tempfile.mkdtemp(prefix="fws_bench_ckpt_")
@@ -464,11 +480,17 @@ def bench_streaming_throughput(spark) -> dict:
         "vocabulary": vocab,
         "checkpointing": True,
         "state_store": "rocksdb",
+        "track_total_rows": False,  # observability metric off: see one_run note
         "words_total": total_words,
         "elapsed_sec": round(dt, 3),
         "words_per_sec_best": round(total_words / dt),
         "words_per_sec_median": round(total_words / dt_median),
         "words_per_sec_attempts": [round(total_words / d) for d in dt_attempts],
+        # CHRONOLOGICAL attempt rates (r07): the sorted list above hides
+        # whether variation is JIT warm-up (ascending) or in-JVM decay
+        # (descending) — r6's verdict read the sorted list as decay with no
+        # way to tell.  Order is load-bearing for diagnosing the median.
+        "words_per_sec_attempts_chrono": [round(w / d) for w, d in attempts],
         "words_per_sec_default_store": round(total_words / dt_default),
         "sentences_per_sec": round(STREAM_SENTENCES / dt),
     }
@@ -657,6 +679,13 @@ def bench_latency(
         # recovery replay (<=150 per-batch changelogs, each a small delta);
         # the recovery phase measures restart time independently.
         "spark.sql.streaming.stateStore.minDeltasForSnapshot": "150",
+        # Row-count tracking does a GET per PUT for the numTotalStateRows
+        # metric — the dominant RocksDB cost at this key-update volume
+        # (measured 2-4x on the throughput path, ~10% exec here where the
+        # tokenize+shuffle share is larger; see bench_streaming_throughput).
+        "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows": (
+            "false"
+        ),
         **(extra_confs or {}),
     }
     # Flush pending OS writeback BEFORE the measured stream starts: the
