@@ -59,6 +59,9 @@ _MODIFIED_THIS_ROUND: list[str] = [
     "decontam_semantic",        # SemDeDup-style eval-vs-train embedding cosine
     "sample_temperature_mixture",  # n^alpha per-source rebalance, hash sampling
     "semdedup_drop_list",       # cluster-then-prune semantic dedup (SemDeDup)
+    "ev_cdc_latest_state",      # CDC latest-wins compaction (one shuffle)
+    "qa_referential_events",    # fact-vs-dimension orphan scorecard
+    "text_vocab_build",         # top-N token vocab with dense ids
     # The rest of r07's budget goes to the stale back catalog: the 23-query
     # cohort last verified in r03 sorts first via staleness (VERDICT r06 #4).
 ]

@@ -737,3 +737,82 @@ def ts_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ssd", "user_id")
         .limit(10)
     )
+
+
+@query(
+    "ev_cdc_latest_state",
+    oracle="""
+    SELECT user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           round(value, 2) AS last_value,
+           CAST(event_id AS BIGINT) AS last_event_id
+    FROM (
+        SELECT user_id, event_type, ts, value, event_id,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def ev_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction / latest-wins merge: materialize the CURRENT state
+    table from an append-only change log — one row per (user_id,
+    event_type) key carrying the newest event by (ts, event_id).  The
+    standard upsert-compaction every incremental pipeline runs before
+    serving (and the batch shape of the streaming dedup-by-key state).
+
+    Scale: ONE shuffle on the compaction key; the per-key sort is bounded
+    by per-key changelog depth, and AQE skew-splits a hot key.  No
+    collect, no global order — row_number over the key partition is the
+    compaction, not a ranking of the whole log."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.date_format("ts", _TS_FMT).alias("last_ts"),
+            F.round("value", 2).alias("last_value"),
+            F.col("event_id").cast("bigint").alias("last_event_id"),
+        )
+    )
+
+
+@query(
+    "qa_referential_events",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT) AS n_orphan,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY event_type
+    """,
+)
+def qa_referential_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity QA: per event type, how many events point at a
+    user_id with no matching customer row (orphans) — the fact-vs-dimension
+    consistency check a pipeline runs after every ingest, emitted as a
+    per-type scorecard rather than a bare pass/fail so a regression names
+    its segment.
+
+    Scale: the dimension side is size-gate broadcast (customer scales with
+    SF — same rule as the TPC-H joins), the fact side aggregates map-side
+    first; one shuffle on event_type."""
+    e = table(spark, sf_dir, "events")
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.lit(1).alias("cust_ok")
+    )
+    return (
+        e.join(maybe_broadcast(c), "user_id", "left")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("cust_ok").isNull(), 1)).alias("n_orphan"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

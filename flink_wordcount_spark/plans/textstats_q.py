@@ -718,3 +718,51 @@ def text_char_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_trigrams"),
         )
     )
+
+
+#: Vocabulary size for text_vocab_build (fixture-sized; the shape is the
+#: same at any cap).
+_VOCAB_N = 1000
+
+
+@query(
+    "text_vocab_build",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lower(u.w) AS token
+        FROM (SELECT {_TOKS} AS t FROM documents), unnest(t) AS u(w)
+    ), counts AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY token
+    )
+    SELECT CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS token_id,
+           token, freq
+    FROM counts
+    ORDER BY token_id
+    LIMIT {_VOCAB_N}
+    """,
+)
+def text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction: the top-{_VOCAB_N} lowercased tokens by
+    corpus frequency, assigned dense ids in (freq DESC, token) order — the
+    tokenizer-training step that turns a curated corpus into a vocab file
+    (word-level here; a BPE trainer consumes the same frequency table).
+
+    Scale: token counting is one map-side-combined shuffle on the token;
+    the id assignment is a top-N — TakeOrderedAndProject over the counts,
+    never a global sort of the vocabulary — and the window that numbers
+    the survivors runs over {_VOCAB_N} rows."""
+    from ..operators.text import TOKEN_SPLIT_REGEX
+
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", TOKEN_SPLIT_REGEX), lambda w: F.length(w) > 0)
+    counts = (
+        d.select(F.explode(toks).alias("w"))
+        .select(F.lower("w").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = counts.orderBy(F.desc("freq"), "token").limit(_VOCAB_N)
+    w = Window.orderBy(F.desc("freq"), "token")
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("token_id"), "token", "freq"
+    ).orderBy("token_id")
