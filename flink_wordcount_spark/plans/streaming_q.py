@@ -653,3 +653,51 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_completion(agg, output_mode="complete")
+
+
+@query(
+    "stream_cdc_latest_state",
+    oracle="""
+    SELECT user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           round(value, 2) AS last_value,
+           CAST(event_id AS BIGINT) AS last_event_id
+    FROM (
+        SELECT user_id, event_type, ts, value, event_id,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming twin of ev_cdc_latest_state: latest-wins upsert
+    compaction ON THE INGEST STREAM via a max_by aggregate keyed on
+    (user_id, event_type) with a total (ts, event_id) order — the state
+    store holds exactly one newest change per key (the materialized-view
+    maintenance shape), and replaying the log yields the batch-identical
+    current-state table.  In production this runs in update mode so each
+    micro-batch emits only the keys it changed; complete-mode replay here
+    makes the final table directly oracle-comparable."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir_for(f"{sf_dir}/events.parquet"))
+        .transform(normalize_event_ts)
+    )
+    agg = (
+        stream.groupBy("user_id", "event_type")
+        .agg(
+            F.max_by(
+                F.struct("ts", "value", "event_id"), F.struct("ts", "event_id")
+            ).alias("last")
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.date_format("last.ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            F.round("last.value", 2).alias("last_value"),
+            F.col("last.event_id").cast("bigint").alias("last_event_id"),
+        )
+    )
+    return run_to_completion(agg, output_mode="complete")

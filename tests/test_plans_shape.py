@@ -232,6 +232,19 @@ def test_r07_additions_plan_shapes(spark, sf_dir):
         assert "CartesianProduct" not in plan, q
 
 
+def test_cdc_and_vocab_plan_shapes(spark, sf_dir):
+    """ev_cdc_latest_state: ONE hash exchange on the compaction key, no
+    single-partition stage.  text_vocab_build: top-N via
+    TakeOrderedAndProject with map-side partial counts — never a global
+    sort of the whole vocabulary."""
+    cdc = _plan(QUERIES["ev_cdc_latest_state"](spark, sf_dir))
+    assert "SinglePartition" not in cdc
+    assert "hashpartitioning(user_id" in cdc
+    vocab = _plan(QUERIES["text_vocab_build"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in vocab
+    assert "partial_count" in vocab
+
+
 def test_shard_cumsum_avoids_global_window(spark, sf_dir):
     """shard_by_token_budget's global running total must be the two-phase
     scan, not a single-partition window over the corpus: the corpus-sized
