@@ -63,6 +63,8 @@ _MODIFIED_THIS_ROUND: list[str] = [
     "qa_referential_events",    # fact-vs-dimension orphan scorecard
     "text_vocab_build",         # top-N token vocab with dense ids
     "stream_cdc_latest_state",  # streaming latest-wins compaction (max_by state)
+    "pack_length_buckets",      # inference padding-waste profile per bucket
+    "sample_reservoir_per_source",  # exact-k per-domain deterministic sample
     # The rest of r07's budget goes to the stale back catalog: the 23-query
     # cohort last verified in r03 sorts first via staleness (VERDICT r06 #4).
 ]

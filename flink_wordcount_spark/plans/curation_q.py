@@ -837,3 +837,96 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.when(keep, 1)).alias("n_sampled"))
         .select("source", "n_docs", "rate", "n_sampled")
     )
+
+
+#: Inference batch padding granularity (tokens) for pack_length_buckets.
+_PAD_MULT = 64
+
+
+@query(
+    "pack_length_buckets",
+    oracle=f"""
+    WITH t AS (
+        SELECT CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens FROM documents
+    ), b AS (
+        SELECT n_tokens,
+               CAST(greatest(ceil(n_tokens / {_PAD_MULT}.0), 1) * {_PAD_MULT} AS BIGINT)
+                   AS bucket_len
+        FROM t
+    )
+    SELECT bucket_len,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(count(*) * bucket_len AS BIGINT) AS padded_tokens,
+           1 - sum(n_tokens) / CAST(count(*) * bucket_len AS DOUBLE) AS waste_ratio
+    FROM b GROUP BY bucket_len
+    """,
+)
+def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inference batch packing profile: documents bucketed by padded length
+    (next multiple of {_PAD_MULT} tokens, minimum one pad block) with the
+    padding waste per bucket — the serving-side complement of
+    pack_sequences (which packs for TRAINING); the waste_ratio column is
+    what decides whether to re-bucket or sort-by-length a corpus before
+    batch inference.  One map-side bucket computation + one aggregate; the
+    waste ratio is the raw IEEE quotient (never round an integer-quotient
+    ratio)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\W+"), lambda w: F.length(w) > 0)
+    n_tokens = F.size(toks).cast("bigint")
+    bucket = (
+        F.greatest(F.ceil(n_tokens / F.lit(float(_PAD_MULT))), F.lit(1)) * _PAD_MULT
+    ).cast("bigint")
+    return (
+        d.select(n_tokens.alias("n_tokens"), bucket.alias("bucket_len"))
+        .groupBy("bucket_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.count(F.lit(1)) * F.col("bucket_len")).alias("padded_tokens"),
+            (
+                F.lit(1)
+                - F.sum("n_tokens")
+                / (F.count(F.lit(1)) * F.col("bucket_len")).cast("double")
+            ).alias("waste_ratio"),
+        )
+    )
+
+
+#: Exact-k per-source sample size for sample_reservoir_per_source.
+_RESERVOIR_K = 10
+
+
+@query(
+    "sample_reservoir_per_source",
+    oracle=f"""
+    SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT source, doc_id,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY ((doc_id % {_SHUF_M}) * {_SHUF_K}) % {_SHUF_M}, doc_id
+               ) AS rk
+        FROM documents
+    ) WHERE rk <= {_RESERVOIR_K}
+    """,
+)
+def sample_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size per-domain sample: exactly {_RESERVOIR_K}
+    docs per source, chosen by multiplicative-hash order — the
+    reproducible analogue of per-group reservoir sampling (rand()-based
+    reservoirs change under retries/speculation; this one is a pure
+    function of the keys).  The fixed-k complement of sample_stratified's
+    rate-based sampling — what an eval-set builder uses when every domain
+    must contribute the same row count.
+
+    Scale: one shuffle on source; the per-source sort is a top-k inside
+    the window (rank <= k prunes early), and AQE skew-splits a dominant
+    source."""
+    d = table(spark, sf_dir, "documents")
+    hk = ((F.col("doc_id") % _SHUF_M) * _SHUF_K) % _SHUF_M
+    w = Window.partitionBy("source").orderBy(hk.asc(), F.col("doc_id").asc())
+    return (
+        d.select("source", "doc_id")
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _RESERVOIR_K)
+    )
