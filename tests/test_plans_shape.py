@@ -167,6 +167,13 @@ def test_answers_stable_under_adverse_confs(spark, sf_dir):
             # r05 additions with broadcast/shuffle-sensitive shapes
             "text_char_lm_score",
             "ev_session_dynamic_gap",
+            # r07 additions: the two-phase cumsum must be invariant to the
+            # shuffle partition count (its range ids are derived from the
+            # order key, NOT from physical partitioning), the CDC compaction
+            # to exchange layout, and the mixture rates to broadcast policy
+            "shard_by_token_budget",
+            "ev_cdc_latest_state",
+            "sample_temperature_mixture",
         )
     }
     old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
