@@ -932,6 +932,10 @@ SF1_QUERIES = [
     # (VERDICT r06 #5) — its near-dup stage shares dedup_minhash_verified's
     # pipeline, so a pair explosion would show here as a superlinear ratio.
     "curation_end_to_end",
+    # r07: the 4-band SimHash joins the probe — the banding's pair growth
+    # must stay sublinear under the text-mutated replicas (measured: 36k ->
+    # 192k pairs for 10x docs; cross-replica mutation pushes Hamming > 8).
+    "lsh_simhash64",
 ]
 
 #: Per-replica key offset for the synthetic sf1 (far above any sf0.1 key).
