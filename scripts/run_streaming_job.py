@@ -81,12 +81,33 @@ def main() -> int:
                    help="failure experiment: stop the query after N seconds and "
                         "restart from the checkpoint (requires --checkpoint-interval>0)")
     p.add_argument("--out-dir", default="/tmp/wc_run")
+    p.add_argument(
+        "--state-store",
+        choices=["default", "rocksdb"],
+        default="default",
+        help="rocksdb applies the measured large-state tuning: changelog "
+             "checkpointing, snapshot cadence 150, row-count tracking off "
+             "(2-4x throughput on update-heavy state; SCALE.md 'Streaming')",
+    )
     args = p.parse_args()
 
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     spark = get_spark("streaming_wordcount_job")
     spark.sparkContext.setLogLevel("ERROR")
+    if args.state_store == "rocksdb":
+        for k, v in {
+            "spark.sql.streaming.stateStore.providerClass": (
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"
+            ),
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled": "true",
+            "spark.sql.streaming.stateStore.minDeltasForSnapshot": "150",
+            "spark.sql.streaming.stateStore.rocksdb."
+            "trackTotalNumberOfRows": "false",
+        }.items():
+            spark.conf.set(k, v)
     listener = ThroughputListener()
     spark.streams.addListener(listener)
 
