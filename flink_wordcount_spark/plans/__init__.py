@@ -65,6 +65,8 @@ _MODIFIED_THIS_ROUND: list[str] = [
     "stream_cdc_latest_state",  # streaming latest-wins compaction (max_by state)
     "pack_length_buckets",      # inference padding-waste profile per bucket
     "sample_reservoir_per_source",  # exact-k per-domain deterministic sample
+    "ev_moving_window_1h",      # trailing time-RANGE frame per user
+    "ev_value_percentiles",     # exact rank-selected p50/p90/p99 rollup
     # The rest of r07's budget goes to the stale back catalog: the 23-query
     # cohort last verified in r03 sorts first via staleness (VERDICT r06 #4).
 ]

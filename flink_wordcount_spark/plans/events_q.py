@@ -816,3 +816,91 @@ def qa_referential_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@query(
+    "ev_moving_window_1h",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           round(sum(value) OVER w, 2) AS value_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def ev_moving_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1-hour moving aggregate per user, evaluated AT EVERY EVENT
+    (RANGE frame on event time, not row count) — the sliding-window rollup a
+    TSDB evaluates continuously, and the frame kind row-based windows can't
+    express when events are irregularly spaced.  RANGE mode makes
+    same-timestamp events peers in both engines, so no tie-break is needed
+    for value parity.
+
+    Scale: one shuffle on user_id; the frame is evaluated with a sliding
+    two-pointer over each user's time-sorted events (Spark's bounded-range
+    WindowExec), so cost is O(events) per user, not O(events x frame)."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 2).alias("value_1h"),
+    )
+
+
+@query(
+    "ev_value_percentiles",
+    oracle="""
+    WITH r AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           round(max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN value END), 2) AS p50,
+           round(max(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT) THEN value END), 2) AS p90,
+           round(max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END), 2) AS p99
+    FROM r GROUP BY event_type
+    """,
+)
+def ev_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles (p50/p90/p99 of value per event type) via
+    rank selection — engine-neutral by construction: the k-th smallest
+    element at k = ceil(q*n) with an (value, event_id) total order, so both
+    engines pick the SAME physical row (interpolating percentile functions
+    differ between engines and are deliberately avoided).  The latency-SLO
+    rollup shape.
+
+    Scale: one window sort per event_type partition + one aggregate.  At
+    100 TB prefer approx_percentile (one-pass sketch) for dashboards and
+    keep this exact form for SLO audits — the same exact/approx pairing as
+    agg_quantile_disc."""
+    e = table(spark, sf_dir, "events")
+    wr = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(q: float):
+        at = F.ceil(F.lit(q) * F.col("n")).cast("bigint")
+        return F.round(F.max(F.when(F.col("rn") == at, F.col("value"))), 2)
+
+    return r.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        pick(0.50).alias("p50"),
+        pick(0.90).alias("p90"),
+        pick(0.99).alias("p99"),
+    )
