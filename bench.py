@@ -251,11 +251,19 @@ def bench_storage_ab(spark) -> dict:
     changelog appends was environment-attributed without proof)."""
     out: dict = {}
     shm = "/dev/shm"
-    sides = [("disk", None)]
+    # disk -> tmpfs -> disk again: with a fixed two-window order, JVM/OS
+    # warmth systematically favors whichever side runs second and biases
+    # the ratio (review r07 — order is load-bearing, same lesson as
+    # words_per_sec_attempts_chrono); the ratio is computed from the SECOND
+    # disk window (same warmth as the tmpfs window it brackets), and the
+    # cold first disk window stays in the artifact as the warm-up control.
+    sides = [("disk_cold", None)]
     if os.path.isdir(shm) and os.access(shm, os.W_OK):
-        sides.append(("tmpfs", shm))
+        sides += [("tmpfs", shm), ("disk", None)]
     else:
         out["tmpfs_unavailable"] = True
+        sides += [("disk", None)]
+    out["order"] = [name for name, _ in sides]
     for name, base in sides:
         w = bench_latency(spark, run_sec=60, warmup_sec=25, base_dir=base)
         _unload_state_stores(spark)

@@ -356,6 +356,75 @@ def hamming64(a, b):
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_band_pairs(
+    fp: DataFrame,
+    fp_cols: list,
+    band_vals: list,
+    hamming_fn,
+    *,
+    max_hamming: int = 8,
+    max_bucket_size: int | None = 1024,
+) -> DataFrame:
+    """Banded SimHash candidate search, shared by the production (xxhash64,
+    one 64-bit column) and the md5 verify-twin (two 32-bit halves) pipelines
+    so a banding change can never silently diverge between them (review r07).
+
+    ``fp`` carries column ``id`` plus ``fp_cols``; ``band_vals`` is one
+    Column per band (already shifted/masked); ``hamming_fn(a, b)`` receives
+    dicts of the two sides' fingerprint Columns and returns the distance.
+    Pairs sharing ANY band with Hamming <= ``max_hamming`` are emitted once.
+    Pigeonhole: with B disjoint bands, recall is exact for Hamming <= B-1
+    CONDITIONAL on the hot-bucket cap not dropping every shared band (the
+    cap bounds the O(size²) in-bucket expansion; its key side is bounded by
+    the band-value space, so the size-gated hint is safe at every scale)."""
+    from ..hints import maybe_broadcast
+
+    bands = fp.select(
+        "id",
+        *fp_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band_idx"), v.alias("band_val"))
+                    for i, v in enumerate(band_vals)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", *fp_cols, "b.band_idx", "b.band_val")
+    if max_bucket_size is not None:
+        ok = (
+            bands.groupBy("band_idx", "band_val")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") <= max_bucket_size)
+            .select("band_idx", "band_val")
+        )
+        bands = bands.join(maybe_broadcast(ok), ["band_idx", "band_val"])
+    a = bands.select(
+        F.col("id").alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in fp_cols],
+        "band_idx",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("id").alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in fp_cols],
+        "band_idx",
+        "band_val",
+    )
+    ham = hamming_fn(
+        {c: F.col(f"{c}_a") for c in fp_cols},
+        {c: F.col(f"{c}_b") for c in fp_cols},
+    ).cast("bigint")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
+
+
 def incremental_jaccard_pairs(
     sh_new: DataFrame, sh_old: DataFrame, threshold: float
 ) -> DataFrame:

@@ -24,6 +24,12 @@ from pyspark.sql import functions as F
 #: Reference tokenizer regex (StatefulWordCount.java:118).
 TOKEN_SPLIT_REGEX = r"\W+"
 
+#: The SAME tokenizer as a DuckDB SQL snippet — the single source of truth
+#: every oracle interpolates (review r07: four hand-written copies meant a
+#: token-split change had four places to miss).  Mirrors TOKEN_SPLIT_REGEX +
+#: the drop-empties rule exactly.
+TOKS_SQL = "list_filter(regexp_split_to_array(text, '\\W+'), x -> length(x) > 0)"
+
 
 def tokenize(df: DataFrame, text_col: str = "text", out_col: str = "word") -> DataFrame:
     """One output row per non-empty ``\\W+``-separated token; other columns kept."""

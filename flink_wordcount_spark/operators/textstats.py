@@ -98,6 +98,28 @@ def quality_features(text_col: str = "text") -> list[Column]:
     ]
 
 
+def quality_score_sql(
+    n_toks: str = "n_toks",
+    n_stop: str = "n_stop",
+    n_punct: str = "n_punct",
+    n_digits: str = "n_digits",
+    n_chars: str = "n_chars_m",
+) -> str:
+    """The composite quality score as a DuckDB SQL expression — the SINGLE
+    definition both text_quality's and quality_cutoff_per_lang's oracles
+    interpolate (review r07: a second hand-written copy of the formula
+    would let a weight tweak silently decouple the calibration from the
+    score it calibrates).  Arguments are the SQL snippets for each feature
+    (CTE column names or inline expressions); the formula mirrors
+    :func:`quality_features`'s Python/Spark blend exactly."""
+    return (
+        f"least({n_toks} / 400.0, 1.0) * 0.4\n"
+        f"               + ({n_stop} / greatest({n_toks}, 1)) * 0.3\n"
+        f"               + (1 - {n_punct} / greatest({n_chars}, 1)) * 0.2\n"
+        f"               + (1 - {n_digits} / greatest({n_chars}, 1)) * 0.1"
+    )
+
+
 def token_counts(text_col: str = "text") -> list[Column]:
     """Whitespace token count and BPE-ish regex token count."""
     ws = F.size(F.filter(F.split(F.col(text_col), " +"), lambda w: F.length(w) > 0))

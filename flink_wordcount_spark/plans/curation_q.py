@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from ..hints import maybe_broadcast
 from ..io import table
 from ..operators.dedup import shingle_hashes
+from ..operators.text import TOKEN_SPLIT_REGEX
 from .catalog import query
 
 _SHINGLE_N = 3
@@ -584,8 +585,7 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: run uses ~100M-1B tokens/shard — the math is scale-free).
 _SHARD_TOKENS = 20_000
 
-# DuckDB-side token array (same \W+ split the Spark side uses everywhere).
-_TOKS_SQL = "list_filter(regexp_split_to_array(text, '\\W+'), x -> length(x) > 0)"
+from ..operators.text import TOKS_SQL as _TOKS_SQL  # shared tokenizer SQL
 
 
 @query(
@@ -626,7 +626,7 @@ def shard_by_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     window.  The plan-shape test pins that every corpus-sized window is
     partitioned."""
     d = table(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", r"\W+"), lambda w: F.length(w) > 0)
+    toks = F.filter(F.split("text", TOKEN_SPLIT_REGEX), lambda w: F.length(w) > 0)
     n_ranges = 32
     base = d.select(
         "doc_id",
@@ -676,19 +676,25 @@ _CUTOFF_KEEP = 0.8
 
 
 def _quality_score_sql() -> str:
-    from ..operators.textstats import STOPWORDS
+    # One formula definition shared with text_quality's oracle (review r07):
+    # here the features are interpolated as inline expressions over raw
+    # `text` instead of CTE column names — numerically identical inputs.
+    from ..operators.textstats import STOPWORDS, quality_score_sql
 
     stop_list = ", ".join(repr(w) for w in STOPWORDS["en"])
+    score = quality_score_sql(
+        n_toks=f"len({_TOKS_SQL})",
+        n_stop=(
+            f"len(list_filter({_TOKS_SQL}, "
+            f"w -> list_contains([{stop_list}], lower(w))))"
+        ),
+        n_punct="length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))",
+        n_digits="length(regexp_replace(text, '[^0-9]', '', 'g'))",
+        n_chars="length(text)",
+    )
     return f"""
         SELECT doc_id, lang,
-               least(len({_TOKS_SQL}) / 400.0, 1.0) * 0.4
-               + len(list_filter({_TOKS_SQL},
-                     w -> list_contains([{stop_list}], lower(w))))
-                 / greatest(len({_TOKS_SQL}), 1) * 0.3
-               + (1 - length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
-                      / greatest(length(text), 1)) * 0.2
-               + (1 - length(regexp_replace(text, '[^0-9]', '', 'g'))
-                      / greatest(length(text), 1)) * 0.1 AS q
+               {score} AS q
         FROM documents
     """
 
@@ -872,7 +878,7 @@ def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     waste ratio is the raw IEEE quotient (never round an integer-quotient
     ratio)."""
     d = table(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", r"\W+"), lambda w: F.length(w) > 0)
+    toks = F.filter(F.split("text", TOKEN_SPLIT_REGEX), lambda w: F.length(w) > 0)
     n_tokens = F.size(toks).cast("bigint")
     bucket = (
         F.greatest(F.ceil(n_tokens / F.lit(float(_PAD_MULT))), F.lit(1)) * _PAD_MULT

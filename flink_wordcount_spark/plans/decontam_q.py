@@ -35,7 +35,7 @@ _DECON_N = 4  # word n-gram size for contamination matching
 _BOILER_N = 3
 _BOILER_MIN_DOCS = 5  # a shingle in >= this many docs is boilerplate
 
-_TOKS = "list_filter(regexp_split_to_array(text, '\\W+'), x -> length(x) > 0)"
+from ..operators.text import TOKS_SQL as _TOKS  # shared tokenizer SQL
 
 
 @query(

@@ -173,51 +173,25 @@ def lsh_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pair at Hamming <= 3 differs in at most 3 bands so ALWAYS shares one —
     guaranteed recall where near-dups concentrate, measured 11/28 -> 27/28
     of the fixture's exact edit-verified pairs (the miss is Hamming 9,
-    outside the predicate).  Hot band buckets above the cap are dropped;
-    the cap-key join side is bounded by the 4*65536 band-value space."""
-    from ..operators.dedup import hamming64
+    outside the predicate).  Hot band buckets above the cap are dropped —
+    which makes the pigeonhole guarantee CONDITIONAL on the cap not firing
+    for every shared band of a pair (the documented recall trade of every
+    cap in this repo); the cap-key join side is bounded by the 4*65536
+    band-value space."""
+    from ..operators.dedup import hamming64, simhash_band_pairs
 
     d = table(spark, sf_dir, "documents")
     fp = simhash(d, "text", "doc_id")
-    bands = fp.select(
-        "id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.shiftright("simhash", 16 * i)
-                        .bitwiseAND(F.lit(65535))
-                        .alias("band_val"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("b"),
-    ).select("id", "simhash", "b.band_idx", "b.band_val")
-    ok = (
-        bands.groupBy("band_idx", "band_val")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") <= _SIMHASH_MAX_BUCKET)
-        .select("band_idx", "band_val")
-    )
-    gated = bands.join(maybe_broadcast(ok), ["band_idx", "band_val"])
-    a = gated.select(
-        F.col("id").alias("id_a"), F.col("simhash").alias("fp_a"), "band_idx", "band_val"
-    )
-    b = gated.select(
-        F.col("id").alias("id_b"), F.col("simhash").alias("fp_b"), "band_idx", "band_val"
-    )
-    return (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", hamming64(F.col("fp_a"), F.col("fp_b")).cast("bigint"))
-        .filter(F.col("hamming") <= 8)
-        .select("id_a", "id_b", "hamming")
-        .distinct()
-        .orderBy("id_a", "id_b")
-    )
+    return simhash_band_pairs(
+        fp,
+        ["simhash"],
+        [
+            F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(65535))
+            for i in range(4)
+        ],
+        lambda a, b: hamming64(a["simhash"], b["simhash"]),
+        max_bucket_size=_SIMHASH_MAX_BUCKET,
+    ).orderBy("id_a", "id_b")
 
 
 @query(
@@ -552,64 +526,22 @@ def lsh_simhash64_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonhole; see _SIMHASH_MAX_BUCKET note), Hamming <= 8.  Value-checks
     the full SimHash pipeline the production lsh_simhash64 (xxhash64) runs
     rows-only."""
+    from ..operators.dedup import simhash_band_pairs
+
     d = table(spark, sf_dir, "documents")
     fp = md5_simhash_fingerprints(d)
-    # 4 disjoint 16-bit bands stacked (band_idx, band_val) — pigeonhole
-    # guarantees any Hamming <= 3 pair shares a band; hot buckets above the
-    # cap are dropped (the cap join side is bounded by the 4*65536 band-value
-    # space, so the hint is safe at every scale)
-    bands = fp.select(
-        "id",
-        "fp_lo",
-        "fp_hi",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.shiftright(F.col(c), s)
-                        .bitwiseAND(F.lit(65535))
-                        .alias("band_val"),
-                    )
-                    for i, (c, s) in enumerate(
-                        [("fp_lo", 0), ("fp_lo", 16), ("fp_hi", 0), ("fp_hi", 16)]
-                    )
-                ]
-            )
-        ).alias("b"),
-    ).select("id", "fp_lo", "fp_hi", "b.band_idx", "b.band_val")
-    ok = (
-        bands.groupBy("band_idx", "band_val")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") <= _SIMHASH_MAX_BUCKET)
-        .select("band_idx", "band_val")
-    )
-    gated = bands.join(maybe_broadcast(ok), ["band_idx", "band_val"])
-    a = gated.select(
-        F.col("id").alias("id_a"),
-        F.col("fp_lo").alias("lo_a"),
-        F.col("fp_hi").alias("hi_a"),
-        "band_idx",
-        "band_val",
-    )
-    b = gated.select(
-        F.col("id").alias("id_b"),
-        F.col("fp_lo").alias("lo_b"),
-        F.col("fp_hi").alias("hi_b"),
-        "band_idx",
-        "band_val",
-    )
-    hamming = (
-        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
-        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
-    ).cast("bigint")
-    return (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= 8)
-        .select("id_a", "id_b", "hamming")
-        .distinct()
+    return simhash_band_pairs(
+        fp,
+        ["fp_lo", "fp_hi"],
+        [
+            F.shiftright(F.col(c), s).bitwiseAND(F.lit(65535))
+            for c, s in [("fp_lo", 0), ("fp_lo", 16), ("fp_hi", 0), ("fp_hi", 16)]
+        ],
+        lambda a, b: (
+            F.bit_count(a["fp_hi"].bitwiseXOR(b["fp_hi"]))
+            + F.bit_count(a["fp_lo"].bitwiseXOR(b["fp_lo"]))
+        ),
+        max_bucket_size=_SIMHASH_MAX_BUCKET,
     )
 
 

@@ -825,8 +825,8 @@ def qa_referential_events(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) OVER w AS BIGINT) AS n_1h,
            round(sum(value) OVER w, 2) AS value_1h
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
-                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
     """,
 )
 def ev_moving_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -835,7 +835,10 @@ def ev_moving_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     TSDB evaluates continuously, and the frame kind row-based windows can't
     express when events are irregularly spaced.  RANGE mode makes
     same-timestamp events peers in both engines, so no tie-break is needed
-    for value parity.
+    for value parity.  The frame key is MICROSECONDS on both sides
+    (unix_micros / epoch_us): the fixtures carry sub-second timestamps, and
+    a whole-second key truncates differently than DuckDB's fractional
+    epoch() — measured as one diverging row at sf0.1 (review r07).
 
     Scale: one shuffle on user_id; the frame is evaluated with a sliding
     two-pointer over each user's time-sorted events (Spark's bounded-range
@@ -843,8 +846,8 @@ def ev_moving_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return e.select(
         "event_id",

@@ -357,7 +357,7 @@ _BM25_SCORE_SQL = "round(" + " + ".join(
     for i in range(len(_BM25_TERMS))
 ) + ", 6)"
 
-_BM25_TOKS = "list_filter(regexp_split_to_array(text, '\\W+'), x -> length(x) > 0)"
+from ..operators.text import TOKS_SQL as _BM25_TOKS  # shared tokenizer SQL
 
 
 @query(
@@ -675,11 +675,14 @@ def semdedup_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     The embedding-space analogue of dedup_keep_list — prunes paraphrase/
     re-encode duplicates that shingle dedup can't see.
 
-    100 TB shape: the centroid broadcast and one-scan assignment are IVF's
-    (similarity_q scale notes); pairwise cosine then runs ONLY within
-    cells, so the quadratic term is bounded by the cell size (k ~ sqrt(n)
-    centroids keeps cells ~sqrt(n); a production run sizes k so cells fit
-    the executor, exactly like the paper's k=50k at 1e9 scale).  No
+    100 TB shape: the centroid assignment is IVF's one-scan broadcast
+    argmin; pairwise cosine then runs ONLY within cells, so the quadratic
+    term is bounded by the cell size (k ~ sqrt(n) centroids keeps cells
+    ~sqrt(n); a production run sizes k so cells fit the executor, exactly
+    like the paper's k=50k at 1e9 scale).  The FIXTURE's centroid rule
+    (every 50th vector) scales with the corpus rather than sqrt(n), so the
+    hint is size-gated (review r07) — a production deployment supplies a
+    genuinely bounded centroid table and keeps the broadcast.  No
     corpus-wide pair join exists in the plan."""
     from ..operators.similarity import cosine
 
@@ -689,7 +692,7 @@ def semdedup_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_double(F.col("embedding")).alias("cv"),
     )
     v = emb.select("vec_id", as_double(F.col("embedding")).alias("vv"))
-    scored = v.crossJoin(F.broadcast(cents)).select(
+    scored = v.crossJoin(maybe_broadcast(cents)).select(
         "vec_id",
         "cell_id",
         "vv",

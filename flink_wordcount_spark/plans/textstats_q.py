@@ -19,11 +19,13 @@ from ..operators.textstats import (
     lang_predict,
     lang_scores,
     quality_features,
+    quality_score_sql,
     token_counts,
 )
 from .catalog import query
 
-_TOKS = "list_filter(regexp_split_to_array(text, '\\W+'), x -> length(x) > 0)"
+from ..operators.text import TOKEN_SPLIT_REGEX
+from ..operators.text import TOKS_SQL as _TOKS  # shared tokenizer SQL
 
 
 def _score_sql(lang: str) -> str:
@@ -79,10 +81,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
            n_stop / greatest(n_toks, 1) AS stop_ratio,
            n_digits / greatest(n_chars_m, 1) AS digit_ratio,
            n_punct / greatest(n_chars_m, 1) AS punct_ratio,
-           least(n_toks / 400.0, 1.0) * 0.4
-               + (n_stop / greatest(n_toks, 1)) * 0.3
-               + (1 - n_punct / greatest(n_chars_m, 1)) * 0.2
-               + (1 - n_digits / greatest(n_chars_m, 1)) * 0.1 AS quality_score
+           {quality_score_sql()} AS quality_score
     FROM t
     """,
 )
@@ -124,7 +123,7 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bigrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 word bigrams across the corpus (n-gram language statistics)."""
     d = table(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", r"\W+"), lambda w: F.length(w) > 0)
+    toks = F.filter(F.split("text", TOKEN_SPLIT_REGEX), lambda w: F.length(w) > 0)
     bigrams = F.expr(
         "CASE WHEN size(__t) >= 2 THEN "
         "transform(sequence(1, size(__t) - 1), i -> concat(__t[i-1], ' ', __t[i])) "
@@ -168,7 +167,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back) + a window top-k; the classic text-features pipeline."""
     d = table(spark, sf_dir, "documents")
     toks = (
-        d.select("doc_id", F.explode(F.split("text", r"\W+")).alias("word"))
+        d.select("doc_id", F.explode(F.split("text", TOKEN_SPLIT_REGEX)).alias("word"))
         .filter(F.length("word") > 0)
     )
     tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
@@ -316,7 +315,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = d.select(
         "source",
         "doc_id",
-        F.size(F.filter(F.split("text", r"\W+"), lambda x: F.length(x) > 0))
+        F.size(F.filter(F.split("text", TOKEN_SPLIT_REGEX), lambda x: F.length(x) > 0))
         .cast("bigint")
         .alias("n_tokens"),
     )
@@ -362,7 +361,7 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     so short docs are guarded explicitly.
     """
     d = table(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", r"\W+"), lambda x: F.length(x) > 0)
+    toks = F.filter(F.split("text", TOKEN_SPLIT_REGEX), lambda x: F.length(x) > 0)
     grams = F.when(
         F.size(toks) >= 3,
         F.transform(
@@ -423,7 +422,7 @@ def curation_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     2*distinct >= total — integer arithmetic, no float ratio to drift.
     """
     d = table(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", r"\W+"), lambda x: F.length(x) > 0)
+    toks = F.filter(F.split("text", TOKEN_SPLIT_REGEX), lambda x: F.length(x) > 0)
     grams = F.when(
         F.size(toks) >= 3,
         F.transform(
@@ -582,7 +581,7 @@ def text_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     count; empty docs still yield one zero-token chunk so no document
     silently disappears from the corpus."""
     d = table(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", r"\W+"), lambda x: F.length(x) > 0)
+    toks = F.filter(F.split("text", TOKEN_SPLIT_REGEX), lambda x: F.length(x) > 0)
     sized = d.select(
         "doc_id",
         F.size(toks).cast("bigint").alias("n_toks"),

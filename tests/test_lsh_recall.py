@@ -88,9 +88,13 @@ def test_simhash_recall_parity_production_vs_md5(spark, sf_dir):
     truth (r07: this test is what surfaced the single-prefix bucketing's
     11/28 recall and motivated the 4x16-bit-band upgrade):
 
-    1. Pigeonhole (provable, fixture-independent): every true pair whose
-       fingerprints sit at Hamming <= 3 differs in at most 3 of the 4
-       disjoint bands, so it MUST be emitted by that family's pipeline.
+    1. Pigeonhole (provable GIVEN the hot-bucket cap doesn't fire —
+       _SIMHASH_MAX_BUCKET drops bands with > 1024 members, so a vintage
+       where every shared band of a close pair is hot voids the guarantee
+       by design; if this assertion ever fails, check bucket sizes before
+       suspecting the banding): every true pair at Hamming <= 3 differs in
+       at most 3 of the 4 disjoint bands, so it MUST share one and be
+       emitted by that family's pipeline.
     2. Each family's recall of the true edit-near-dup set must clear 0.75
        (single-prefix measured 0.39-0.61; 4-band measures ~0.96, missing
        only pairs outside its own Hamming <= 8 predicate).
