@@ -68,8 +68,9 @@ _MODIFIED_THIS_ROUND: list[str] = [
     "ev_moving_window_1h",      # trailing time-RANGE frame per user
     "ev_value_percentiles",     # exact rank-selected p50/p90/p99 rollup
     "text_quality",             # oracle now interpolates the shared score
-                                # formula (review r07 refactor)
-    "semdedup_drop_list",       # centroid broadcast size-gated (review r07)
+                                # formula (review r07 refactor; semdedup's
+                                # size-gated broadcast is covered by its
+                                # entry above)
     # The rest of r07's budget goes to the stale back catalog: the 23-query
     # cohort last verified in r03 sorts first via staleness (VERDICT r06 #4).
 ]
