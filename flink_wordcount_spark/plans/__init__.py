@@ -65,6 +65,7 @@ _MODIFIED_THIS_ROUND: list[str] = [
     "stream_cdc_latest_state",  # streaming latest-wins compaction (max_by state)
     "pack_length_buckets",      # inference padding-waste profile per bucket
     "sample_reservoir_per_source",  # exact-k per-domain deterministic sample
+    "qa_schema_profile",        # per-column null/distinct delivery audit
     "ev_moving_window_1h",      # trailing time-RANGE frame per user
     "ev_value_percentiles",     # exact rank-selected p50/p90/p99 rollup
     "text_quality",             # oracle now interpolates the shared score

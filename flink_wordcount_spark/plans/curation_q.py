@@ -936,3 +936,61 @@ def sample_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= _RESERVOIR_K)
     )
+
+
+@query(
+    "qa_schema_profile",
+    oracle="""
+    SELECT 'doc_id' AS col,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(doc_id) AS BIGINT) AS n_nonnull,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct
+    FROM documents
+    UNION ALL
+    SELECT 'text', CAST(count(*) AS BIGINT), CAST(count(text) AS BIGINT),
+           CAST(count(DISTINCT text) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'lang', CAST(count(*) AS BIGINT), CAST(count(lang) AS BIGINT),
+           CAST(count(DISTINCT lang) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'source', CAST(count(*) AS BIGINT), CAST(count(source) AS BIGINT),
+           CAST(count(DISTINCT source) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'n_chars', CAST(count(*) AS BIGINT), CAST(count(n_chars) AS BIGINT),
+           CAST(count(DISTINCT n_chars) AS BIGINT) FROM documents
+    """,
+)
+def qa_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profile: per-column row/non-null/distinct counts over
+    documents — the first QA pass a pipeline runs on a new delivery
+    (null-rate regressions and cardinality collapses are the two most
+    common upstream breakages).  ONE scan: all per-column aggregates fold
+    into a single groupBy-less aggregation, then unpivot driver-side into
+    the per-column report rows (5 literals — no second scan, no explode of
+    the corpus).
+
+    At 100 TB exact count(DISTINCT text) is the expensive term — swap in
+    approx_count_distinct for dashboards (the exact/approx pairing used
+    throughout); the exact form stays for delivery audits."""
+    d = table(spark, sf_dir, "documents")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+        ]
+    one = d.agg(*aggs)
+    reports = [
+        one.select(
+            F.lit(c).alias("col"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col(f"nn_{c}").cast("bigint").alias("n_nonnull"),
+            F.col(f"nd_{c}").cast("bigint").alias("n_distinct"),
+        )
+        for c in cols
+    ]
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionAll(r)
+    return out
