@@ -66,6 +66,8 @@ _MODIFIED_THIS_ROUND: list[str] = [
     "pack_length_buckets",      # inference padding-waste profile per bucket
     "sample_reservoir_per_source",  # exact-k per-domain deterministic sample
     "qa_schema_profile",        # per-column null/distinct delivery audit
+    "dedup_prefix_truncation",  # truncation-artifact prefix groups
+    "ev_user_value_deciles",    # ntile whale-analysis rollup
     "ev_moving_window_1h",      # trailing time-RANGE frame per user
     "ev_value_percentiles",     # exact rank-selected p50/p90/p99 rollup
     "text_quality",             # oracle now interpolates the shared score

@@ -643,3 +643,42 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("est_within", F.abs(est - F.col("jaccard")) <= F.lit(0.25))
         .select("id_a", "id_b", "n_shared", "jaccard", "est_within")
     )
+
+
+#: Prefix length for truncation-artifact detection.
+_PREFIX_LEN = 200
+
+
+@query(
+    "dedup_prefix_truncation",
+    oracle=f"""
+    SELECT substring(text, 1, {_PREFIX_LEN}) AS prefix,
+           CAST(min(doc_id) AS BIGINT) AS rep_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts
+    FROM documents
+    GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def dedup_prefix_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-artifact detection: document groups sharing their first
+    {_PREFIX_LEN} characters — the ingestion failure mode where the same
+    page arrives repeatedly cut at different lengths (exact dedup misses it:
+    the texts differ; shingle near-dup under-scores it when the tails
+    diverge).  ``n_distinct_texts > 1`` inside a group is the actionable
+    signal (equal texts are exact dedup's job).
+
+    Scale: ONE groupBy keyed on the fixed-width prefix (shuffle rows are
+    {_PREFIX_LEN} B + counters; hash the prefix with sha2 to shrink them to
+    32 B at 100 TB — kept raw here so the report carries the evidence
+    string)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.substring("text", 1, _PREFIX_LEN).alias("prefix"))
+        .agg(
+            F.min("doc_id").alias("rep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("text").alias("n_distinct_texts"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

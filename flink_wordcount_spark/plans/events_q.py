@@ -907,3 +907,50 @@ def ev_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0.90).alias("p90"),
         pick(0.99).alias("p99"),
     )
+
+
+@query(
+    "ev_user_value_deciles",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, round(sum(value), 2) AS total
+        FROM events GROUP BY user_id
+    ), bucketed AS (
+        SELECT user_id, total,
+               CAST(ntile(10) OVER (ORDER BY total DESC, user_id) AS BIGINT)
+                   AS decile
+        FROM per_user
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(sum(total), 2) AS decile_value,
+           round(min(total), 2) AS min_total,
+           round(max(total), 2) AS max_total
+    FROM bucketed GROUP BY decile
+    """,
+)
+def ev_user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-value decile table (whale analysis): users ranked by lifetime
+    value and NTILE'd into 10 equal buckets with per-decile totals and
+    boundaries — the concentration report behind 'the top decile drives X%
+    of value'.  ntile is engine-neutral given a TOTAL order (value ties
+    broken by user_id) because both engines assign the canonical
+    first-buckets-get-the-remainder sizes.
+
+    Scale: the per-user rollup is the only corpus-sized shuffle; the ntile
+    window then orders one row per user (at 100 TB the per-user frame is
+    itself large — range-partition the sort, the same lever as any global
+    order-by, or bucket by approximate quantiles of total)."""
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.round(F.sum("value"), 2).alias("total"))
+    w = Window.orderBy(F.desc("total"), "user_id")
+    return (
+        per_user.withColumn("decile", F.ntile(10).over(w).cast("bigint"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.sum("total"), 2).alias("decile_value"),
+            F.round(F.min("total"), 2).alias("min_total"),
+            F.round(F.max("total"), 2).alias("max_total"),
+        )
+    )
