@@ -68,6 +68,7 @@ _MODIFIED_THIS_ROUND: list[str] = [
     "qa_schema_profile",        # per-column null/distinct delivery audit
     "dedup_prefix_truncation",  # truncation-artifact prefix groups
     "ev_user_value_deciles",    # ntile whale-analysis rollup
+    "dedup_shared_spans",       # substring-level partial-overlap profile
     "ev_moving_window_1h",      # trailing time-RANGE frame per user
     "ev_value_percentiles",     # exact rank-selected p50/p90/p99 rollup
     "text_quality",             # oracle now interpolates the shared score

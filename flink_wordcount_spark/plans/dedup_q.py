@@ -682,3 +682,72 @@ def dedup_prefix_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+#: Window width (in tokens) for shared-span (substring-level) dedup.
+_SPAN_W = 8
+
+
+@query(
+    "dedup_shared_spans",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\W+'),
+                           x -> length(x) > 0) AS t
+        FROM documents
+    ), sp AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+{_SPAN_W - 1}], ' ') AS s
+        FROM toks, unnest(range(1, len(t) - {_SPAN_W - 2})) AS u(i)
+    ), shared AS (
+        SELECT s FROM sp GROUP BY s HAVING count(*) >= 2
+    ), totals AS (
+        SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id
+    ), hits AS (
+        SELECT doc_id, count(*) AS n_shared
+        FROM sp JOIN shared USING (s) GROUP BY doc_id
+    )
+    SELECT doc_id, n_spans, n_shared,
+           n_shared / n_spans AS shared_frac
+    FROM hits JOIN totals USING (doc_id)
+    """,
+)
+def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level (shared-span) duplication profile: for each document,
+    the fraction of its distinct {_SPAN_W}-token windows that also occur in
+    at least one OTHER document.  This is the partial-overlap signal
+    whole-document methods miss: a page that embeds one paragraph of another
+    has low global Jaccard (invisible to MinHash/SimHash at a 0.8 threshold)
+    but a high shared-span fraction — the failure mode suffix-array training
+    -data dedup targets (Lee et al. 2022), re-expressed as one shuffle on
+    span keys.
+
+    Scale: NO pair materialization — span-frequency is a plain groupBy with
+    map-side partial aggregation (hot boilerplate spans cost one counter,
+    not freq² join rows), then a semi-join back.  At 100 TB run the same
+    plan over :func:`shingle_hashes` 64-bit keys so the shuffle carries
+    16 B rows; here the raw span string keeps the oracle bit-exact.
+    ``shared_frac`` is a raw integer-quotient IEEE division (catalog rule:
+    never round those)."""
+    sp = shingles(table(spark, sf_dir, "documents"), "text", "doc_id", n=_SPAN_W)
+    shared = (
+        sp.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("shingle")
+    )
+    totals = sp.groupBy("id").agg(F.count(F.lit(1)).alias("n_spans"))
+    hits = (
+        sp.join(shared, "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        hits.join(totals, "id")
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_spans",
+            "n_shared",
+            (F.col("n_shared") / F.col("n_spans")).alias("shared_frac"),
+        )
+    )
