@@ -954,3 +954,140 @@ def ev_user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("total"), 2).alias("max_total"),
         )
     )
+
+
+#: Drift detection: calendar split point, bin width, bin count.
+_DRIFT_SPLIT = "2024-01-16"
+_DRIFT_W = 25.0
+_DRIFT_BINS = 10
+
+
+@query(
+    "qa_drift_psi",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_type,
+               least(CAST(floor(value / {_DRIFT_W}) AS BIGINT), {_DRIFT_BINS - 1}) AS bin,
+               (ts < TIMESTAMP '{_DRIFT_SPLIT}') AS early
+        FROM events
+    ), counts AS (
+        SELECT event_type, bin,
+               CAST(sum(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+               CAST(sum(CASE WHEN NOT early THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        FROM b GROUP BY 1, 2
+    ), grid AS (
+        SELECT event_type, i AS bin
+        FROM (SELECT DISTINCT event_type FROM events),
+             unnest(range(0, {_DRIFT_BINS})) AS u(i)
+    ), filled AS (
+        SELECT g.event_type, g.bin,
+               coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        FROM grid g
+        LEFT JOIN counts c ON c.event_type = g.event_type AND c.bin = g.bin
+    ), tot AS (
+        SELECT event_type,
+               CAST(sum(ca) AS BIGINT) AS n_a,
+               CAST(sum(cb) AS BIGINT) AS n_b
+        FROM filled GROUP BY 1
+    )
+    SELECT f.event_type, n_a, n_b,
+           round(sum(
+               ((ca + 1) / (n_a + {_DRIFT_BINS}.0) - (cb + 1) / (n_b + {_DRIFT_BINS}.0))
+               * ln(((ca + 1) / (n_a + {_DRIFT_BINS}.0)) / ((cb + 1) / (n_b + {_DRIFT_BINS}.0)))
+           ), 6) + 0.0 AS psi
+    FROM filled f JOIN tot t USING (event_type)
+    GROUP BY 1, 2, 3
+    """,
+)
+def qa_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report: per event_type Population Stability Index
+    of the ``value`` distribution between the first and second half of the
+    month (split {_DRIFT_SPLIT}).  The standard silent-upstream-change alarm
+    a long-running ingest pipeline runs per delivery: PSI < 0.1 stable,
+    0.1-0.2 watch, > 0.2 investigate.  Laplace-smoothed ((c+1)/(n+bins)) so
+    empty bins are well-defined; the full type x bin grid is materialized so
+    zero-count bins still contribute their smoothed term.
+
+    Scale: binning is a map-side expression; the only shuffle over the fact
+    table is the (type, bin) count — a few hundred cells regardless of row
+    count.  The grid cross-join is over the distinct-type dimension (bounded
+    cardinality), never the facts."""
+    ev = table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.least(
+            F.floor(F.col("value") / F.lit(_DRIFT_W)), F.lit(_DRIFT_BINS - 1).cast("long")
+        ).alias("bin"),
+        (F.col("ts") < F.lit(_DRIFT_SPLIT).cast("timestamp")).alias("early"),
+    )
+    counts = b.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("early"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(~F.col("early"), 1).otherwise(0)).alias("cb"),
+    )
+    grid = (
+        b.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(_DRIFT_BINS).select(F.col("id").alias("bin")))
+    )
+    filled = (
+        grid.join(counts, ["event_type", "bin"], "left")
+        .fillna(0, ["ca", "cb"])
+    )
+    tot = filled.groupBy("event_type").agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    smooth = F.lit(float(_DRIFT_BINS))
+    j = filled.join(tot, "event_type")
+    pa = (F.col("ca") + 1) / (F.col("n_a") + smooth)
+    pb = (F.col("cb") + 1) / (F.col("n_b") + smooth)
+    return (
+        j.groupBy("event_type", "n_a", "n_b")
+        .agg((F.round(F.sum((pa - pb) * F.log(pa / pb)), 6) + F.lit(0.0)).alias("psi"))
+    )
+
+
+@query(
+    "qa_key_skew",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n_keys
+        FROM counts
+    )
+    SELECT user_id, cnt, total, n_keys,
+           cnt / total AS share,
+           (cnt * n_keys) / total AS ratio_to_avg
+    FROM counts, tot
+    ORDER BY cnt DESC, user_id
+    LIMIT 20
+    """,
+)
+def qa_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profile for a prospective join/agg key: the top-20
+    heaviest ``user_id`` keys with their share of all rows and their ratio
+    to the mean key load.  This is the measurement that decides the salting
+    question BEFORE a 100 TB shuffle is launched (``ratio_to_avg`` >> 1 on
+    the head keys -> salt or AQE skew-join; ~1 -> plain hash exchange is
+    fine) — the profiler behind :func:`join_salted_skew`.
+
+    Scale: one map-side-combined count per key, then TakeOrdered(20) — the
+    corpus never leaves the count aggregate; the single-row totals side is
+    broadcast.  Ratios are raw integer-quotient IEEE divisions (catalog
+    rule: never round those)."""
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = counts.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    top = counts.orderBy(F.desc("cnt"), "user_id").limit(20)
+    return top.crossJoin(F.broadcast(tot)).select(  # tot: single row
+        "user_id",
+        "cnt",
+        "total",
+        "n_keys",
+        (F.col("cnt") / F.col("total")).alias("share"),
+        (F.col("cnt") * F.col("n_keys") / F.col("total")).alias("ratio_to_avg"),
+    )
