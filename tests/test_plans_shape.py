@@ -174,6 +174,10 @@ def test_answers_stable_under_adverse_confs(spark, sf_dir):
             "shard_by_token_budget",
             "ev_cdc_latest_state",
             "sample_temperature_mixture",
+            # late-r07: span-frequency semi-join under no-broadcast, and the
+            # grid cross-join + smoothed log-sum under awkward partitioning
+            "dedup_shared_spans",
+            "qa_drift_psi",
         )
     }
     old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -289,3 +293,41 @@ def test_funnel_has_no_unconditional_broadcast(spark, sf_dir):
             assert "BroadcastNestedLoopJoin" not in plan, q
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_late_r07_additions_plan_shapes(spark, sf_dir):
+    """The late-round-7 queries keep their designed scale shapes.
+
+    dedup_shared_spans: span frequency is a plain map-side-combined count
+    (never a pair-materializing self-join — no CartesianProduct), and with
+    broadcasts forced off (simulated 100 TB sides) the plan still avoids
+    any forced broadcast join.
+    qa_key_skew: top-20 via TakeOrderedAndProject over map-side partial
+    counts — the corpus never reaches a global sort.
+    qa_drift_psi: the only fact-table aggregate is map-side combined; the
+    type x bin grid never plans as an un-broadcast CartesianProduct at
+    default conf.
+    dedup_prefix_truncation / ev_user_value_deciles: one hash exchange on
+    the group key, no single-partition stage over the corpus (ntile's
+    decile window partitions by nothing but ranks only per-user rollups,
+    which is the pre-aggregated ~user-cardinality side)."""
+    sp = _plan(QUERIES["dedup_shared_spans"](spark, sf_dir))
+    assert "CartesianProduct" not in sp
+    assert "partial_count" in sp
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1b")
+        sp_big = _plan(QUERIES["dedup_shared_spans"](spark, sf_dir))
+        assert "BroadcastHashJoin" not in sp_big
+        assert "BroadcastNestedLoopJoin" not in sp_big
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    sk = _plan(QUERIES["qa_key_skew"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in sk
+    assert "partial_count" in sk
+    psi = _plan(QUERIES["qa_drift_psi"](spark, sf_dir))
+    assert "CartesianProduct" not in psi
+    assert "partial_sum" in psi
+    trunc = _plan(QUERIES["dedup_prefix_truncation"](spark, sf_dir))
+    assert "SinglePartition" not in trunc
+    assert "partial_count" in trunc
