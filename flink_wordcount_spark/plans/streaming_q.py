@@ -28,6 +28,7 @@ from ..streaming.sentences import batch_golden
 from ..streaming.stateful import final_state_counts
 from ..streaming.wordcount import file_replay_wordcount, run_to_completion, stream_dir_for
 from .catalog import query
+from .events_q import _DRIFT_BINS, _DRIFT_W  # shared drift binning contract
 from .wordcount_q import WC_ORACLE as _WC_ORACLE  # single source of truth
 
 
@@ -701,3 +702,114 @@ def stream_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_completion(agg, output_mode="complete")
+
+
+@query(
+    "stream_drift_psi",
+    oracle=f"""
+    WITH b AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+               least(CAST(floor(value / {_DRIFT_W}) AS BIGINT), {_DRIFT_BINS - 1}) AS bin
+        FROM events
+    ), daily AS (
+        SELECT day, event_type, bin, CAST(count(*) AS BIGINT) AS c
+        FROM b GROUP BY 1, 2, 3
+    ), ref AS (
+        SELECT event_type, bin, CAST(count(*) AS BIGINT) AS rc
+        FROM b GROUP BY 1, 2
+    ), grid AS (
+        SELECT day, event_type, i AS bin
+        FROM (SELECT DISTINCT day, event_type FROM b),
+             unnest(range(0, {_DRIFT_BINS})) AS u(i)
+    ), filled AS (
+        SELECT g.day, g.event_type, g.bin, coalesce(c, 0) AS c
+        FROM grid g
+        LEFT JOIN daily d
+          ON d.day = g.day AND d.event_type = g.event_type AND d.bin = g.bin
+    ), refgrid AS (
+        SELECT t.event_type, i AS bin
+        FROM (SELECT DISTINCT event_type FROM b) t,
+             unnest(range(0, {_DRIFT_BINS})) AS u(i)
+    ), reffilled AS (
+        SELECT g.event_type, g.bin, coalesce(rc, 0) AS rc
+        FROM refgrid g
+        LEFT JOIN ref r ON r.event_type = g.event_type AND r.bin = g.bin
+    ), dtot AS (
+        SELECT day, event_type, CAST(sum(c) AS BIGINT) AS n_day
+        FROM filled GROUP BY 1, 2
+    ), rtot AS (
+        SELECT event_type, CAST(sum(rc) AS BIGINT) AS n_ref
+        FROM reffilled GROUP BY 1
+    )
+    SELECT f.day, f.event_type, n_day,
+           round(sum(
+               ((c + 1) / (n_day + {_DRIFT_BINS}.0) - (rc + 1) / (n_ref + {_DRIFT_BINS}.0))
+               * ln(((c + 1) / (n_day + {_DRIFT_BINS}.0)) / ((rc + 1) / (n_ref + {_DRIFT_BINS}.0)))
+           ), 6) + 0.0 AS psi
+    FROM filled f
+    JOIN reffilled r ON r.event_type = f.event_type AND r.bin = f.bin
+    JOIN dtot ON dtot.day = f.day AND dtot.event_type = f.event_type
+    JOIN rtot ON rtot.event_type = f.event_type
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live drift monitor: the stream maintains per-(day, event_type, bin)
+    value-histogram counts in state (the part a 24/7 monitor keeps hot);
+    the PSI readout per day-vs-whole-corpus is the few-hundred-row batch
+    rollup a dashboard computes from the emitted histogram.  Same binning,
+    smoothing and full bin grid as the batch twin ``qa_drift_psi`` — a day
+    whose value distribution wanders from the corpus reference alarms.
+
+    Scale: streaming state is one counter per (day, type, bin) cell —
+    bounded by the calendar x type x {_DRIFT_BINS}-bin grid, NOT by event
+    volume; binning/day-keying are map-side expressions before the one
+    stateful exchange.  The post-stream PSI join runs over that same tiny
+    cell table."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir_for(f"{sf_dir}/events.parquet"))
+        .transform(normalize_event_ts)
+    )
+    smooth = F.lit(float(_DRIFT_BINS))
+    binned = stream.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.least(
+            F.floor(F.col("value") / F.lit(_DRIFT_W)),
+            F.lit(_DRIFT_BINS - 1).cast("long"),
+        ).alias("bin"),
+    )
+    hist = binned.groupBy("day", "event_type", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    drained = run_to_completion(hist, output_mode="complete")
+    # The PSI rollup reuses the histogram on both sides of its joins; the
+    # memory-sink view cannot be self-joined (conflicting MemoryPlan
+    # references), so materialize it. This collect is the monitor's state
+    # table — bounded by the calendar x type x bin grid, not event volume.
+    cells = spark.createDataFrame(drained.collect(), drained.schema)
+
+    ref = (
+        cells.groupBy("event_type", "bin")
+        .agg(F.sum("c").alias("rc"))
+    )
+    bins = spark.range(_DRIFT_BINS).select(F.col("id").alias("bin"))
+    grid = cells.select("day", "event_type").distinct().crossJoin(bins)
+    filled = grid.join(cells, ["day", "event_type", "bin"], "left").fillna(0, ["c"])
+    refgrid = cells.select("event_type").distinct().crossJoin(bins)
+    reffilled = refgrid.join(ref, ["event_type", "bin"], "left").fillna(0, ["rc"])
+    dtot = filled.groupBy("day", "event_type").agg(F.sum("c").alias("n_day"))
+    rtot = reffilled.groupBy("event_type").agg(F.sum("rc").alias("n_ref"))
+    j = (
+        filled.join(reffilled, ["event_type", "bin"])
+        .join(dtot, ["day", "event_type"])
+        .join(rtot, "event_type")
+    )
+    pa = (F.col("c") + 1) / (F.col("n_day") + smooth)
+    pb = (F.col("rc") + 1) / (F.col("n_ref") + smooth)
+    return (
+        j.groupBy("day", "event_type", "n_day")
+        .agg((F.round(F.sum((pa - pb) * F.log(pa / pb)), 6) + F.lit(0.0)).alias("psi"))
+    )
