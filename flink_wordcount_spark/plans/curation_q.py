@@ -994,3 +994,75 @@ def qa_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in reports[1:]:
         out = out.unionAll(r)
     return out
+
+
+def _entropy_block(tbl: str, col: str) -> str:
+    """One oracle block: Shannon entropy of a categorical column."""
+    return f"""
+    SELECT '{tbl}' AS tbl, '{col}' AS col,
+           CAST(count(*) AS BIGINT) AS n_values,
+           round(-sum((c / t) * ln(c / t)), 6) + 0.0 AS entropy,
+           round(CASE WHEN count(*) > 1
+                      THEN -sum((c / t) * ln(c / t)) / ln(count(*))
+                      ELSE 0.0 END, 6) + 0.0 AS normalized
+    FROM (
+        SELECT CAST(count(*) AS BIGINT) AS c,
+               CAST(sum(count(*)) OVER () AS BIGINT) AS t
+        FROM {tbl} GROUP BY {col}
+    )
+    """
+
+
+@query(
+    "qa_column_entropy",
+    oracle=" UNION ALL ".join(
+        _entropy_block(t, c)
+        for t, c in (
+            ("documents", "lang"),
+            ("documents", "source"),
+            ("events", "event_type"),
+        )
+    ),
+)
+def qa_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-balance audit: Shannon entropy (and its ln(k)-normalized
+    form in [0,1]) of the key mixture columns — language and domain of the
+    corpus, type of the event stream.  The one-number summary mixture
+    design watches per delivery: normalized ~1 means balanced, a drop means
+    one category is swallowing the corpus (and the same number predicts
+    groupBy skew on that column — the aggregate cousin of ``qa_key_skew``).
+
+    Scale: one map-side-combined count per category per column; the entropy
+    fold runs over the tiny category table (the window-total inside is over
+    category counts, never rows)."""
+    out = None
+    for tbl, col in (
+        ("documents", "lang"),
+        ("documents", "source"),
+        ("events", "event_type"),
+    ):
+        counts = (
+            table(spark, sf_dir, tbl)
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select("c", F.sum("c").over(Window.partitionBy()).alias("t"))
+        )
+        p = F.col("c") / F.col("t")
+        block = counts.agg(
+            F.lit(tbl).alias("tbl"),
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n_values"),
+            (F.round(-F.sum(p * F.log(p)), 6) + F.lit(0.0)).alias("entropy"),
+            (
+                F.round(
+                    F.when(
+                        F.count(F.lit(1)) > 1,
+                        -F.sum(p * F.log(p)) / F.log(F.count(F.lit(1)).cast("double")),
+                    ).otherwise(0.0),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("normalized"),
+        )
+        out = block if out is None else out.unionAll(block)
+    return out
