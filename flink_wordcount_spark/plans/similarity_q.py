@@ -732,3 +732,45 @@ def semdedup_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_sim",
         )
     )
+
+
+@query(
+    "embed_dim_variance",
+    oracle="""
+    WITH x AS (
+        SELECT i AS dim, CAST(embedding[i + 1] AS DOUBLE) AS v
+        FROM embeddings, unnest(range(0, len(embedding))) AS u(i)
+    )
+    SELECT CAST(dim AS INTEGER) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(v), 6) + 0.0 AS mean,
+           round(avg(v * v) - avg(v) * avg(v), 6) + 0.0 AS variance,
+           round(min(v), 6) + 0.0 AS min_v,
+           round(max(v), 6) + 0.0 AS max_v
+    FROM x GROUP BY 1
+    """,
+)
+def embed_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-dimension health report: per-coordinate mean / variance /
+    range across the corpus.  The diagnostic that catches a collapsed or
+    dead dimension (variance ~ 0 -> the model stopped using it, a classic
+    failure after quantization or distillation) and gross mean shift before
+    vectors are trusted for dedup/ANN downstream.
+
+    Scale: posexplode fans each row into d=dim rows map-side, then ONE
+    hash aggregate keyed on the 64 dims with map-side partials — shuffle
+    traffic is 64 cells per task regardless of corpus size.  Variance uses
+    the same explicit avg(v^2) - avg(v)^2 form as the oracle (engine-
+    neutral, rounded at the end)."""
+    emb = table(spark, sf_dir, "embeddings")
+    x = emb.select(F.posexplode(as_double(F.col("embedding"))).alias("dim", "v"))
+    return x.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.round(F.avg("v"), 6) + F.lit(0.0)).alias("mean"),
+        (
+            F.round(F.avg(F.col("v") * F.col("v")) - F.avg("v") * F.avg("v"), 6)
+            + F.lit(0.0)
+        ).alias("variance"),
+        (F.round(F.min("v"), 6) + F.lit(0.0)).alias("min_v"),
+        (F.round(F.max("v"), 6) + F.lit(0.0)).alias("max_v"),
+    )
