@@ -178,6 +178,7 @@ def test_answers_stable_under_adverse_confs(spark, sf_dir):
             # grid cross-join + smoothed log-sum under awkward partitioning
             "dedup_shared_spans",
             "qa_drift_psi",
+            "embed_dim_variance",
         )
     }
     old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -331,3 +332,20 @@ def test_late_r07_additions_plan_shapes(spark, sf_dir):
     trunc = _plan(QUERIES["dedup_prefix_truncation"](spark, sf_dir))
     assert "SinglePartition" not in trunc
     assert "partial_count" in trunc
+
+
+def test_entropy_and_dim_variance_plan_shapes(spark, sf_dir):
+    """qa_column_entropy: per-column category counts are map-side combined
+    and the only single-partition stages are over the tiny category tables
+    (the unpartitioned window total + final one-row folds), never the base
+    scan.  embed_dim_variance: posexplode feeds ONE hash aggregate with
+    map-side partials keyed on the 64 dims — no corpus-wide sort, no
+    single-partition exchange anywhere."""
+    ent = _plan(QUERIES["qa_column_entropy"](spark, sf_dir))
+    assert "partial_count" in ent
+    dv = _plan(QUERIES["embed_dim_variance"](spark, sf_dir))
+    assert "partial_count" in dv or "partial_avg" in dv
+    assert "Exchange SinglePartition" not in dv
+    assert "Sort" not in dv.split("Generate")[0], (
+        "dim aggregate should not sort the exploded stream"
+    )
