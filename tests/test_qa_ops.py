@@ -1,0 +1,70 @@
+"""Mathematical contracts of the round-7 QA/observability operators.
+
+The oracle gate pins exact values on the fixture; these tests pin the
+*invariants* that must hold on ANY input — the properties a dashboard
+consumer relies on (PSI non-negativity, entropy bounds, variance
+non-negativity, share normalization) — so a fixture rotation can't
+silently admit a formula regression that happens to hash-match.
+"""
+
+from __future__ import annotations
+
+import math
+
+from flink_wordcount_spark.plans import QUERIES
+
+
+def test_psi_nonnegative_and_split_sane(spark, sf_dir):
+    rows = QUERIES["qa_drift_psi"](spark, sf_dir).collect()
+    assert rows, "drift report empty"
+    for r in rows:
+        assert r.psi >= 0.0, f"PSI must be >= 0 (KL-symmetrization), got {r.psi}"
+        assert r.n_a > 0 and r.n_b > 0, "both periods must be populated"
+
+
+def test_stream_drift_psi_daily_grid(spark, sf_dir):
+    rows = QUERIES["stream_drift_psi"](spark, sf_dir).collect()
+    assert rows
+    days = {r.day for r in rows}
+    types = {r.event_type for r in rows}
+    # every observed (day, type) cell carries one PSI row
+    assert len(rows) == len({(r.day, r.event_type) for r in rows})
+    assert all(r.psi >= 0.0 for r in rows)
+    assert len(days) > 1 and len(types) > 1
+
+
+def test_entropy_within_bounds(spark, sf_dir):
+    rows = QUERIES["qa_column_entropy"](spark, sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.n_values >= 1
+        assert 0.0 <= r.entropy <= math.log(r.n_values) + 1e-6, r
+        assert 0.0 <= r.normalized <= 1.0 + 1e-6, r
+
+
+def test_key_skew_shares_normalized_and_ordered(spark, sf_dir):
+    rows = QUERIES["qa_key_skew"](spark, sf_dir).collect()
+    assert rows
+    assert sum(r.share for r in rows) <= 1.0 + 1e-9
+    counts = [r.cnt for r in rows]
+    assert counts == sorted(counts, reverse=True), "top-k must be count-descending"
+    for r in rows:
+        assert abs(r.ratio_to_avg - r.cnt * r.n_keys / r.total) < 1e-12
+
+
+def test_dim_variance_nonnegative_full_grid(spark, sf_dir):
+    rows = QUERIES["embed_dim_variance"](spark, sf_dir).collect()
+    assert {r.dim for r in rows} == set(range(64)), "one row per coordinate"
+    for r in rows:
+        # explicit avg(v^2)-avg(v)^2 can go epsilon-negative before rounding;
+        # after round(6) it must be clean
+        assert r.variance >= 0.0, r
+        assert r.min_v <= r.mean <= r.max_v, r
+
+
+def test_shared_spans_fraction_bounds(spark, sf_dir):
+    rows = QUERIES["dedup_shared_spans"](spark, sf_dir).collect()
+    assert rows, "fixture must contain partial overlaps"
+    for r in rows:
+        assert 1 <= r.n_shared <= r.n_spans, r
+        assert 0.0 < r.shared_frac <= 1.0, r
