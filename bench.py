@@ -944,6 +944,12 @@ SF1_QUERIES = [
     # must stay sublinear under the text-mutated replicas (measured: 36k ->
     # 192k pairs for 10x docs; cross-replica mutation pushes Hamming > 8).
     "lsh_simhash64",
+    # r07: substring-level span dedup joins the probe — its span-frequency
+    # aggregate has no pair term, so even though the text-mutated replicas
+    # multiply the docs-with-overlap OUTPUT 66x (477 -> 31,520 rows), the
+    # wall ratio stays sublinear (measured 7.3x for 10x data, vs the freq^2
+    # blowup a pair join would have shown on the same corpus).
+    "dedup_shared_spans",
 ]
 
 #: Per-replica key offset for the synthetic sf1 (far above any sf0.1 key).
