@@ -1091,3 +1091,59 @@ def qa_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cnt") / F.col("total")).alias("share"),
         (F.col("cnt") * F.col("n_keys") / F.col("total")).alias("ratio_to_avg"),
     )
+
+
+@query(
+    "ev_scd2_history",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type AS state, ts, event_id,
+               lag(event_type) OVER w AS prev_state
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), changes AS (
+        SELECT user_id, state, ts, event_id
+        FROM ordered
+        WHERE prev_state IS NULL OR state <> prev_state
+    )
+    SELECT user_id, state,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(ts) OVER w2, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           (lead(ts) OVER w2 IS NULL) AS is_current
+    FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def ev_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build: compress each user's
+    event stream into state-change runs and emit validity intervals
+    [valid_from, valid_to) with an ``is_current`` flag on the open row —
+    the standard warehouse dimension-history shape, derived from the same
+    change feed ``ev_cdc_latest_state`` compacts to latest-wins.
+
+    Scale: ONE hash exchange on user_id serves both windows (change
+    detection via lag, interval close via lead share the partitioning and
+    sort); per-user sort only, no global order, no self-join — the
+    gaps-and-islands plan at any corpus size."""
+    ev = table(spark, sf_dir, "events")
+    changes = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            "ts",
+            "event_id",
+            F.lag("event_type").over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ).alias("prev_state"),
+        )
+        .filter(F.col("prev_state").isNull() | (F.col("state") != F.col("prev_state")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w2)
+    return changes.select(
+        "user_id",
+        "state",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
