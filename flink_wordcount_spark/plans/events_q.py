@@ -1147,3 +1147,45 @@ def ev_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@query(
+    "ev_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS cur,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events
+    ), pairs AS (
+        SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), tot AS (
+        SELECT cur, CAST(sum(n) AS BIGINT) AS n_from FROM pairs GROUP BY 1
+    )
+    SELECT p.cur, p.nxt, p.n, t.n_from,
+           p.n / t.n_from AS prob
+    FROM pairs p JOIN tot t ON t.cur = p.cur
+    """,
+)
+def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: P(next event type | current)
+    over each user's time-ordered stream — the user-journey summary behind
+    next-action prediction and funnel design (``ev_session_paths`` tells you
+    the popular whole paths; this tells you every edge's weight).
+
+    Scale: one user_id exchange for the sequence window, then a k x k
+    aggregate (k = event-type cardinality) with map-side partials — the
+    transition matrix itself is grid-bounded like the rest of the QA
+    family.  ``prob`` is a raw integer-quotient IEEE division."""
+    ev = table(spark, sf_dir, "events")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    pairs = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    tot = pairs.groupBy("cur").agg(F.sum("n").alias("n_from"))
+    return pairs.join(tot, "cur").select(
+        "cur", "nxt", "n", "n_from", (F.col("n") / F.col("n_from")).alias("prob")
+    )
