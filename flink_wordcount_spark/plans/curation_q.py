@@ -1066,3 +1066,85 @@ def qa_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = block if out is None else out.unionAll(block)
     return out
+
+
+@query(
+    "qa_preflight_report",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+               CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null_text,
+               CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS total_tokens
+        FROM documents
+    ), ent AS (
+        SELECT round(CASE WHEN count(*) > 1
+                          THEN -sum((c / t) * ln(c / t)) / ln(count(*))
+                          ELSE 0.0 END, 6) + 0.0 AS source_entropy_norm
+        FROM (
+            SELECT CAST(count(*) AS BIGINT) AS c,
+                   CAST(sum(count(*)) OVER () AS BIGINT) AS t
+            FROM documents GROUP BY source
+        )
+    )
+    SELECT n_docs,
+           (n_docs - n_distinct_texts) / n_docs AS exact_dup_rate,
+           n_null_text / n_docs AS null_text_rate,
+           total_tokens,
+           total_tokens / n_docs AS mean_doc_tokens,
+           source_entropy_norm
+    FROM base, ent
+    """,
+)
+def qa_preflight_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row go/no-go panel before a training run launches against a
+    delivery: corpus size, exact-duplicate rate, NULL-text rate, total
+    token budget, mean document length, and domain-mixture balance
+    (normalized source entropy) — the scalar signals whose drift means
+    \"stop and look\" (dup-rate spike = re-crawl loop; token total short =
+    truncated delivery; entropy drop = one domain swallowed the mix).
+
+    Scale: ONE corpus scan computes everything except the entropy fold
+    (a per-source count whose fold runs over the category table); at
+    100 TB swap count(DISTINCT text) for count(DISTINCT sha2(text)) so the
+    distinct shuffle carries 32 B digests.  All rates are raw
+    integer-quotient IEEE divisions."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.col("text"), TOKEN_SPLIT_REGEX), lambda w: F.length(w) > 0
+    )
+    base = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_distinct_texts"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("n_null_text"),
+        F.sum(F.size(toks)).alias("total_tokens"),
+    )
+    counts = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("c", F.sum("c").over(Window.partitionBy()).alias("t"))
+    )
+    p = F.col("c") / F.col("t")
+    ent = counts.agg(
+        (
+            F.round(
+                F.when(
+                    F.count(F.lit(1)) > 1,
+                    -F.sum(p * F.log(p)) / F.log(F.count(F.lit(1)).cast("double")),
+                ).otherwise(0.0),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("source_entropy_norm")
+    )
+    return base.crossJoin(F.broadcast(ent)).select(  # ent: single row
+        "n_docs",
+        ((F.col("n_docs") - F.col("n_distinct_texts")) / F.col("n_docs")).alias(
+            "exact_dup_rate"
+        ),
+        (F.col("n_null_text") / F.col("n_docs")).alias("null_text_rate"),
+        "total_tokens",
+        (F.col("total_tokens") / F.col("n_docs")).alias("mean_doc_tokens"),
+        "source_entropy_norm",
+    )
