@@ -77,6 +77,7 @@ _MODIFIED_THIS_ROUND: list[str] = [
     "ev_scd2_history",          # SCD type-2 validity intervals from the feed
     "ev_markov_transitions",    # first-order event-type transition matrix
     "qa_preflight_report",      # one-row go/no-go corpus delivery panel
+    "ev_pattern_strict_sequence",  # CEP strict-contiguity pattern match
     "ev_moving_window_1h",      # trailing time-RANGE frame per user
     "ev_value_percentiles",     # exact rank-selected p50/p90/p99 rollup
     "text_quality",             # oracle now interpolates the shared score

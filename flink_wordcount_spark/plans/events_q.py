@@ -1189,3 +1189,55 @@ def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.join(tot, "cur").select(
         "cur", "nxt", "n", "n_from", (F.col("n") / F.col("n_from")).alias("prob")
     )
+
+
+@query(
+    "ev_pattern_strict_sequence",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               lead(event_type, 1) OVER w AS n1,
+               lead(event_type, 2) OVER w AS n2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_matches,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_match_ts
+    FROM seq
+    WHERE event_type = 'view' AND n1 = 'click' AND n2 = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def ev_pattern_strict_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-style STRICT-contiguity pattern match: per user, occurrences of
+    the exact consecutive sequence view -> click -> purchase with NO
+    intervening event — the MATCH_RECOGNIZE shape, relationally expressed.
+    Complements ``ev_funnel`` (which tolerates gaps): strict contiguity is
+    the fraud/bot signature (a human path has noise between steps).
+
+    Scale: the same one-exchange gaps-and-islands plan as the session
+    family — lead(,1)/lead(,2) share the user_id partitioning and sort, the
+    match filter is map-side after the window, and the per-user rollup
+    rides the existing partitioning."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.lead("event_type", 1).over(w).alias("n1"),
+        F.lead("event_type", 2).over(w).alias("n2"),
+    )
+    return (
+        seq.filter(
+            (F.col("event_type") == "view")
+            & (F.col("n1") == "click")
+            & (F.col("n2") == "purchase")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_match_ts"),
+        )
+    )
