@@ -349,3 +349,29 @@ def test_entropy_and_dim_variance_plan_shapes(spark, sf_dir):
     assert "Sort" not in dv.split("Generate")[0], (
         "dim aggregate should not sort the exploded stream"
     )
+
+
+def test_sequence_family_single_exchange(spark, sf_dir):
+    """The per-user sequence operators (SCD2 history, Markov transitions,
+    strict-contiguity pattern) must serve ALL their windows from ONE
+    user_id hash exchange — lag/lead chains share partitioning and sort,
+    never a second shuffle or a global sort."""
+    import re
+
+    for q in ("ev_scd2_history", "ev_pattern_strict_sequence"):
+        plan = _plan(QUERIES[q](spark, sf_dir))
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, q
+        assert "SinglePartition" not in plan, q
+        assert "rangepartitioning" not in plan.lower(), q
+    mk = _plan(QUERIES["ev_markov_transitions"](spark, sf_dir))
+    assert "hashpartitioning(user_id" in mk
+    assert "rangepartitioning" not in mk.lower()
+
+
+def test_preflight_single_scan_plus_category_fold(spark, sf_dir):
+    """qa_preflight_report: the corpus-wide scalars come from one scan of
+    documents (plus the per-source entropy fold's scan) — exactly two
+    parquet scans, single-row sides broadcast, no cartesian over data."""
+    plan = _plan(QUERIES["qa_preflight_report"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 2
+    assert "CartesianProduct" not in plan
