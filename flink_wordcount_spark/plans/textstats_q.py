@@ -26,6 +26,7 @@ from .catalog import query
 
 from ..operators.text import TOKEN_SPLIT_REGEX
 from ..operators.text import TOKS_SQL as _TOKS  # shared tokenizer SQL
+from ..operators.dedup import shingles
 
 
 def _score_sql(lang: str) -> str:
@@ -765,3 +766,66 @@ def text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         F.row_number().over(w).cast("bigint").alias("token_id"), "token", "freq"
     ).orderBy("token_id")
+
+
+#: Shingle width for the novelty curve (same 3-gram space as the dedup core).
+_NOVELTY_N = 3
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\W+'),
+                           x -> length(x) > 0) AS t
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+{_NOVELTY_N - 1}], ' ') AS s
+        FROM toks, unnest(range(1, len(t) - {_NOVELTY_N - 2})) AS u(i)
+    ), firsts AS (
+        SELECT s, CAST(min(doc_id) AS BIGINT) AS first_doc FROM sh GROUP BY s
+    )
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) / count(*)
+               AS novelty_rate
+    FROM sh JOIN firsts f ON f.s = sh.s
+    GROUP BY sh.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-saturation curve: per document (in ingestion = doc_id order),
+    the fraction of its distinct {_NOVELTY_N}-gram shingles never seen in
+    any EARLIER document.  Plotted over ingestion order this is the
+    is-the-web-running-out measurement — novelty decaying toward the
+    duplication floor tells you each marginal crawl batch adds less — and
+    per-source novelty ranks which feeds still pay for themselves.
+
+    Scale: identical shape to ``dedup_shared_spans`` — one groupBy(shingle)
+    min (map-side-combined; a first-occurrence min is order-insensitive so
+    no sort, no window over the corpus), one equi-join back.  At 100 TB
+    both run over 64-bit shingle hashes; novelty_rate is a raw
+    integer-quotient IEEE division."""
+    sh = shingles(
+        table(spark, sf_dir, "documents"), "text", "doc_id", n=_NOVELTY_N
+    )
+    firsts = sh.groupBy("shingle").agg(F.min("id").alias("first_doc"))
+    return (
+        sh.join(firsts, "shingle")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            (F.col("n_novel") / F.col("n_grams")).alias("novelty_rate"),
+        )
+    )
