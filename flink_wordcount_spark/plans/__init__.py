@@ -79,6 +79,7 @@ _MODIFIED_THIS_ROUND: list[str] = [
     "qa_preflight_report",      # one-row go/no-go corpus delivery panel
     "ev_pattern_strict_sequence",  # CEP strict-contiguity pattern match
     "text_ngram_novelty",       # corpus-saturation novelty curve
+    "qa_partition_checksums",   # order-insensitive delivery-integrity XORs
     "ev_moving_window_1h",      # trailing time-RANGE frame per user
     "ev_value_percentiles",     # exact rank-selected p50/p90/p99 rollup
     "text_quality",             # oracle now interpolates the shared score

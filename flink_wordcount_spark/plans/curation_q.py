@@ -1148,3 +1148,47 @@ def qa_preflight_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("total_tokens") / F.col("n_docs")).alias("mean_doc_tokens"),
         "source_entropy_norm",
     )
+
+
+@query(
+    "qa_partition_checksums",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           bit_xor(CAST('0x' || substring(md5(text), 1, 15) AS BIGINT))
+               AS content_xor,
+           bit_xor(CAST('0x' || substring(
+               md5(concat(CAST(doc_id AS VARCHAR), ':', text)), 1, 15)
+               AS BIGINT)) AS keyed_xor
+    FROM documents GROUP BY source
+    """,
+)
+def qa_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delivery-integrity checksums: per source partition, the row count
+    plus two ORDER-INSENSITIVE content digests — an XOR fold of the shared
+    60-bit md5 of the text (detects any changed/missing/extra document)
+    and of doc_id:text (additionally detects re-keying).  This is the
+    cheap handshake two sides of a 100 TB transfer compare per partition
+    before anyone re-reads data — and the first artifact you diff when a
+    downstream hash-mismatch appears.
+
+    Scale: pure map-side hashing + an XOR aggregate (commutative,
+    overflow-free, NULL-skipping in both engines) — one exchange keyed on
+    source, constant bytes per group.  The 60-bit md5 prefix is the
+    repo's standard cross-engine hash (see ``lsh_minhash_candidates_md5``)."""
+    d = table(spark, sf_dir, "documents")
+    h_text = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
+    h_keyed = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(h_text).alias("content_xor"),
+        F.bit_xor(h_keyed).alias("keyed_xor"),
+    )
