@@ -80,6 +80,7 @@ _MODIFIED_THIS_ROUND: list[str] = [
     "ev_pattern_strict_sequence",  # CEP strict-contiguity pattern match
     "text_ngram_novelty",       # corpus-saturation novelty curve
     "qa_partition_checksums",   # order-insensitive delivery-integrity XORs
+    "join_time_band_bucketed",  # pure range join executed as banded equi-join
     "ev_moving_window_1h",      # trailing time-RANGE frame per user
     "ev_value_percentiles",     # exact rank-selected p50/p90/p99 rollup
     "text_quality",             # oracle now interpolates the shared score

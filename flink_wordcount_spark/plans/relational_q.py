@@ -1106,3 +1106,59 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("part_value") > F.col("thr"))
         .select("l_partkey", "part_value")
     )
+
+
+#: Band half-width for the bucketed pure-range join (60 s in microseconds).
+_BAND_US = 60_000_000
+
+
+@query(
+    "join_time_band_bucketed",
+    oracle=f"""
+    WITH p AS (
+        SELECT event_id AS purchase_id, epoch_us(ts) AS tp
+        FROM events WHERE event_type = 'purchase'
+    ), e AS (
+        SELECT epoch_us(ts) AS te FROM events WHERE event_type = 'error'
+    )
+    SELECT purchase_id, CAST(count(*) AS BIGINT) AS n_errors_60s
+    FROM p JOIN e ON abs(tp - te) <= {_BAND_US}
+    GROUP BY purchase_id
+    """,
+)
+def join_time_band_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join with NO equi key — errors within 60 s of any
+    purchase, across users — executed as an EQUI-join via band bucketing:
+    each side keys on floor(epoch_us / width); the probe side explodes
+    into its bucket and both neighbors, the exact |Δt| predicate filters
+    residually.  Every qualifying pair matches in exactly one bucket (the
+    build row's own), so counts need no dedup.  The oracle states the
+    naive nested-loop semantics; the plan here is the scalable one — a
+    hash-partitioned equi-join instead of the O(n·m) BroadcastNestedLoop
+    Catalyst would otherwise emit (plan-pinned in test_plans_shape).
+
+    Scale: 3x row fan-out on the probe side buys hash partitioning on the
+    band key; skewed hot minutes split via AQE like any equi-join key.
+    Timestamps key on MICROSECONDS on both engines (parity: whole-second
+    keys truncate sub-second fixture timestamps differently)."""
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("tp"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.unix_micros("ts").alias("te"),
+        F.floor(F.unix_micros("ts") / _BAND_US).alias("bucket"),
+    )
+    b = F.floor(F.col("tp") / _BAND_US)
+    probe = p.select(
+        "purchase_id",
+        "tp",
+        F.explode(F.array(b - 1, b, b + 1)).alias("bucket"),
+    )
+    return (
+        probe.join(e, "bucket")
+        .filter(F.abs(F.col("tp") - F.col("te")) <= _BAND_US)
+        .groupBy("purchase_id")
+        .agg(F.count(F.lit(1)).alias("n_errors_60s"))
+    )

@@ -375,3 +375,13 @@ def test_preflight_single_scan_plus_category_fold(spark, sf_dir):
     plan = _plan(QUERIES["qa_preflight_report"](spark, sf_dir))
     assert plan.count("Scan parquet") == 2
     assert "CartesianProduct" not in plan
+
+
+def test_band_join_plans_as_equi_join(spark, sf_dir):
+    """join_time_band_bucketed: the pure range predicate must ride the
+    bucket EQUI-join (hash-partitionable) — never the BroadcastNestedLoop
+    or cartesian Catalyst emits for a bare |a-b| <= w condition."""
+    plan = _plan(QUERIES["join_time_band_bucketed"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
