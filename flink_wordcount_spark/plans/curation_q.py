@@ -429,8 +429,12 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop = connected_components(pairs).filter(F.col("rep_id") != F.col("doc_id"))
     # size-gated: the drop list is O(dup_rate x corpus) ids — tiny at fixture
     # scale (AQE still converts to broadcast at runtime), corpus-scaling at
-    # 100 TB, where an unconditional broadcast is a driver OOM
-    s2 = s1.join(maybe_broadcast(drop.select("doc_id")), "doc_id", "leftanti")
+    # 100 TB, where an unconditional broadcast is a driver OOM.
+    # persist: four stage branches consume this id list; without the cache
+    # each recomputes the whole LSH+verify+components chain (A/B at sf0.1:
+    # ~10% off the full funnel, identical output)
+    drop_ids = drop.select("doc_id").persist()
+    s2 = s1.join(maybe_broadcast(drop_ids), "doc_id", "leftanti")
 
     # stage 4: eval decontam — drop the eval split itself and any training doc
     # sharing a distinct 4-gram with it (eval grams from the FULL corpus: the
@@ -445,6 +449,7 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(maybe_broadcast(ev_grams), "shingle", "leftsemi")
         .select(F.col("id").alias("doc_id"))
         .distinct()
+        .persist()  # three stage branches consume this id list (see above)
     )
     s3 = s2.filter(
         (F.col("doc_id") % _E2E_EVAL_MOD) != _E2E_EVAL_RES
