@@ -9,6 +9,8 @@ deliberately confined to tiny projections.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StringType
@@ -45,3 +47,17 @@ def register_sql_udfs(spark) -> None:
         lambda p: int(p // 10000) if p is not None else None,
         LongType(),
     )
+
+
+@F.pandas_udf(DoubleType())
+def net_price_iter(
+    batches: Iterator[tuple[pd.Series, pd.Series, pd.Series]],
+) -> Iterator[pd.Series]:
+    """SCALAR_ITER pandas UDF: identical arithmetic to :func:`net_price`,
+    but the iterator form — the shape used when per-worker initialization
+    (loading a model/tokenizer once per executor, not once per batch) must
+    amortize across Arrow batches. The "init" here is a constant factor so
+    the result stays bit-identical and oracle-checkable."""
+    one = 1.0  # stands in for the once-per-worker expensive setup
+    for price, discount, tax in batches:
+        yield price * (one - discount) * (one + tax)

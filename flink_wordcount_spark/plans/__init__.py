@@ -81,6 +81,7 @@ _MODIFIED_THIS_ROUND: list[str] = [
     "text_ngram_novelty",       # corpus-saturation novelty curve
     "qa_partition_checksums",   # order-insensitive delivery-integrity XORs
     "join_time_band_bucketed",  # pure range join executed as banded equi-join
+    "udf_pandas_scalar_iter",   # SCALAR_ITER pandas UDF (amortized init)
     "ev_moving_window_1h",      # trailing time-RANGE frame per user
     "ev_value_percentiles",     # exact rank-selected p50/p90/p99 rollup
     "text_quality",             # oracle now interpolates the shared score

@@ -8,7 +8,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.udfs import distinct_count_agg, label_part, net_price, register_sql_udfs
+from ..functions.udfs import (
+    distinct_count_agg,
+    label_part,
+    net_price,
+    net_price_iter,
+    register_sql_udfs,
+)
 from ..io import table
 from .catalog import query
 
@@ -211,4 +217,26 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("k_max"),
             F.count(F.lit(1)).alias("n"),
         )
+    )
+
+
+@query(
+    "udf_pandas_scalar_iter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS net
+    FROM lineitem WHERE l_orderkey % 97 = 0
+    """,
+)
+def udf_pandas_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALAR_ITER pandas UDF (iterator-of-batches form): same float64
+    arithmetic as ``udf_pandas_scalar``, in the API shape used when
+    per-worker initialization (model/tokenizer load) must amortize across
+    Arrow batches rather than repeat per batch — the LLM-scoring UDF
+    pattern at 100 TB.  Bit-exact against the SQL expression."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") % 97 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        net_price_iter("l_extendedprice", "l_discount", "l_tax").alias("net"),
     )
