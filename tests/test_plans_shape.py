@@ -284,10 +284,16 @@ def test_funnel_has_no_unconditional_broadcast(spark, sf_dir):
     threshold to 1 byte): every size-gated hint must drop and the plan must
     contain ZERO broadcast joins; at fixture scale with the default threshold
     they come back (previous test).  Same contract for dedup_edit_distance's
-    candidate-pair broadcast."""
+    candidate-pair broadcast.
+
+    Cold cache required: the funnel persists its derived id lists, and a
+    cached InMemoryRelation keeps the plan segment compiled under the conf
+    of its FIRST build — an earlier default-threshold test would otherwise
+    leak a fixture-scale broadcast into this shrunk-threshold check."""
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1b")
+        spark.catalog.clearCache()
         for q in ("curation_end_to_end", "dedup_edit_distance"):
             plan = _plan(QUERIES[q](spark, sf_dir))
             assert "BroadcastHashJoin" not in plan, q
