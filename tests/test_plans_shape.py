@@ -179,6 +179,10 @@ def test_answers_stable_under_adverse_confs(spark, sf_dir):
             "dedup_shared_spans",
             "qa_drift_psi",
             "embed_dim_variance",
+            # windows must bind to the user_id exchange, and the banded
+            # range join must degrade to a value-identical shuffle join
+            "ev_scd2_history",
+            "join_time_band_bucketed",
         )
     }
     old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
