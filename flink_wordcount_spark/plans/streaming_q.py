@@ -813,3 +813,58 @@ def stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.groupBy("day", "event_type", "n_day")
         .agg((F.round(F.sum((pa - pb) * F.log(pa / pb)), 6) + F.lit(0.0)).alias("psi"))
     )
+
+
+@query(
+    "source_python_datasource",
+    oracle="""
+    SELECT CAST(40406 AS BIGINT) AS total_words,
+           CAST(37789 AS BIGINT) AS distinct_words,
+           CAST(389 AS BIGINT) AS max_count,
+           CAST(0 AS BIGINT) AS n_mismatch_vs_batch
+    """,
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's sentence generator as a first-class Python
+    DataSource (Spark 4 ``pyspark.sql.datasource``): ``spark.read.format
+    ("sentences")`` with ``partitions()`` playing the reference's parallel
+    source instances (RateControlledSourceFunction.java:11-124) — each
+    partition reads a disjoint deterministic id range, so content is
+    identical at ANY parallelism.  Golden contract: the same corpus
+    constants as ``stream_sentences_golden`` (the rate-source stream) and
+    a row-level mismatch count of 0 against the ``spark.range`` batch
+    regeneration — three source surfaces, one generator, zero drift."""
+    from ..sources import register_sentence_source
+    from ..streaming.sentences import with_sentences
+
+    register_sentence_source(spark)
+    df = (
+        spark.read.format("sentences")
+        .option("n", 2000)
+        .option("size", 20)
+        .option("seed", 42)
+        .option("numPartitions", 8)
+        .load()
+    )
+    ref = with_sentences(
+        spark.range(2000), row_id="id", sentence_size=20, seed=42
+    ).select("seq", F.col("sentence").alias("ref_sentence"))
+    mism = (
+        df.join(ref, "seq")
+        .agg(
+            F.sum(
+                F.when(F.col("sentence") != F.col("ref_sentence"), 1).otherwise(0)
+            ).alias("n_mismatch_vs_batch")
+        )
+    )
+    toks = tokenize(df.select("sentence"), "sentence").filter(F.length("word") > 0)
+    stats = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum("c").alias("total_words"),
+            F.count(F.lit(1)).alias("distinct_words"),
+            F.max("c").alias("max_count"),
+        )
+    )
+    return stats.crossJoin(F.broadcast(mism))  # mism: single row

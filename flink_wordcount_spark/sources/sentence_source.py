@@ -1,0 +1,94 @@
+"""The reference's sentence generator as a first-class Python DataSource.
+
+Spark 4's pyspark.sql.datasource API lets the seeded generator
+(``streaming/sentences.py``) register as a real ``spark.read.format(...)``
+source instead of a transform over ``spark.range`` — the idiomatic mapping
+of the reference's RichParallelSourceFunction
+(RateControlledSourceFunction.java:11-124): ``partitions()`` plays the role
+of the parallel source instances, each reading a disjoint, deterministic
+id range, so output is identical at ANY parallelism and replayable from
+(seed, row_id) alone.
+
+Usage::
+
+    register_sentence_source(spark)
+    df = (spark.read.format("sentences")
+          .option("n", 2000).option("size", 20).option("seed", 42)
+          .option("numPartitions", 8).load())   # (seq bigint, sentence string)
+
+The generation core is shared with the streaming UDF path
+(``sentences_for_ids``) — one implementation, so the DataSource and the
+rate-source stream can never drift.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+#: repo root captured at class-definition time; read() re-inserts it on the
+#: executor worker so the shared generator module imports anywhere
+_PKG_ROOT = str(Path(__file__).resolve().parents[2])
+
+
+class _IdRange(InputPartition):
+    def __init__(self, start: int, end: int) -> None:
+        self.start = start
+        self.end = end
+
+
+class SentenceBatchReader(DataSourceReader):
+    """Parallel batch reader: disjoint id ranges, deterministic content."""
+
+    def __init__(self, options: dict) -> None:
+        self.n = int(options.get("n", 1000))
+        self.size = int(options.get("size", 100))
+        self.seed = int(options.get("seed", 42))
+        self.skew = int(options.get("skew", 0))
+        self.num_partitions = int(options.get("numpartitions", 8))
+
+    def partitions(self):  # the "parallel source instances"
+        step = max(1, -(-self.n // self.num_partitions))
+        return [
+            _IdRange(lo, min(lo + step, self.n))
+            for lo in range(0, self.n, step)
+        ]
+
+    def read(self, partition: _IdRange):
+        if _PKG_ROOT not in sys.path:
+            sys.path.insert(0, _PKG_ROOT)
+        import numpy as np
+
+        from flink_wordcount_spark.streaming.sentences import (
+            sentences_for_ids,
+            wordlist,
+        )
+
+        rids = np.arange(partition.start, partition.end, dtype=np.uint64)
+        if len(rids) == 0:
+            return
+        words = np.array(wordlist(), dtype=object)
+        for rid, s in zip(
+            rids.tolist(),
+            sentences_for_ids(rids, self.size, self.seed, self.skew, words),
+        ):
+            yield (int(rid), s)
+
+
+class SentenceDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "sentences"
+
+    def schema(self) -> str:
+        return "seq bigint, sentence string"
+
+    def reader(self, schema) -> SentenceBatchReader:
+        return SentenceBatchReader(self.options)
+
+
+def register_sentence_source(spark) -> None:
+    """Idempotent ``spark.dataSource.register`` of the sentences format."""
+    spark.dataSource.register(SentenceDataSource)

@@ -76,6 +76,40 @@ def _words_broadcast(spark: SparkSession):
     return _WORDS_BC[key]
 
 
+def sentences_for_ids(rids, sentence_size: int, seed: int, skew_percent: int, words):
+    """Deterministic sentences for a numpy uint64 row-id array — the shared
+    generation core behind the Arrow UDF below AND the Python DataSource
+    (``sources/sentence_source.py``); one implementation, so the two
+    surfaces can never drift.  splitmix64 over (row_id, slot, seed); see
+    ``_sentence_column`` for the semantics citations."""
+    import numpy as np
+
+    def _mix(z):
+        # splitmix64 finalizer (public-domain constants)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+    n = np.uint64(len(words))
+    r = np.asarray(rids, dtype=np.uint64)
+    cols = []
+    with np.errstate(over="ignore"):
+        for slot in range(sentence_size):
+            z = (
+                r * np.uint64(0x9E3779B97F4A7C15)
+                + np.uint64(slot + 1) * np.uint64(0xD1B54A32D192ED03)
+                + np.uint64(seed) * np.uint64(0x8CB92BA72F3D8DD7)
+            )
+            h = _mix(z)
+            w = words[(h % n).astype(np.int64)]
+            if skew_percent > 0:
+                sk = _mix(z + np.uint64(0xA0761D6478BD642F)) % np.uint64(100)
+                w = np.where(sk < np.uint64(skew_percent), "skew", w)
+            cols.append(w)
+    mat = np.stack(cols, axis=1)
+    return [" ".join(row) for row in mat]
+
+
 def _sentence_column(
     spark: SparkSession, sentence_size: int, seed: int, skew_percent: int, rid: Column
 ) -> Column:
@@ -101,33 +135,17 @@ def _sentence_column(
     words_bc = _words_broadcast(spark)
     n_words_known = len(wordlist())
 
-    def _mix(z):
-        # splitmix64 finalizer (public-domain constants)
-        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        return z ^ (z >> np.uint64(31))
-
     @pandas_udf("string")
     def gen(rid_s: pd.Series) -> pd.Series:
-        words = words_bc.value
-        n = np.uint64(len(words))
-        r = rid_s.to_numpy(np.uint64)
-        cols = []
-        with np.errstate(over="ignore"):
-            for slot in range(sentence_size):
-                z = (
-                    r * np.uint64(0x9E3779B97F4A7C15)
-                    + np.uint64(slot + 1) * np.uint64(0xD1B54A32D192ED03)
-                    + np.uint64(seed) * np.uint64(0x8CB92BA72F3D8DD7)
-                )
-                h = _mix(z)
-                w = words[(h % n).astype(np.int64)]
-                if skew_percent > 0:
-                    sk = _mix(z + np.uint64(0xA0761D6478BD642F)) % np.uint64(100)
-                    w = np.where(sk < np.uint64(skew_percent), "skew", w)
-                cols.append(w)
-        mat = np.stack(cols, axis=1)
-        return pd.Series([" ".join(row) for row in mat])
+        return pd.Series(
+            sentences_for_ids(
+                rid_s.to_numpy(np.uint64),
+                sentence_size,
+                seed,
+                skew_percent,
+                words_bc.value,
+            )
+        )
 
     assert n_words_known > 0
     return gen(rid.cast("long"))
