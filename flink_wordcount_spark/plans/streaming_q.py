@@ -868,3 +868,67 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return stats.crossJoin(F.broadcast(mism))  # mism: single row
+
+
+@query(
+    "stream_python_datasource",
+    oracle="""
+    SELECT CAST(40406 AS BIGINT) AS total_words,
+           CAST(37789 AS BIGINT) AS distinct_words,
+           CAST(389 AS BIGINT) AS max_count,
+           CAST(0 AS BIGINT) AS n_mismatch_vs_batch
+    """,
+)
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sentence generator STREAMED through the Python DataSource's
+    SimpleDataSourceStreamReader (``readStream.format("sentences")``):
+    plain row-position offsets + deterministic generation give the
+    reference's source-replay contract (ListCheckpointed,
+    RateControlledSourceFunction.java:102-123) without snapshotted state —
+    ``readBetweenOffsets`` regenerates any replayed batch bit-identically
+    (kill/recover pinned in test_sentence_source.py).  Same golden corpus
+    constants as the rate-source stream and the batch read; mismatch-vs-
+    batch-regeneration must be 0."""
+    from ..sources import register_sentence_source
+    from ..streaming.sentences import with_sentences
+
+    register_sentence_source(spark)
+    n_rows, size, seed = 2000, 20, 42
+    stream = (
+        spark.readStream.format("sentences")
+        .option("n", n_rows)
+        .option("size", size)
+        .option("seed", seed)
+        .option("rowsPerBatch", 500)
+        .load()
+    )
+    counts = tokenize(stream, text_col="sentence", out_col="word").groupBy("word").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    streamed = run_to_completion(counts, output_mode="complete")
+    batch_counts = (
+        tokenize(
+            with_sentences(
+                spark.range(n_rows), row_id="id", sentence_size=size, seed=seed
+            ),
+            text_col="sentence",
+            out_col="word",
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("bcnt"))
+    )
+    mismatch = (
+        streamed.join(batch_counts, "word", "full_outer")
+        .filter(
+            F.col("cnt").isNull()
+            | F.col("bcnt").isNull()
+            | (F.col("cnt") != F.col("bcnt"))
+        )
+        .agg(F.count(F.lit(1)).alias("n_mismatch_vs_batch"))
+    )
+    stats = streamed.agg(
+        F.sum("cnt").cast("bigint").alias("total_words"),
+        F.count(F.lit(1)).alias("distinct_words"),
+        F.max("cnt").alias("max_count"),
+    )
+    return stats.crossJoin(mismatch)

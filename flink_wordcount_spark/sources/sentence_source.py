@@ -26,7 +26,12 @@ from __future__ import annotations
 import sys
 from pathlib import Path
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 #: repo root captured at class-definition time; read() re-inserts it on the
 #: executor worker so the shared generator module imports anywhere
@@ -88,7 +93,69 @@ class SentenceDataSource(DataSource):
     def reader(self, schema) -> SentenceBatchReader:
         return SentenceBatchReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "SentenceStreamReader":
+        return SentenceStreamReader(self.options)
+
 
 def register_sentence_source(spark) -> None:
     """Idempotent ``spark.dataSource.register`` of the sentences format."""
     spark.dataSource.register(SentenceDataSource)
+
+
+class SentenceStreamReader(SimpleDataSourceStreamReader):
+    """Streaming reader: rate-micro-batch semantics over the same generator.
+
+    Offsets are plain row positions, so ``readBetweenOffsets`` (replay after
+    restart) regenerates EXACTLY the rows of the original batch — the
+    reference's ListCheckpointed source-replay contract
+    (RateControlledSourceFunction.java:102-123) falls out of deterministic
+    generation instead of snapshotted state.  ``n`` caps the stream (the
+    reference's maxEvents); once reached the reader reports no new data.
+
+    Scale note: the Simple reader generates on the DRIVER (per the API
+    contract) — right for control-plane-sized rates; a cluster-scale
+    generator would implement the partitioned DataSourceStreamReader the
+    same way the batch reader above partitions its id range.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.n = int(options.get("n", 1000))
+        self.size = int(options.get("size", 100))
+        self.seed = int(options.get("seed", 42))
+        self.skew = int(options.get("skew", 0))
+        self.rows_per_batch = int(options.get("rowsperbatch", 500))
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def _gen(self, start: int, end: int):
+        if _PKG_ROOT not in sys.path:
+            sys.path.insert(0, _PKG_ROOT)
+        import numpy as np
+
+        from flink_wordcount_spark.streaming.sentences import (
+            sentences_for_ids,
+            wordlist,
+        )
+
+        rids = np.arange(start, end, dtype=np.uint64)
+        if len(rids) == 0:
+            return []
+        words = np.array(wordlist(), dtype=object)
+        return [
+            (int(r), s)
+            for r, s in zip(
+                rids.tolist(),
+                sentences_for_ids(rids, self.size, self.seed, self.skew, words),
+            )
+        ]
+
+    def read(self, start: dict):
+        lo = start["row"]
+        hi = min(lo + self.rows_per_batch, self.n)
+        return iter(self._gen(lo, hi)), {"row": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._gen(start["row"], end["row"]))
+
+
