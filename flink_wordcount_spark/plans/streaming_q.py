@@ -932,3 +932,103 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cnt").alias("max_count"),
     )
     return stats.crossJoin(mismatch)
+
+
+@query(
+    "stream_timeout_flush",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_timeout_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timer-driven state flush — the one stateful-API feature the other
+    streaming queries don't exercise: per-user totals accumulate in state
+    and are emitted ONLY when an EventTimeTimeout fires (the key has been
+    idle past the gap as the watermark advances), the pattern behind
+    emit-once session summaries and abandoned-cart style alerts.  Replay
+    reuses the left-join staging dir (events + two future-dated sentinel
+    files): the sentinels push the watermark past every real key's timer,
+    so each key flushes exactly once and the emitted table equals the
+    batch per-user rollup.  Sentinel keys are negative and filtered from
+    the output; the 2045 sentinel's own timer never fires.
+
+    Scale: state is (count, sum) per live key — flushed and REMOVED at
+    timeout, so state size tracks the active-key working set, not history;
+    this is the state-hygiene pattern unbounded update-mode counts lack."""
+    import numpy as np
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = _left_join_stream_dir(spark, sf_dir, schema)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .transform(normalize_event_ts)
+        .withWatermark("ts", "1 second")
+        .select("user_id", "ts", "value")
+    )
+
+    gap_ms = 3_600_000  # flush a key after 1h of event-time idleness
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("tot", DoubleType()),
+            StructField("last_ms", LongType()),
+        ]
+    )
+
+    def flush(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (uid,) = key
+        if state.hasTimedOut:
+            n, tot, _ = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [uid],
+                    "n_events": [n],
+                    "total_value": [round(tot, 2)],
+                }
+            )
+            return
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        prev_n, prev_tot, prev_last = state.get if state.exists else (0, 0.0, 0)
+        n = prev_n + len(batch)
+        tot = prev_tot + float(batch["value"].to_numpy(np.float64).sum())
+        last_ms = max(prev_last, int(batch["ts"].max().value // 1_000_000))
+        state.update((n, tot, last_ms))
+        state.setTimeoutTimestamp(last_ms + gap_ms)
+        yield pd.DataFrame(
+            {"user_id": [], "n_events": [], "total_value": []}
+        ).astype({"user_id": "int64", "n_events": "int64", "total_value": "float64"})
+
+    flushed = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            flush,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+        .filter(F.col("user_id") >= 0)  # drop the staging sentinels
+    )
+    return run_to_completion(flushed, output_mode="append")
