@@ -1241,3 +1241,77 @@ def ev_pattern_strict_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_match_ts"),
         )
     )
+
+
+@query(
+    "ev_rfm_segmentation",
+    oracle="""
+    WITH maxts AS (
+        SELECT max(ts) AS corpus_max FROM events
+    ), rfm AS (
+        SELECT user_id,
+               CAST(epoch_us((SELECT corpus_max FROM maxts)) - epoch_us(max(ts))
+                    AS BIGINT) AS recency_us,
+               CAST(count(*) AS BIGINT) AS frequency,
+               round(sum(value), 2) AS monetary
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT user_id, recency_us, frequency, monetary,
+           CAST(ntile(5) OVER (ORDER BY recency_us DESC, user_id) AS BIGINT) AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS BIGINT) AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary, user_id) AS BIGINT) AS m_score
+    FROM rfm
+    """,
+)
+def ev_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per purchaser, recency (microseconds before
+    the corpus max timestamp), frequency and monetary total, each scored
+    into quintiles (higher = better: most-recent / most-frequent /
+    highest-spend land in bucket 5) — the classic lifecycle-marketing
+    segmentation, with total tie-break orders so ntile is engine-neutral.
+
+    Scale: one purchase-filtered aggregate per user, then three ntile
+    windows over the USER-cardinality rollup (already reduced ~events/users
+    fold before any sort); the single-row corpus-max side is broadcast.
+    The unpartitioned ntile single-partitions the user rollup — fine to
+    ~10M users; at billions swap it for the quality_cutoff_per_lang shape
+    (exact rank-selected quintile BOUNDARIES, then a map-side bucket
+    compare), which scores identically without a global sort."""
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase")
+    maxts = ev.agg(F.max("ts").alias("corpus_max"))  # anchor: ALL events
+    rfm = (
+        p.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("value"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(maxts))  # maxts: single row
+        .select(
+            "user_id",
+            (
+                F.unix_micros("corpus_max") - F.unix_micros("last_ts")
+            ).cast("bigint").alias("recency_us"),
+            "frequency",
+            "monetary",
+        )
+    )
+    return rfm.select(
+        "user_id",
+        "recency_us",
+        "frequency",
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("recency_us"), "user_id"))
+        .cast("bigint")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy("frequency", "user_id"))
+        .cast("bigint")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy("monetary", "user_id"))
+        .cast("bigint")
+        .alias("m_score"),
+    )
