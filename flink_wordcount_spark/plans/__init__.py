@@ -86,6 +86,7 @@ _MODIFIED_THIS_ROUND: list[str] = [
     "stream_python_datasource", # its streaming reader (offset-replay source)
     "stream_timeout_flush",     # EventTimeTimeout timer-driven state flush
     "ev_rfm_segmentation",      # RFM quintile customer segmentation
+    "ev_day_over_day",          # period-over-period trend deltas
     "ev_moving_window_1h",      # trailing time-RANGE frame per user
     "ev_value_percentiles",     # exact rank-selected p50/p90/p99 rollup
     "text_quality",             # oracle now interpolates the shared score

@@ -1315,3 +1315,49 @@ def ev_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("m_score"),
     )
+
+
+@query(
+    "ev_day_over_day",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS total
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, n, total,
+           lag(total) OVER w AS prev_total,
+           (total - lag(total) OVER w) / lag(total) OVER w AS pct_change
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+)
+def ev_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day trend report: per event type, daily count and value
+    total with the previous day's total and the relative change — the
+    period-over-period delta every operational dashboard leads with
+    (first day's change is NULL, not zero: no fabricated baseline).
+
+    Scale: the corpus reduces to the (type, day) grid in one
+    map-side-combined aggregate; the lag window sorts only that tiny grid,
+    partitioned by type.  pct_change divides two already-rounded totals —
+    deterministic on both engines."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("total").over(w)
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        "total",
+        prev.alias("prev_total"),
+        ((F.col("total") - prev) / prev).alias("pct_change"),
+    )
