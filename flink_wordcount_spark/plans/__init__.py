@@ -93,8 +93,11 @@ _MODIFIED_THIS_ROUND: list[str] = [
                                 # formula (review r07 refactor; semdedup's
                                 # size-gated broadcast is covered by its
                                 # entry above)
-    # The rest of r07's budget goes to the stale back catalog: the 23-query
-    # cohort last verified in r03 sorts first via staleness (VERDICT r06 #4).
+    # The rest of r07's budget (~6 slots after the 44 modified entries
+    # above) starts on the 23-query r03-stale cohort, which sorts first via
+    # staleness (VERDICT r06 #4); the remainder of that cohort rolls to
+    # r08 — this round traded rotation slots for verifying the 20 new
+    # operators, which the driver has never seen at all.
 ]
 
 
