@@ -1056,7 +1056,11 @@ def bench_sf1(spark) -> dict:
         materialize(QUERIES[name](spark, sf1_dir))
         big[name] = round(time.time() - t0, 3)
     return {
-        "layout": "10 key-shifted replicas of sf0.1 (synthetic sf1)",
+        "layout": (
+            "10 key-shifted replicas of sf0.1 (synthetic sf1); documents "
+            "replicas are TEXT-MUTATED per replica (build_sf1) so near-dup "
+            "structure is per-replica, not O(replicas^2) cross-replica"
+        ),
         "build_sec": build_sec,
         "queries_sec": big,
         "sf01_same_jvm_sec": base,

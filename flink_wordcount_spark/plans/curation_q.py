@@ -432,7 +432,12 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 100 TB, where an unconditional broadcast is a driver OOM.
     # persist: four stage branches consume this id list; without the cache
     # each recomputes the whole LSH+verify+components chain (A/B at sf0.1:
-    # ~10% off the full funnel, identical output)
+    # ~10% off the full funnel, identical output).  LIFETIME (ADVICE r07):
+    # the query returns a plan, so there is no scope to unpersist in — the
+    # cache lives until clearCache()/LRU; harnesses that run many queries in
+    # one session (driver_sim, pytest plan-shape sweeps) clearCache between
+    # queries, which also unfreezes the broadcast decision the cached
+    # relation pinned at first build.
     drop_ids = drop.select("doc_id").persist()
     s2 = s1.join(maybe_broadcast(drop_ids), "doc_id", "leftanti")
 

@@ -1001,11 +1001,14 @@ def stream_timeout_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
         if state.hasTimedOut:
             n, tot, _ = state.get
             state.remove()
+            # raw sum here; rounding happens engine-side below (F.round is
+            # HALF_UP like the oracle's round(); Python round() is
+            # banker's and diverges on exact half-boundaries — ADVICE r07)
             yield pd.DataFrame(
                 {
                     "user_id": [uid],
                     "n_events": [n],
-                    "total_value": [round(tot, 2)],
+                    "total_value": [tot],
                 }
             )
             return
@@ -1030,5 +1033,6 @@ def stream_timeout_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
         .filter(F.col("user_id") >= 0)  # drop the staging sentinels
+        .withColumn("total_value", F.round("total_value", 2))
     )
     return run_to_completion(flushed, output_mode="append")

@@ -19,6 +19,15 @@ Usage::
 The generation core is shared with the streaming UDF path
 (``sentences_for_ids``) — one implementation, so the DataSource and the
 rate-source stream can never drift.
+
+DEPLOYMENT ASSUMPTION (ADVICE r07): ``_PKG_ROOT`` below captures the repo's
+absolute path at import time and ``read()`` re-inserts it into ``sys.path``
+on the executor — which only resolves when workers share the driver's
+filesystem layout (local mode, or a cluster with the repo mounted at the
+same path).  On a real cluster ship the package instead:
+``spark.sparkContext.addPyFile(...)`` over a zip of
+``flink_wordcount_spark`` or a ``--py-files``/pip install of the wheel;
+the sys.path insert is then a harmless no-op.
 """
 
 from __future__ import annotations

@@ -55,6 +55,11 @@ def main() -> int:
         run_names = run_names[:limit]
     results, failed = {}, []
     for name in run_names:
+        # Drop cached relations left by prior queries (curation_end_to_end
+        # persists its stage-shared id lists; a lingering InMemoryRelation
+        # both pins memory across the ~200-query sweep and freezes the plan
+        # it cached under the confs of its FIRST build — ADVICE r07).
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             ok, msg = compare(spark, sf_dir, name, qs[name], oracles.get(name))

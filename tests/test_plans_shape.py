@@ -363,14 +363,15 @@ def test_entropy_and_dim_variance_plan_shapes(spark, sf_dir):
 
 def test_sequence_family_single_exchange(spark, sf_dir):
     """The per-user sequence operators (SCD2 history, Markov transitions,
-    strict-contiguity pattern) must serve ALL their windows from ONE
-    user_id hash exchange — lag/lead chains share partitioning and sort,
-    never a second shuffle or a global sort."""
-    import re
-
+    strict-contiguity pattern) must serve ALL their windows from the
+    user_id hash partitioning — lag/lead chains share partitioning and
+    sort, never a single-partition stage or a global (range) sort.
+    Deliberately NOT an exact exchange count (ADVICE r07): an extra benign
+    exchange introduced by an AQE/minor-version change is not a regression;
+    an unpartitioned window or range sort is."""
     for q in ("ev_scd2_history", "ev_pattern_strict_sequence"):
         plan = _plan(QUERIES[q](spark, sf_dir))
-        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, q
+        assert "hashpartitioning(user_id" in plan, q
         assert "SinglePartition" not in plan, q
         assert "rangepartitioning" not in plan.lower(), q
     mk = _plan(QUERIES["ev_markov_transitions"](spark, sf_dir))
