@@ -43,61 +43,38 @@ from . import catalog as _catalog
 # session-window oracle break shipped unverified precisely because a stale
 # green row pinned it behind the budget).  Reset this list each round.
 _MODIFIED_THIS_ROUND: list[str] = [
-    # Edited in r07 (the driver has never seen these versions):
-    "curation_end_to_end",      # forced broadcasts -> maybe_broadcast (VERDICT r06 #1)
-    "lsh_simhash64_md5",        # 4x16-bit-band bucketing (recall 11/28 -> 27/28)
-    "lsh_simhash64",            # same banding upgrade, production hash
-    "dedup_edit_distance",      # rides on the banded SimHash candidates + size-gated
-                                # pair broadcast (22 verified pairs at sf0.01, was 7)
-    "dedup_minhash_verified",   # ADVICE r06: r06's shared-operator rewrite was
-                                # never driver-verified (omitted from r06's list)
-    "stream_curation_gate",     # NULL-text parity hardening (ADVICE r06)
-    "stream_stream_left_join",  # restage-path mtime re-validation (ADVICE r06)
-    # NEW in r07 (never driver-verified):
-    "shard_by_token_budget",    # two-phase global cumsum -> token-budget shards
-    "quality_cutoff_per_lang",  # per-lang exact-quantile threshold calibration
-    "decontam_semantic",        # SemDeDup-style eval-vs-train embedding cosine
-    "sample_temperature_mixture",  # n^alpha per-source rebalance, hash sampling
-    "semdedup_drop_list",       # cluster-then-prune semantic dedup (SemDeDup)
-    "ev_cdc_latest_state",      # CDC latest-wins compaction (one shuffle)
-    "qa_referential_events",    # fact-vs-dimension orphan scorecard
-    "text_vocab_build",         # top-N token vocab with dense ids
-    "stream_cdc_latest_state",  # streaming latest-wins compaction (max_by state)
-    "pack_length_buckets",      # inference padding-waste profile per bucket
-    "sample_reservoir_per_source",  # exact-k per-domain deterministic sample
-    "qa_schema_profile",        # per-column null/distinct delivery audit
-    "dedup_prefix_truncation",  # truncation-artifact prefix groups
-    "ev_user_value_deciles",    # ntile whale-analysis rollup
-    "dedup_shared_spans",       # substring-level partial-overlap profile
-    "qa_drift_psi",             # per-type value-distribution PSI drift alarm
-    "qa_key_skew",              # shuffle-key heavy-hitter / salting profiler
-    "stream_drift_psi",         # live drift monitor: streamed histogram + PSI
-    "qa_column_entropy",        # categorical-balance entropy audit
-    "embed_dim_variance",       # per-dimension embedding health report
-    "ev_scd2_history",          # SCD type-2 validity intervals from the feed
-    "ev_markov_transitions",    # first-order event-type transition matrix
-    "qa_preflight_report",      # one-row go/no-go corpus delivery panel
-    "ev_pattern_strict_sequence",  # CEP strict-contiguity pattern match
-    "text_ngram_novelty",       # corpus-saturation novelty curve
-    "qa_partition_checksums",   # order-insensitive delivery-integrity XORs
-    "join_time_band_bucketed",  # pure range join executed as banded equi-join
-    "udf_pandas_scalar_iter",   # SCALAR_ITER pandas UDF (amortized init)
-    "source_python_datasource", # sentence generator as a Python DataSource
-    "stream_python_datasource", # its streaming reader (offset-replay source)
-    "stream_timeout_flush",     # EventTimeTimeout timer-driven state flush
-    "ev_rfm_segmentation",      # RFM quintile customer segmentation
-    "ev_day_over_day",          # period-over-period trend deltas
-    "ev_moving_window_1h",      # trailing time-RANGE frame per user
-    "ev_value_percentiles",     # exact rank-selected p50/p90/p99 rollup
-    "text_quality",             # oracle now interpolates the shared score
-                                # formula (review r07 refactor; semdedup's
-                                # size-gated broadcast is covered by its
-                                # entry above)
-    # The rest of r07's budget (~6 slots after the 44 modified entries
-    # above) starts on the 23-query r03-stale cohort, which sorts first via
-    # staleness (VERDICT r06 #4); the remainder of that cohort rolls to
-    # r08 — this round traded rotation slots for verifying the 20 new
-    # operators, which the driver has never seen at all.
+    # Edited post-r07-verification / in r08 (the driver has never seen
+    # these versions):
+    "stream_timeout_flush",     # ADVICE r07: engine-side F.round (HALF_UP)
+                                # replaced Python banker's round in the flush
+    "ev_user_value_deciles",    # VERDICT r07 #2: unpartitioned ntile ->
+                                # grid-partitioned two-phase global rank
+    "ev_rfm_segmentation",      # same rewrite, three quintile scores
+]
+
+# Queries to verify THIS round ahead of the staleness rotation even though
+# their code is unchanged.  r08 (VERDICT r07 #1): the 16-query cohort whose
+# last driver-green row is r03 — pinned directly behind the modified list so
+# they cannot starve again behind never-verified newcomers (staleness sorts
+# round-0 entries first, which would put every new r08 query ahead of them).
+# Budget: 3 modified + 16 pinned + new queries <= ~50 -> cap new at ~25.
+_PIN_FRONT_THIS_ROUND: list[str] = [
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_excess_shippers",
+    "q21_suppliers_kept_waiting",
+    "q22_dormant_customers",
+    "mm_featurize",
+    "mm_metadata",
+    "setop_union_by_name",
+    "window_cume_percent",
 ]
 
 
@@ -139,10 +116,16 @@ def _reorder() -> None:
     last = _last_verified_round()
     names = list(_catalog.QUERIES)
     modified = [n for n in _MODIFIED_THIS_ROUND if n in _catalog.QUERIES]
-    rest = [n for n in names if n not in modified]
+    pinned = [
+        n
+        for n in _PIN_FRONT_THIS_ROUND
+        if n in _catalog.QUERIES and n not in modified
+    ]
+    head = modified + pinned
+    rest = [n for n in names if n not in head]
     # Stable sort: never-verified (round 0) first, then ascending staleness.
     rest.sort(key=lambda n: last.get(n, 0))
-    order = modified + rest
+    order = head + rest
     _catalog.QUERIES = {n: _catalog.QUERIES[n] for n in order}
     _catalog.ORACLES = {
         n: _catalog.ORACLES[n] for n in order if n in _catalog.ORACLES

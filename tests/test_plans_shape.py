@@ -318,10 +318,10 @@ def test_late_r07_additions_plan_shapes(spark, sf_dir):
     qa_drift_psi: the only fact-table aggregate is map-side combined; the
     type x bin grid never plans as an un-broadcast CartesianProduct at
     default conf.
-    dedup_prefix_truncation / ev_user_value_deciles: one hash exchange on
-    the group key, no single-partition stage over the corpus (ntile's
-    decile window partitions by nothing but ranks only per-user rollups,
-    which is the pre-aggregated ~user-cardinality side)."""
+    dedup_prefix_truncation: one hash exchange on the group key, no
+    single-partition stage over the corpus.  (ev_user_value_deciles'
+    former unpartitioned ntile is gone as of r08 — its two-phase rank
+    shape is pinned in tests/test_rankops.py.)"""
     sp = _plan(QUERIES["dedup_shared_spans"](spark, sf_dir))
     assert "CartesianProduct" not in sp
     assert "partial_count" in sp

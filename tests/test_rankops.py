@@ -1,0 +1,88 @@
+"""Contract tests for operators/rankops.py: the grid-partitioned two-phase
+global rank / ntile must agree BIT-FOR-BIT with the engine's own
+single-partition window on awkward frame sizes — remainder buckets
+(N % k != 0), N < k, heavy key ties (broken by the tiebreak column), and
+constant keys (the lo == hi degenerate grid)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from flink_wordcount_spark.operators.rankops import (
+    global_ntile,
+    with_global_rank,
+)
+
+
+def _frame(spark, n: int, tie_every: int = 1):
+    """n rows with key = id // tie_every (ties when tie_every > 1)."""
+    return spark.range(n).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 7 * 13 % 11).alias("scr"),  # scrambled, many ties
+        (F.floor(F.col("id") / tie_every)).alias("key"),
+    )
+
+
+def test_global_rank_matches_window_row_number(spark):
+    for n, tie in [(1, 1), (7, 1), (23, 3), (100, 10)]:
+        for desc in (False, True):
+            df = _frame(spark, n, tie)
+            order = [F.desc("key") if desc else F.asc("key"), F.asc("rid")]
+            want = df.withColumn(
+                "rank", F.row_number().over(Window.orderBy(*order)).cast("bigint")
+            )
+            got = with_global_rank(df, "key", "rid", descending=desc, n_ranges=5)
+            assert sorted(map(tuple, got.collect())) == sorted(
+                map(tuple, want.collect())
+            ), (n, tie, desc)
+
+
+def test_global_ntile_matches_window_ntile(spark):
+    # sizes straddling every remainder case: N % k in {0, 1, k-1}, N < k
+    for n in (1, 3, 5, 7, 10, 11, 23, 50, 101):
+        for k in (5, 10):
+            for desc in (False, True):
+                df = _frame(spark, n, tie_every=3)
+                order = [F.desc("scr") if desc else F.asc("scr"), F.asc("rid")]
+                want = df.withColumn(
+                    "t", F.ntile(k).over(Window.orderBy(*order)).cast("bigint")
+                )
+                got = global_ntile(
+                    df, "scr", k, "rid", descending=desc, out="t", n_ranges=4
+                )
+                assert sorted(map(tuple, got.collect())) == sorted(
+                    map(tuple, want.collect())
+                ), (n, k, desc)
+
+
+def test_constant_key_degenerate_grid(spark):
+    """lo == hi: every row lands in pid 0; rank must still be exact."""
+    df = spark.range(13).select(F.col("id").alias("rid"), F.lit(4.2).alias("key"))
+    got = with_global_rank(df, "key", "rid", rank_col="rank")
+    rows = {r.rid: r.rank for r in got.collect()}
+    assert rows == {i: i + 1 for i in range(13)}
+
+
+def test_rank_plan_has_no_corpus_single_partition(spark, sf_dir):
+    """The point of the operator: the user-cardinality frames in the decile /
+    RFM queries never cross an Exchange SinglePartition.  Every
+    SinglePartition exchange in their plans must sit over the per-range
+    grid aggregate (<= N_RANGES rows, hashpartitioning(pid) below it), the
+    shard_by_token_budget-approved shape."""
+    import re
+
+    from flink_wordcount_spark.plans import QUERIES
+
+    for q in ("ev_user_value_deciles", "ev_rfm_segmentation"):
+        plan = QUERIES[q](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert not re.search(r"Window \[ntile", plan), q  # rewrite really landed
+        for m in re.finditer(r"Exchange SinglePartition", plan):
+            # The exchange's direct child is the next plan line: allowed
+            # inputs are a scalar partial aggregate (keys=[], one row per
+            # task — the min/max stats frame) or the grid-keyed per-range
+            # aggregate/window (<= N_RANGES rows).
+            child = plan[m.end():].split("\n", 2)[1]
+            assert (
+                "HashAggregate(keys=[]" in child or "_gr_pid" in child
+            ), (q, "SinglePartition exchange over a corpus-scaling frame", child)
