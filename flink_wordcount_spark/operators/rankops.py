@@ -4,27 +4,38 @@ A bare ``Window.orderBy(...)`` (no ``partitionBy``) plans as
 ``Exchange SinglePartition`` — the entire frame is sorted by ONE task, the
 same class of defect as a global ``SUM OVER (ORDER BY)`` (VERDICT r07
 What's-wrong #1).  These helpers compute the IDENTICAL ``row_number()`` /
-``ntile(k)`` assignment with a grid-partitioned two-phase plan, the same
-shape ``shard_by_token_budget`` uses for its global cumsum
-(``plans/curation_q.py``):
+``ntile(k)`` assignment with a grid-partitioned plan, the window cousin of
+``shard_by_token_budget``'s two-phase cumsum (``plans/curation_q.py``):
 
-1. one tiny ``agg(min, max)`` of the order key -> broadcast;
-2. grid id ``pid`` = uniform value-bucket of the key.  ``pid`` is a pure,
-   deterministic projection of the row's own values plus broadcast
-   constants, so it is order-aligned AND safe to recompute across DAG
-   branches — unlike ``spark_partition_id()`` over ``repartitionByRange``,
-   whose sampled boundaries can diverge between branch recomputations;
-3. per-pid counts -> prefix offsets (the only unpartitioned window runs
-   over <= ``n_ranges`` rows, an already-aggregated grid frame);
-4. ``row_number()`` WITHIN each pid + broadcast offset = exact global rank.
+1. one tiny scalar job fetches ``(min, max)`` of the order key;
+2. grid id ``pid`` = uniform value-bucket of the key between those bounds.
+   The grid constants are embedded as LITERALS, so ``pid`` is a pure
+   deterministic projection — order-aligned, identical across jobs and DAG
+   branches (``repartitionByRange``'s sampled boundaries are neither);
+3. a second tiny job aggregates per-pid row counts (<= ``n_ranges`` rows,
+   a few hundred bytes) and prefix-sums them on the driver;
+4. ``row_number()`` WITHIN each pid + the literal offset map = exact
+   global rank.  The final plan is ONE hash exchange + ONE window + a
+   literal map lookup — no broadcast join, no SinglePartition exchange.
+
+Materializing the two scalar frames driver-side (the k-means
+centroid-sync pattern, ``operators/similarity.py``) instead of joining
+them back keeps chained ranks (RFM scores three metrics in sequence) from
+exploding the plan tree: the declarative join-back form re-prints the
+upstream subtree in every stats/offsets branch — 3 chained ranks reached
+100+ printed BroadcastNestedLoopJoin nodes — while the literal form grows
+the plan by one Window per rank.  The trade: the input lineage is
+recomputed once per preparation job (2 per rank).  At 100 TB, persist the
+(already user-cardinality) rollup before chaining ranks; the preparation
+jobs are then in-memory scans.
 
 The uniform value grid does not balance a skewed key distribution the way
-range partitioning's sampled boundaries would — correctness never depends
-on balance (only on order alignment), and a production corpus would derive
-the grid from a once-sampled quantile table broadcast the same way.  Ties
-in the key land in the same pid and are split by the in-pid tie-break
-columns, so a TOTAL order (callers must pass tie-breaks that make the
-order unique) yields the same rank as the single-partition window would.
+sampled range boundaries would — correctness never depends on balance
+(only on order alignment); a production variant would collect a sampled
+quantile table in step 1 the same way.  Ties in the key land in the same
+pid and are split by the in-pid tie-break columns, so a TOTAL order
+(callers must pass tie-breaks that make the order unique) yields the same
+rank as the single-partition window would, bit for bit.
 """
 
 from __future__ import annotations
@@ -33,8 +44,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Grid width for the two-phase rank.  32 ranges bound the offsets frame
-#: (the only unpartitioned window) while giving local[32] full parallelism
-#: on the per-range sorts; a cluster would raise this with executor count.
+#: while giving local[32] full parallelism on the per-range sorts; a
+#: cluster would raise this with executor count.
 N_RANGES = 32
 
 
@@ -52,40 +63,54 @@ def with_global_rank(
     ``tiebreaks`` (ascending) must make the order total — equal composite
     keys would get an arbitrary (though deterministic-per-plan) order, just
     as they would under a real window.  When ``count_col`` is given, the
-    frame's total row count is attached too (ntile needs it; one pass).
+    frame's total row count is attached too (ntile needs it; same jobs).
+
+    Eager: runs the two preparation jobs (key bounds, per-range counts) at
+    build time — see the module docstring for the plan-size rationale.
     """
-    lo_c, hi_c, pid_c, rn_c, off_c, tot_c = (
-        f"_gr_{s}_{rank_col}" for s in ("lo", "hi", "pid", "rn", "off", "tot")
+    pid_c = f"_gr_pid_{rank_col}"
+    bounds = df.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:  # empty frame: rank column exists, no rows to rank
+        out = df.withColumn(rank_col, F.lit(None).cast("bigint"))
+        if count_col is not None:
+            out = out.withColumn(count_col, F.lit(0).cast("bigint"))
+        return out
+
+    span = float(hi) - float(lo)
+    if span == 0.0:
+        pid = F.lit(0)
+    else:
+        width = span / n_ranges
+        dist = (F.lit(float(hi)) - F.col(key)) if descending else (
+            F.col(key) - F.lit(float(lo))
+        )
+        pid = F.least(
+            F.lit(n_ranges - 1),
+            F.greatest(F.lit(0), F.floor(dist / F.lit(width)).cast("int")),
+        )
+    keyed = df.withColumn(pid_c, pid.cast("int"))
+
+    hist = sorted(
+        (r[pid_c], r["n"])
+        for r in keyed.groupBy(pid_c).agg(F.count(F.lit(1)).alias("n")).collect()
     )
-    stats = df.agg(F.min(key).alias(lo_c), F.max(key).alias(hi_c))
-    keyed = df.crossJoin(F.broadcast(stats))  # stats: single row
-    width = (F.col(hi_c) - F.col(lo_c)) / F.lit(n_ranges)
-    dist = (F.col(hi_c) - F.col(key)) if descending else (F.col(key) - F.col(lo_c))
-    pid = F.when(F.col(hi_c) == F.col(lo_c), F.lit(0)).otherwise(
-        F.least(F.lit(n_ranges - 1), F.greatest(F.lit(0), F.floor(dist / width)))
-    )
-    keyed = keyed.withColumn(pid_c, pid.cast("int")).drop(lo_c, hi_c)
+    offsets: list[Column] = []
+    total = 0
+    for p, n in hist:
+        offsets += [F.lit(p), F.lit(total)]
+        total += n
+    off = F.element_at(F.create_map(*offsets), F.col(pid_c)).cast("bigint")
 
     order: list[Column] = [F.desc(key) if descending else F.asc(key)]
     order += [F.asc(t) for t in tiebreaks]
     w_in = Window.partitionBy(pid_c).orderBy(*order)
-    ranked = keyed.withColumn(rn_c, F.row_number().over(w_in))
-
-    per = keyed.groupBy(pid_c).agg(F.count(F.lit(1)).alias("_gr_n"))
-    w_off = Window.orderBy(pid_c).rowsBetween(Window.unboundedPreceding, -1)
-    w_all = Window.partitionBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    offs = per.select(
-        pid_c,
-        F.coalesce(F.sum("_gr_n").over(w_off), F.lit(0)).alias(off_c),
-        F.sum("_gr_n").over(w_all).alias(tot_c),
-    )
-    out = ranked.join(F.broadcast(offs), pid_c)  # offs: one row per range
-    out = out.withColumn(rank_col, (F.col(rn_c) + F.col(off_c)).cast("bigint"))
+    out = keyed.withColumn(
+        rank_col, (F.row_number().over(w_in) + off).cast("bigint")
+    ).drop(pid_c)
     if count_col is not None:
-        out = out.withColumn(count_col, F.col(tot_c).cast("bigint"))
-    return out.drop(pid_c, rn_c, off_c, tot_c)
+        out = out.withColumn(count_col, F.lit(total).cast("bigint"))
+    return out
 
 
 def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
@@ -116,9 +141,9 @@ def global_ntile(
     n_ranges: int = N_RANGES,
 ) -> DataFrame:
     """``ntile(k) OVER (ORDER BY key [DESC], *tiebreaks)`` without the
-    single-partition sort: two-phase global rank + the canonical bucket
-    formula.  Output matches the engines' ntile bit-for-bit given a total
-    order."""
+    single-partition sort: grid-partitioned global rank + the canonical
+    bucket formula.  Output matches the engines' ntile bit-for-bit given a
+    total order."""
     rank_c, n_c = f"_gt_rank_{out}", f"_gt_n_{out}"
     ranked = with_global_rank(
         df,
