@@ -50,6 +50,11 @@ _MODIFIED_THIS_ROUND: list[str] = [
     "ev_user_value_deciles",    # VERDICT r07 #2: unpartitioned ntile ->
                                 # grid-partitioned two-phase global rank
     "ev_rfm_segmentation",      # same rewrite, three quintile scores
+    "text_zipf_fit",            # vocab rank -> grid global rank (dirty-corpus
+                                # vocabularies scale with the data)
+    "retrieval_rrf_fusion",     # both fusion ranks -> grid global rank
+                                # (stopword-ish terms make candidates corpus-
+                                # scaling)
 ]
 
 # Queries to verify THIS round ahead of the staleness rotation even though

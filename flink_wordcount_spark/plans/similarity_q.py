@@ -579,10 +579,16 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rankings use total tie-breaks (score desc, doc_id); the second ranking
     is integer-scored, so only the BM25 side carries float rounding (same
     shared-formula round(6) as bm25_keyword_search).  The candidate set —
-    docs matching ≥1 term — is tiny relative to the corpus at 100 TB, so
-    both rank windows run on the reduced set; global row_number on it is a
-    single-partition sort of the match list, never the corpus.
+    docs matching ≥1 term — is usually tiny relative to the corpus, but a
+    STOPWORD-ish query term makes it corpus-scaling, so the ranks come from
+    the grid-partitioned global rank (operators/rankops.py) rather than a
+    bare Window.orderBy whose single-partition sort would serialize the
+    match list (r08 plan-invariant sweep).  The candidate frame is
+    persisted so the two ranks' preparation jobs read the cache instead of
+    re-scoring the corpus (lifetime: until clearCache/LRU, the
+    curation_end_to_end convention).
     """
+    from ..operators.rankops import with_global_rank
     d = table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.col("text"), r"\W+"), lambda w: F.length(w) > 0)
 
@@ -613,12 +619,14 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_BM25_SCORE_SQL).alias("bm25"),
             any_tf.alias("tf_total"),
         )
+        .persist()
     )
-    ranked = scored.select(
-        "doc_id",
-        F.row_number().over(Window.orderBy(F.desc("bm25"), "doc_id")).alias("r_bm25"),
-        F.row_number().over(Window.orderBy(F.desc("tf_total"), "doc_id")).alias("r_tf"),
+    ranked = with_global_rank(
+        scored, "bm25", "doc_id", descending=True, rank_col="r_bm25"
     )
+    ranked = with_global_rank(
+        ranked, "tf_total", "doc_id", descending=True, rank_col="r_tf"
+    ).select("doc_id", "r_bm25", "r_tf")
     return (
         ranked.select(
             "doc_id",

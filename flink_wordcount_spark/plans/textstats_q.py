@@ -625,22 +625,31 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     has natural-language token statistics (healthy text ~ -1; machine-
     generated or boilerplate-heavy corpora deviate hard).
 
-    Single wordcount shuffle, rank window over the (tiny) vocabulary, one
-    regr_* aggregate — at 100 TB the vocabulary table is MBs, so everything
-    after the first groupBy is effectively free.  Ranks are total-ordered
-    (cnt desc, word) so both engines see identical (rank, freq) points.
+    Single wordcount shuffle, then ranks via the grid-partitioned global
+    rank (operators/rankops.py) — a natural-language vocabulary is MBs at
+    any corpus size, but a DIRTY corpus (hashes, ids, boilerplate noise —
+    exactly what this metric exists to flag) grows its vocabulary linearly
+    with the data, so the rank must not assume a small frame the way a bare
+    Window.orderBy would (r08 plan-invariant sweep).  Ranks are
+    total-ordered (cnt desc, word) so both engines see identical
+    (rank, freq) points.  The counts frame is persisted so the rank's two
+    preparation jobs read the cached vocabulary instead of re-running the
+    wordcount (lifetime: until clearCache/LRU, the curation_end_to_end
+    convention — multi-query harnesses clearCache between queries).
     """
+    from ..operators.rankops import with_global_rank
+
     d = table(spark, sf_dir, "documents")
     toks = F.expr("filter(split(text, '\\\\W+'), x -> length(x) > 0)")
     counts = (
         d.select(F.explode(toks).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
     )
-    ranked = counts.select(
-        "cnt",
-        F.row_number().over(Window.orderBy(F.desc("cnt"), "word")).alias("rnk"),
-    )
+    ranked = with_global_rank(
+        counts, "cnt", "word", descending=True, rank_col="rnk"
+    ).select("cnt", "rnk")
     return ranked.agg(
         F.count(F.lit(1)).alias("n_words"),
         F.round(F.regr_slope(F.ln("cnt"), F.ln("rnk")), 4).alias("zipf_slope"),
