@@ -950,6 +950,10 @@ SF1_QUERIES = [
     # wall ratio stays sublinear (measured 7.3x for 10x data, vs the freq^2
     # blowup a pair join would have shown on the same corpus).
     "dedup_shared_spans",
+    # r08 (VERDICT r07 #4): the 64-bit-hashed span variant — the shuffle
+    # rows shrink from raw _SPAN_W-word strings to 16 B longs; its ratio
+    # vs dedup_shared_spans above IS the measured win of the key change.
+    "dedup_shared_spans_hashed",
 ]
 
 #: Per-replica key offset for the synthetic sf1 (far above any sf0.1 key).

@@ -688,9 +688,10 @@ def dedup_prefix_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN_W = 8
 
 
-@query(
-    "dedup_shared_spans",
-    oracle=f"""
+#: Shared by the string-keyed query and its hashed 100 TB twin: the only
+#: way the two Spark plans can diverge from this SQL is a within-corpus
+#: xxhash64 span collision (~1e-9 at sf0.1).
+_SHARED_SPANS_ORACLE = f"""
     WITH toks AS (
         SELECT doc_id,
                list_filter(regexp_split_to_array(text, '\\W+'),
@@ -710,8 +711,10 @@ _SPAN_W = 8
     SELECT doc_id, n_spans, n_shared,
            n_shared / n_spans AS shared_frac
     FROM hits JOIN totals USING (doc_id)
-    """,
-)
+    """
+
+
+@query("dedup_shared_spans", oracle=_SHARED_SPANS_ORACLE)
 def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level (shared-span) duplication profile: for each document,
     the fraction of its distinct {_SPAN_W}-token windows that also occur in
@@ -730,15 +733,21 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``shared_frac`` is a raw integer-quotient IEEE division (catalog rule:
     never round those)."""
     sp = shingles(table(spark, sf_dir, "documents"), "text", "doc_id", n=_SPAN_W)
+    return _shared_span_profile(sp, key="shingle")
+
+
+def _shared_span_profile(sp: DataFrame, key: str) -> DataFrame:
+    """Shared-span rollup over a (id, <key>) span stream: span frequency is
+    a plain count (never a pair join), then a semi-ish join back."""
     shared = (
-        sp.groupBy("shingle")
+        sp.groupBy(key)
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= 2)
-        .select("shingle")
+        .select(key)
     )
     totals = sp.groupBy("id").agg(F.count(F.lit(1)).alias("n_spans"))
     hits = (
-        sp.join(shared, "shingle")
+        sp.join(shared, key)
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
@@ -751,3 +760,23 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_shared") / F.col("n_spans")).alias("shared_frac"),
         )
     )
+
+
+@query("dedup_shared_spans_hashed", oracle=_SHARED_SPANS_ORACLE)
+def dedup_shared_spans_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB execution shape of :func:`dedup_shared_spans` (VERDICT r07
+    #4): identical rollup over :func:`shingle_hashes` 64-bit span keys, so
+    the span-frequency shuffle carries 16 B fixed-width rows instead of
+    {_SPAN_W}-word strings (~60-80 B) — the string-keyed twin's sf1 wall
+    ratio (3.78x at 10x data, worst in the r07 table) is dominated by
+    exactly that key width.
+
+    Value-checked against the SAME string-span oracle: a within-corpus
+    xxhash64 collision (the only way the two can differ) has probability
+    ~m^2/2^65 for m distinct spans — ~1e-9 at sf0.1 — and
+    tests/test_dedup_properties.py pins row-for-row agreement with the
+    string-keyed twin.  shared_frac stays a raw IEEE division."""
+    sp = shingle_hashes(
+        table(spark, sf_dir, "documents"), "text", "doc_id", n=_SPAN_W
+    )
+    return _shared_span_profile(sp, key="h")
