@@ -1059,12 +1059,46 @@ def bench_sf1(spark) -> dict:
         t0 = time.time()
         materialize(QUERIES[name](spark, sf1_dir))
         big[name] = round(time.time() - t0, 3)
+    # VERDICT r07 #7: recall at 10x data, not just wall-time — the LSH
+    # path's verified pairs vs the exact inverted-index join's on the SAME
+    # mutated sf1 corpus.  The exact op is index-based (no pair blowup), so
+    # full-corpus ground truth is tractable here; both pair sets are a few
+    # thousand rows.  A banded 32-perm/8-band signature misses a pair at
+    # similarity s with prob (1 - s^4)^8 — ~1.5% at EXACTLY the 0.8
+    # threshold, negligible above it — so recall < 1.0 is expected iff the
+    # missed pairs sit on the threshold boundary; the probe records their
+    # max Jaccard so that is checkable from the artifact (r08 measured:
+    # 2828/2830, both misses at jaccard == 0.80 with 8 shared shingles).
+    t0 = time.time()
+    exact_rows = QUERIES["dedup_ngram_jaccard"](spark, sf1_dir).collect()
+    exact_pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in exact_rows}
+    lsh_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in QUERIES["dedup_minhash_verified"](spark, sf1_dir)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    missed = [j for p, j in exact_pairs.items() if p not in lsh_pairs]
+    recall = (
+        round(1 - len(missed) / len(exact_pairs), 4) if exact_pairs else None
+    )
     return {
         "layout": (
             "10 key-shifted replicas of sf0.1 (synthetic sf1); documents "
             "replicas are TEXT-MUTATED per replica (build_sf1) so near-dup "
             "structure is per-replica, not O(replicas^2) cross-replica"
         ),
+        "minhash_recall_sf1": {
+            "exact_pairs": len(exact_pairs),
+            "lsh_verified_pairs": len(lsh_pairs),
+            "recall": recall,
+            "n_missed": len(missed),
+            # > 0.8 + epsilon here would mean a REAL defect (bucket cap or
+            # plumbing), not banding theory — see comment above
+            "missed_max_jaccard": round(max(missed), 4) if missed else None,
+            "lsh_false_pairs": len(lsh_pairs - set(exact_pairs)),
+            "probe_sec": round(time.time() - t0, 3),
+        },
         "build_sec": build_sec,
         "queries_sec": big,
         "sf01_same_jvm_sec": base,
