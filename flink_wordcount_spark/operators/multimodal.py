@@ -112,6 +112,61 @@ def featurize(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(extract, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("n_px", LongType()),
+        StructField("px_sum", LongType()),
+        StructField("px_min", LongType()),
+        StructField("px_max", LongType()),
+    ]
+)
+
+
+def resize_1d(df: DataFrame, out_px: int = 64) -> DataFrame:
+    """Area-resize the payload to a fixed ``out_px``-sample vector
+    (mapInPandas, Arrow-batched) — the image-thumbnail / audio-downsample
+    shape: each output sample i is floor(mean(bytes[floor(i*L/out_px) :
+    floor((i+1)*L/out_px)])), i.e. block means over an exact integer
+    partition of the input, so any two engines agree bit-for-bit.
+
+    Payloads shorter than ``out_px`` bytes are skipped (a real thumbnailer
+    would pad; the block partition would contain empty blocks).  The real
+    pipeline swaps the byte array for decode_image() pixels — same operator
+    shape, batch geometry, and schema.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                L = b.size
+                if L < out_px:
+                    continue
+                bounds = [(i * L) // out_px for i in range(out_px + 1)]
+                px = [
+                    int(b[lo:hi].sum()) // (hi - lo)
+                    for lo, hi in zip(bounds, bounds[1:])
+                ]
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_bytes": int(L),
+                        "n_px": out_px,
+                        "px_sum": int(sum(px)),
+                        "px_min": int(min(px)),
+                        "px_max": int(max(px)),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    return df.select("doc_id", "payload").mapInPandas(resize, RESIZE_SCHEMA)
+
+
 def sample_frames(df: DataFrame, frame_size: int = 256, every_k: int = 4) -> DataFrame:
     """Treat the payload as a frame stream; emit every k-th fixed-size frame.
 

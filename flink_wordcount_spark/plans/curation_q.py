@@ -1202,3 +1202,35 @@ def qa_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor(h_text).alias("content_xor"),
         F.bit_xor(h_keyed).alias("keyed_xor"),
     )
+
+@query(
+    "sample_downweight_duplicates",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id,
+               count(*) OVER (PARTITION BY text) AS n_copies
+        FROM documents
+    )
+    SELECT doc_id, CAST(n_copies AS BIGINT) AS n_copies,
+           1.0 / n_copies AS weight
+    FROM g
+    """,
+)
+def sample_downweight_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup for training mixtures: instead of DROPPING exact
+    duplicates, every document gets sampling weight 1/n_copies so each
+    distinct text contributes one document-equivalent in expectation — the
+    gentler alternative when duplication frequency itself carries signal
+    (popular licenses, boilerplate you still want once).
+
+    Scale: one partitioned window keyed on sha2(text) (32 B exchange keys;
+    the oracle partitions by the text itself — same groups barring a
+    SHA-256 collision).  ``weight`` is a raw 1/n IEEE division, never
+    rounded (catalog rule)."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.sha2(F.col("text"), 256))
+    return d.select(
+        "doc_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_copies"),
+        (F.lit(1.0) / F.count(F.lit(1)).over(w)).alias("weight"),
+    )

@@ -780,3 +780,50 @@ def dedup_shared_spans_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents"), "text", "doc_id", n=_SPAN_W
     )
     return _shared_span_profile(sp, key="h")
+
+@query(
+    "dedup_exact_normalized",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id, text,
+               CAST(('0x' || substring(md5(
+                   trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+               ), 1, 15)) AS BIGINT) AS norm_fp
+        FROM documents
+    )
+    SELECT norm_fp,
+           CAST(min(doc_id) AS BIGINT) AS rep_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_raw
+    FROM norm GROUP BY norm_fp
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-tolerant exact dedup: documents equal after lowercasing
+    and collapsing every non-alphanumeric run to a single space — the
+    standard "fuzzy-exact" pass that catches case/punctuation/whitespace
+    re-renders of the same page, which byte-exact dedup (dedup_exact)
+    misses and shingle near-dup over-pays for.  ``n_distinct_raw > 1``
+    marks groups byte-exact dedup would NOT have collapsed (the added value
+    of the normalization); all groups are emitted (no HAVING) because the
+    sf0.01 gate corpus has zero dup groups and a 0-row result would
+    value-check nothing — emitting the per-group fingerprint makes every
+    document's normalization string byte-checked instead.
+
+    Scale: ONE groupBy keyed on the 60-bit md5-prefix fingerprint of the
+    normalized text (the catalog's shared Spark<->DuckDB hash), so the
+    shuffle carries 8 B keys instead of whole documents; collision odds
+    ~n^2/2^61.  At 100 TB swap to sha2-256 group keys (dedup_exact_hash's
+    shape) if the corpus row count makes 60 bits uncomfortable."""
+    d = table(spark, sf_dir, "documents")
+    nt = F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "))
+    fp = F.conv(F.substring(F.md5(nt), 1, 15), 16, 10).cast("bigint")
+    return (
+        d.select("doc_id", "text", fp.alias("norm_fp"))
+        .groupBy("norm_fp")
+        .agg(
+            F.min("doc_id").alias("rep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("text").alias("n_distinct_raw"),
+        )
+    )

@@ -1358,3 +1358,107 @@ def ev_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_total"),
         ((F.col("total") - prev) / prev).alias("pct_change"),
     )
+
+@query(
+    "ev_rolling_active_users",
+    oracle="""
+    WITH daily AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), days AS (
+        SELECT DISTINCT day FROM daily
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           count(DISTINCT a.user_id) AS active_7d
+    FROM days d JOIN daily a ON a.day BETWEEN d.day - 6 AND d.day
+    GROUP BY 1
+    """,
+)
+def ev_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users per day (the WAU curve): for every day
+    present in the feed, the distinct users seen in [day-6, day].
+
+    Scale: a sliding-window COUNT DISTINCT cannot ride a window frame
+    (distinct is not decomposable over frames), so the plan is the
+    contribute-forward trick: one (user, day) distinct [the only
+    corpus-sized shuffle], each row then fans out to the <=7 target days it
+    contributes to (a fixed grid multiplier, not a join), is semi-joined to
+    the observed-day list (broadcast: one row per calendar day), and a
+    two-phase count-distinct lands per target day.  No self-join of the
+    fact table, no range join, no per-day rescan."""
+    e = table(spark, sf_dir, "events")
+    daily = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    days = daily.select("day").distinct()  # calendar-bounded
+    fan = daily.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        F.col("day").alias("src_day"),
+    ).select("user_id", F.date_add("src_day", F.col("off")).alias("day"))
+    return (
+        fan.join(F.broadcast(days), "day")  # keep only observed days
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "active_7d")
+    )
+
+
+#: Benford expectation is attached per first-digit bucket (9-row grid).
+_BENFORD_DIGITS = list(range(1, 10))
+
+
+@query(
+    "qa_benford_first_digit",
+    oracle="""
+    WITH cents AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS c
+        FROM events WHERE value > 0
+    ), digits AS (
+        SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM cents WHERE c > 0
+    ), counts AS (
+        SELECT digit, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY digit
+    ), tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS total FROM counts
+    )
+    SELECT c.digit, c.n,
+           c.n / CAST(t.total AS DOUBLE) AS obs_frac,
+           round(log10(1 + 1.0 / c.digit), 6) AS benford_frac,
+           round(abs(c.n / CAST(t.total AS DOUBLE) - log10(1 + 1.0 / c.digit)), 6)
+               AS abs_dev
+    FROM counts c CROSS JOIN tot t
+    """,
+)
+def qa_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of the value column: observed first-significant-
+    digit distribution vs log10(1 + 1/d) — the classic fabricated-data /
+    broken-generator detector for financial-looking measures (a synthetic
+    or truncated feed deviates hard on digits 1-2).
+
+    Digit extraction is engine-neutral by design: value -> integer cents
+    via round(value*100) (the fixture's values carry <=2 decimals, so the
+    product sits within 1 ulp of an integer and both engines' HALF_UP round
+    agrees), then the first character of the integer's decimal rendering —
+    never floor(log10(v)), whose libm rounding at exact powers of ten is
+    not portable.  obs_frac stays a raw IEEE division (catalog rule);
+    benford_frac and abs_dev round(6) on identical double inputs.
+
+    Scale: one map-side-combined aggregate onto a 9-key digit grid plus a
+    single-row total anchor (the broadcast nested-loop the sweep allowlists
+    — constant side)."""
+    e = table(spark, sf_dir, "events")
+    cents = e.filter(F.col("value") > 0).select(
+        F.round(F.col("value") * 100).cast("bigint").alias("c")
+    )
+    digits = cents.filter(F.col("c") > 0).select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("bigint").alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").cast("bigint").alias("total"))
+    obs = F.col("n") / F.col("total").cast("double")
+    benford = F.round(F.log10(1 + 1.0 / F.col("digit")), 6)
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        obs.alias("obs_frac"),
+        benford.alias("benford_frac"),
+        F.round(F.abs(obs - F.log10(1 + 1.0 / F.col("digit"))), 6).alias("abs_dev"),
+    )

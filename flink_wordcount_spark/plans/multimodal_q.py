@@ -121,3 +121,44 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = attach_binary(docs)
     return sample_frames(d, frame_size=256, every_k=4).orderBy("doc_id", "frame_idx")
+
+@query(
+    "mm_resize",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               list_transform(string_split(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'), ''),
+                              c -> ascii(c)) AS b
+        FROM documents
+    ), sized AS (
+        SELECT doc_id, b, len(b) AS L FROM s WHERE len(b) >= 64
+    ), px AS (
+        SELECT doc_id, L,
+               CAST(list_sum(b[(i*L)//64 + 1 : ((i+1)*L)//64]) AS BIGINT)
+                   // (((i+1)*L)//64 - (i*L)//64) AS m
+        FROM sized, unnest(range(0, 64)) AS u(i)
+    )
+    SELECT doc_id,
+           CAST(max(L) AS BIGINT) AS n_bytes,
+           CAST(64 AS BIGINT) AS n_px,
+           CAST(sum(m) AS BIGINT) AS px_sum,
+           CAST(min(m) AS BIGINT) AS px_min,
+           CAST(max(m) AS BIGINT) AS px_max
+    FROM px GROUP BY doc_id
+    """,
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1-D area resize of the payload to 64 samples (the
+    thumbnail / audio-downsample plumbing): block means over an exact
+    integer partition of the byte stream, computed batch-vectorized inside
+    mapInPandas.  The oracle folds the same block arithmetic over sanitized
+    codepoints (chars == bytes, the module's trick), so even the resampling
+    math is value-checked — a real pipeline swaps bytes for decode_image()
+    pixels with the identical operator shape.  Payloads under 64 bytes are
+    skipped on both sides."""
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace("text", _ASCII_RE, "")
+    )
+    from ..operators.multimodal import resize_1d
+
+    return resize_1d(attach_binary(docs), out_px=64)

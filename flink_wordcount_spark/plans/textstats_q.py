@@ -838,3 +838,116 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_novel") / F.col("n_grams")).alias("novelty_rate"),
         )
     )
+
+#: Top-N cut for the BPE pair table and the skip-gram co-occurrence table.
+_BPE_TOP = 50
+_SKIPGRAM_TOP = 100
+
+
+@query(
+    "text_bpe_char_pairs",
+    oracle=f"""
+    WITH words AS (
+        SELECT lower(u.w) AS w
+        FROM (SELECT {_TOKS} AS t FROM documents), unnest(t) AS u(w)
+    ), freqs AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS wf FROM words GROUP BY w
+    ), pairs AS (
+        SELECT substring(w, CAST(i AS INT), 2) AS pair, wf
+        FROM freqs, unnest(range(1, length(w))) AS u(i)
+        WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(sum(wf) AS BIGINT) AS freq
+    FROM pairs GROUP BY pair
+    ORDER BY freq DESC, pair LIMIT {_BPE_TOP}
+    """,
+)
+def text_bpe_char_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge iteration: adjacent CHARACTER-pair frequencies
+    within words, weighted by corpus word frequency — the statistic a BPE
+    tokenizer trainer maximizes at every merge step (the top pair here IS
+    merge #1).  Distinct from text_bigrams_top, which counts word-level
+    bigrams.
+
+    Scale: the pair explosion runs over the DISTINCT-WORD table (vocabulary
+    -sized, each word exploded once and weighted by its count), never over
+    the corpus token stream — at 100 TB that is the difference between
+    exploding ~10^6 vocabulary entries and ~10^13 tokens.  The pair
+    aggregate lands on an alphabet^2-bounded grid with map-side partials;
+    top-{_BPE_TOP} is TakeOrderedAndProject (freq DESC, pair tie-break)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", TOKEN_SPLIT_REGEX), lambda w: F.length(w) > 0)
+    freqs = (
+        d.select(F.explode(toks).alias("w"))
+        .select(F.lower("w").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    pairs = (
+        freqs.filter(F.length("w") >= 2)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+            "w",
+            "wf",
+        )
+        .select(F.col("w").substr(F.col("i"), F.lit(2)).alias("pair"), "wf")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wf").cast("bigint").alias("freq"))
+        .orderBy(F.desc("freq"), "pair")
+        .limit(_BPE_TOP)
+    )
+
+
+@query(
+    "text_skipgram_cooccurrence",
+    oracle=f"""
+    WITH toks AS (
+        SELECT {_TOKS} AS t FROM documents
+    ), pairs AS (
+        SELECT t[CAST(i AS INT)] AS center, t[CAST(i AS INT) + d] AS context
+        FROM toks,
+             unnest(range(1, len(t) + 1)) AS u(i),
+             (VALUES (-2), (-1), (1), (2)) AS o(d)
+        WHERE i + d BETWEEN 1 AND len(t)
+    )
+    SELECT center, context, CAST(count(*) AS BIGINT) AS cnt
+    FROM pairs GROUP BY 1, 2
+    ORDER BY cnt DESC, center, context LIMIT {_SKIPGRAM_TOP}
+    """,
+)
+def text_skipgram_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence counts (window ±2): the (center, context)
+    pair table word2vec-style embedding training consumes, top-
+    {_SKIPGRAM_TOP} by count.  Directed pairs — (a, b) at distance -1 and
+    (b, a) at +1 both count, matching the training objective.
+
+    Scale: NO self-join — each token row looks up its ±2 neighbors by ARRAY
+    INDEX inside the row it came from (element_at on the tokens array), so
+    the only shuffle is the final pair aggregate (map-side combined, key
+    cardinality ~vocab^2 truncated by the grid of real co-occurrences);
+    the position fan-out is a fixed x4 multiplier.  A join-based plan
+    would shuffle the token stream twice on (doc, position)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", TOKEN_SPLIT_REGEX), lambda w: F.length(w) > 0)
+    base = d.select(toks.alias("t"))
+    idx = base.select(
+        "t", F.explode(F.sequence(F.lit(1), F.size("t"))).alias("i")
+    )
+    offs = F.array([F.lit(x) for x in (-2, -1, 1, 2)])
+    fan = idx.select(
+        "t", "i", F.explode(offs).alias("d")
+    ).filter(
+        ((F.col("i") + F.col("d")) >= 1) & ((F.col("i") + F.col("d")) <= F.size("t"))
+    )
+    pairs = fan.select(
+        F.element_at("t", F.col("i")).alias("center"),
+        F.element_at("t", (F.col("i") + F.col("d")).cast("int")).alias("context"),
+    )
+    return (
+        pairs.groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "center", "context")
+        .limit(_SKIPGRAM_TOP)
+    )

@@ -78,6 +78,7 @@ BNLJ_OK = {
     "sample_temperature_mixture": "broadcast per-source rate table (grid)",
     "qa_drift_psi": "calendar x type x bin grid frames",
     "qa_key_skew": "single-row corpus-total anchor",
+    "qa_benford_first_digit": "single-row total anchor over the 9-digit grid",
     "qa_preflight_report": "single-row panel scalars",
     "source_python_datasource": "2000-row golden-contract generator frame",
 }
