@@ -138,7 +138,7 @@ def io_stall_window(lat: dict) -> bool:
     Distinct from degenerate_window (batch starvation): the stream keeps
     pace here, only the durability path blocks."""
     bt = lat.get("config", {}).get("batches", {})
-    parts = lat.get("config", {}).get("partitions") or 16
+    parts = lat.get("config", {}).get("partitions") or 12
     p50 = bt.get("state_commit_ms_p50") or 0
     sync_p50 = bt.get("fileSync_ms_p50")
     if (
@@ -661,7 +661,7 @@ def bench_latency(
     if trigger_sec is None:
         trigger_sec = float(os.environ.get("SPARK_GRAFT_LATENCY_TRIGGER_SEC", "0.5"))
     if partitions is None:
-        partitions = int(os.environ.get("SPARK_GRAFT_LATENCY_PARTITIONS", "16"))
+        partitions = int(os.environ.get("SPARK_GRAFT_LATENCY_PARTITIONS", "12"))
     if run_sec is None:
         run_sec = LATENCY_RUN_SEC
     if warmup_sec is None:
@@ -712,10 +712,15 @@ def bench_latency(
     # out of the commit path entirely.
     out_dir = tempfile.mkdtemp(prefix="fws_bench_latency_", dir=base_dir)
     csv_path = os.path.join(out_dir, "latency.csv")
-    # 16 state/shuffle partitions keeps batch duration well under the trigger
-    # at this rate (measured: 32 pays per-partition state-store commit
-    # overhead, 8 starves the tokenize+agg of parallelism), so records don't
-    # queue behind a lagging trigger and the percentiles measure steady state.
+    # 12 state/shuffle partitions (r08, order-controlled interleaved A/B vs
+    # 16): record p50 is equal-or-better at every observed load while the
+    # summed state-commit cost HALVES (3.3 s -> 1.75 s per batch) — and the
+    # per-partition cost itself falls (~210 -> ~146 ms; 10 parts -> ~105 ms),
+    # i.e. the cost is concurrent-commit CONTENTION (JNI/IO), not a fixed
+    # per-partition API floor, which is why r07's "structural 133 ms"
+    # reading was incomplete.  8 starves tokenize+agg parallelism, 32 pays
+    # maximal commit contention; 12 keeps batch exec (~0.8 s) under the
+    # trigger with the smallest durability tax.
     prev = {"spark.sql.shuffle.partitions": spark.conf.get("spark.sql.shuffle.partitions")}
     spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
     for k, v in confs.items():
