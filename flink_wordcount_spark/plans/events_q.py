@@ -1462,3 +1462,95 @@ def qa_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         benford.alias("benford_frac"),
         F.round(F.abs(obs - F.log10(1 + 1.0 / F.col("digit"))), 6).alias("abs_dev"),
     )
+
+@query(
+    "qa_equi_depth_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT value,
+               CAST(ntile(10) OVER (ORDER BY value, event_id) AS BIGINT) AS bucket
+        FROM events
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 2) AS lo,
+           round(max(value), 2) AS hi
+    FROM b GROUP BY bucket
+    """,
+)
+def qa_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth (equi-height) histogram of the value column — the
+    optimizer-statistics / data-profile artifact: 10 buckets of equal row
+    count with their value boundaries, the selectivity table a cost model
+    or a drift monitor consumes.
+
+    Scale: this runs the grid-partitioned global rank over the RAW fact
+    table (not a pre-reduced rollup) — the exact workload class the bare
+    ntile window would serialize into one task at corpus scale.  Two
+    bounded preparation jobs (value min/max; 32-range counts) + one
+    partitioned 32-range sort, then a 10-key grid aggregate.  At 100 TB an
+    approx_percentile sketch gives the same table cheaper but engine-
+    specific; exact boundaries are the reproducible-calibration choice
+    (quality_cutoff_per_lang's argument)."""
+    from ..operators.rankops import global_ntile
+
+    e = table(spark, sf_dir, "events").select("event_id", "value")
+    return (
+        global_ntile(e, "value", 10, "event_id", out="bucket")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+    )
+
+
+@query(
+    "qa_completeness_by_day",
+    oracle="""
+    WITH span AS (
+        SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+        FROM events
+    ), spine AS (
+        SELECT CAST(u.d AS DATE) AS day
+        FROM span, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS u(d)
+    ), daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT strftime(s.day, '%Y-%m-%d') AS day,
+           COALESCE(d.n, 0) AS n,
+           COALESCE(d.n, 0) = 0 AS is_gap
+    FROM spine s LEFT JOIN daily d USING (day)
+    """,
+)
+def qa_completeness_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delivery-completeness audit: every calendar day between the feed's
+    first and last event, with its row count and a gap flag — the
+    missing-partition detector a daily-ingest pipeline runs before
+    training-data cutoff (a silent empty day is invisible to per-day
+    GROUP BY, which simply omits the row).
+
+    Scale: the spine is a single-row min/max aggregate exploded to the
+    calendar span (bounded by days, not rows) and broadcast against the
+    per-day counts — one fact-table aggregate total."""
+    e = table(spark, sf_dir, "events")
+    span = e.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    spine = span.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_raw")
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_raw", F.lit(0)).cast("bigint").alias("n"),
+            (F.coalesce("n_raw", F.lit(0)) == 0).alias("is_gap"),
+        )
+    )

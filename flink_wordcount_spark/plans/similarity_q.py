@@ -782,3 +782,89 @@ def embed_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.min("v"), 6) + F.lit(0.0)).alias("min_v"),
         (F.round(F.max("v"), 6) + F.lit(0.0)).alias("max_v"),
     )
+
+@query(
+    "embed_class_centroid_margin",
+    oracle="""
+    WITH dims AS (
+        SELECT label, i, round(avg(embedding[CAST(i AS INT)]), 6) AS c
+        FROM embeddings, unnest(range(1, 65)) AS u(i)
+        GROUP BY label, i
+    ), cent AS (
+        SELECT label AS clabel, list(c ORDER BY i) AS cv FROM dims GROUP BY label
+    ), d AS (
+        SELECT e.vec_id, e.label, c.clabel,
+               round(list_sum(list_transform(range(1, 65),
+                   i -> (e.embedding[CAST(i AS INT)] - c.cv[CAST(i AS INT)])
+                      * (e.embedding[CAST(i AS INT)] - c.cv[CAST(i AS INT)]))), 6)
+                   AS d2
+        FROM embeddings e CROSS JOIN cent c
+    ), own AS (
+        SELECT vec_id, label, d2 AS d_own FROM d WHERE label = clabel
+    ), oth AS (
+        SELECT vec_id, clabel AS nearest_other, d2 AS d_other,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+        FROM d WHERE label <> clabel
+    )
+    SELECT o.vec_id, o.label, o.d_own, t.nearest_other, t.d_other,
+           o.d_own > t.d_other AS is_confusable
+    FROM own o JOIN oth t ON t.vec_id = o.vec_id AND t.rn = 1
+    """,
+)
+def embed_class_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-quality audit over the embedding table: each vector's squared
+    L2 distance to its OWN label centroid vs its nearest OTHER-label
+    centroid — ``is_confusable`` (closer to a foreign class than its own)
+    is the standard mislabeled-example / class-overlap detector run before
+    training on labeled data.
+
+    Parity: centroids are rounded(6) AT DEFINITION (per-dim float-sum
+    averages are run-order-dependent in the low bits; the cosine-oracle
+    convention), after which every distance folds the 64 dims in ascending
+    order on exact inputs — bit-identical across engines — and the
+    nearest-other pick tie-breaks on label.
+
+    Scale: centroids are a labels x 64 grid built by ONE posexplode
+    aggregate with map-side partials, then broadcast; distances are a
+    JVM-side zip_with/aggregate fold (no UDF); the nearest-other argmin is
+    a per-vector window over k-1 rows.  No pairwise vector joins
+    anywhere."""
+    emb = table(spark, sf_dir, "embeddings")
+    dims = emb.select("vec_id", "label", F.posexplode("embedding").alias("pos", "x"))
+    cent = (
+        dims.groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            F.col("label").alias("clabel"),
+            F.transform("pc", lambda s: s["c"]).alias("cv"),
+        )
+    )
+    diff2 = F.zip_with("embedding", "cv", lambda a, b: (a - b) * (a - b))
+    d2 = F.round(
+        F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v), 6
+    ).alias("d2")
+    d = emb.crossJoin(F.broadcast(cent)).select("vec_id", "label", "clabel", d2)
+    own = d.filter(F.col("label") == F.col("clabel")).select(
+        "vec_id", "label", F.col("d2").alias("d_own")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "clabel")
+    oth = (
+        d.filter(F.col("label") != F.col("clabel"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("clabel").alias("nearest_other"),
+            F.col("d2").alias("d_other"),
+        )
+    )
+    return own.join(oth, "vec_id").select(
+        "vec_id",
+        "label",
+        "d_own",
+        "nearest_other",
+        "d_other",
+        (F.col("d_own") > F.col("d_other")).alias("is_confusable"),
+    )

@@ -951,3 +951,57 @@ def text_skipgram_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "center", "context")
         .limit(_SKIPGRAM_TOP)
     )
+
+@query(
+    "text_entropy_chars",
+    oracle="""
+    WITH ch AS (
+        SELECT doc_id, u.c AS ch
+        FROM (SELECT doc_id, string_split(text, '') AS cs FROM documents),
+             unnest(cs) AS u(c)
+    ), counts AS (
+        SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2
+    ), tot AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY doc_id
+    )
+    SELECT c.doc_id, t.n AS n_chars_split,
+           CAST(count(*) AS BIGINT) AS n_distinct_chars,
+           round(-sum((c.c / CAST(t.n AS DOUBLE))
+                      * ln(c.c / CAST(t.n AS DOUBLE))), 6) + 0.0 AS char_entropy
+    FROM counts c JOIN tot t USING (doc_id)
+    GROUP BY c.doc_id, t.n
+    """,
+)
+def text_entropy_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy — the gibberish /
+    base64-blob / repeated-filler detector: natural language sits ~4.0-4.5
+    bits (2.8-3.1 nats), encoded binary pushes toward ln(alphabet), and
+    repeated filler collapses toward 0.  Complements text_char_lm_score
+    (which needs a corpus model; entropy is per-doc standalone).
+
+    Parity: per-char probabilities are exact integer ratios; the entropy
+    fold sums ~100 grouped terms whose order differs across engines, so the
+    result rounds(6) with the +0.0 negative-zero guard (the qa_drift_psi
+    convention; a single-char doc yields -0.0 otherwise).
+
+    Scale: one (doc, char) count aggregate with map-side partials (keys
+    bounded by docs x alphabet), then a per-doc fold — no windows, no
+    joins beyond the per-doc total."""
+    d = table(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    ).filter(F.length("ch") > 0)
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("doc_id")
+    p = F.col("c") / F.sum("c").over(w).cast("double")
+    per = counts.select(
+        "doc_id",
+        F.sum("c").over(w).cast("bigint").alias("n_chars_split"),
+        p.alias("p"),
+    )
+    return per.groupBy("doc_id", "n_chars_split").agg(
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        (F.round(-F.sum(F.col("p") * F.log(F.col("p"))), 6) + F.lit(0.0)).alias(
+            "char_entropy"
+        ),
+    )

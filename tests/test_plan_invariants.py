@@ -70,6 +70,7 @@ BNLJ_OK = {
     "semdedup_drop_list": "broadcast k-centroid table",
     "decontam_semantic": "broadcast eval-split embeddings (fixed size)",
     "embed_cosine_topk": "broadcast single query vector",
+    "embed_class_centroid_margin": "broadcast labels x 64 centroid grid",
     "lsh_ivf_topk": "broadcast centroids + query vector",
     "lsh_ivf_topk_checked": "broadcast centroids + query vector",
     "text_char_lm_score": "single-row alphabet-size anchor",
