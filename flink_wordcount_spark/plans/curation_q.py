@@ -1234,3 +1234,54 @@ def sample_downweight_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_copies"),
         (F.lit(1.0) / F.count(F.lit(1)).over(w)).alias("weight"),
     )
+
+
+@query(
+    "sample_quality_curriculum",
+    oracle=f"""
+    WITH s AS ({_quality_score_sql()}),
+    b AS (
+        SELECT doc_id, q,
+               CAST(ntile(10) OVER (ORDER BY q DESC, doc_id) AS BIGINT) AS stage
+        FROM s
+    )
+    SELECT b.stage, b.doc_id,
+           CAST(('0x' || substring(md5(t.text), 1, 12)) AS BIGINT) AS shuffle_key
+    FROM b JOIN documents t USING (doc_id)
+    ORDER BY stage, shuffle_key, doc_id LIMIT 100
+    """,
+)
+def sample_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering: documents are staged into quality deciles
+    (stage 1 = cleanest, trained first) and SHUFFLED within each stage by a
+    content-hash key — the standard quality-curriculum schedule (stage-wise
+    ordering preserves the curriculum, in-stage hashing kills the
+    source/crawl-order correlation that sequential doc_ids carry).  Returns
+    the head of the schedule; a pipeline writes the full frame partitioned
+    by stage.
+
+    Parity: the stage is exact ntile(10) over (quality DESC, doc_id) — the
+    shared quality-score formula, unrounded, identical bit-for-bit in both
+    engines — and the shuffle key is the first 48 bits of md5(text), the
+    catalog's portable content hash.
+
+    Scale: the decile is the grid-partitioned two-phase global rank
+    (``operators/rankops.py`` — no single-task sort of the corpus), the
+    in-stage shuffle is a pure per-row projection, and the emitted head is
+    a TakeOrdered top-k, not a global sort."""
+    from ..operators.rankops import global_ntile
+    from ..operators.textstats import quality_features
+
+    d = table(spark, sf_dir, "documents")
+    sk = F.conv(F.substring(F.md5("text"), 1, 12), 16, 10).cast("bigint")
+    scored = d.select(
+        "doc_id", sk.alias("shuffle_key"), quality_features("text")[6]
+    )
+    staged = global_ntile(
+        scored, "quality_score", 10, "doc_id", descending=True, out="stage"
+    )
+    return (
+        staged.select("stage", "doc_id", "shuffle_key")
+        .orderBy("stage", "shuffle_key", "doc_id")
+        .limit(100)
+    )

@@ -827,3 +827,43 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("text").alias("n_distinct_raw"),
         )
     )
+
+
+@query(
+    "dedup_group_size_dist",
+    oracle="""
+    WITH g AS (
+        SELECT sha256(text) AS k, count(*) AS n, min(doc_id) AS rep
+        FROM documents GROUP BY 1
+    )
+    SELECT CAST(n AS BIGINT) AS group_size,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(n * count(*) AS BIGINT) AS n_docs,
+           CAST(sum(rep) AS BIGINT) AS rep_id_sum
+    FROM g GROUP BY n
+    """,
+)
+def dedup_group_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate group-size distribution — the QA twin of
+    ``dedup_exact_hash``: before dropping copies, a curation run audits HOW
+    duplication is shaped (a heavy tail of giant groups means boilerplate
+    or a crawler loop; all-singletons means exact dedup will be a no-op and
+    the near-dup pass carries the load).  ``rep_id_sum`` (order-insensitive
+    sum of per-group representative ids) value-checks the group structure
+    itself even on a corpus where every size is 1, not just the histogram.
+
+    Scale: groupBy on the 256-bit digest (32 B shuffle rows), then a second
+    aggregate keyed on group size — bounded by the number of DISTINCT group
+    sizes (<= hundreds even at 100 TB, power-law or not), with map-side
+    partials on both."""
+    d = table(spark, sf_dir, "documents")
+    g = (
+        d.select(F.sha2("text", 256).alias("k"), "doc_id")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("rep"))
+    )
+    return g.groupBy(F.col("n").cast("bigint").alias("group_size")).agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        (F.first("n") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+        F.sum("rep").cast("bigint").alias("rep_id_sum"),
+    )

@@ -1554,3 +1554,51 @@ def qa_completeness_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_raw", F.lit(0)) == 0).alias("is_gap"),
         )
     )
+
+
+@query(
+    "ev_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, value, epoch_us(ts) AS us,
+               lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY epoch_us(ts), event_id) AS nxt
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(nxt - us) AS BIGINT) AS covered_us,
+           round(sum(value * (nxt - us)) / sum(nxt - us), 4) AS twa_value
+    FROM seq WHERE nxt IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def ev_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of ``value``: each reading is held
+    until the user's next event (step interpolation), so the average weighs
+    a level by how LONG it persisted, not how often it was sampled — the
+    correct rollup for irregularly-sampled gauges (balance, queue depth,
+    session quality), where the plain mean over-counts bursty periods.
+    Each user's last event has no holding interval and is excluded
+    (single-event users drop out; ``n_intervals``/``covered_us`` make the
+    coverage auditable).
+
+    Parity: intervals are exact bigint microsecond differences
+    (unix_micros / epoch_us — the moving-window frame-key convention), the
+    weighted sum folds doubles identically, and only the final quotient is
+    rounded.
+
+    Scale: ONE hash exchange on user_id feeding both the lead window and
+    the aggregate; per-task frames are single-user-sized."""
+    e = normalize_event_ts(table(spark, sf_dir, "events"))
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy(us.asc(), F.col("event_id").asc())
+    seq = e.select(
+        "user_id", "value", us.alias("us"), F.lead(us).over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    dt = F.col("nxt") - F.col("us")
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(dt).cast("bigint").alias("covered_us"),
+        F.round(F.sum(F.col("value") * dt) / F.sum(dt), 4).alias("twa_value"),
+    )

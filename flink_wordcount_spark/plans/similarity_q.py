@@ -868,3 +868,93 @@ def embed_class_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d_other",
         (F.col("d_own") > F.col("d_other")).alias("is_confusable"),
     )
+
+
+@query(
+    "embed_standardize",
+    oracle="""
+    WITH dims AS (
+        SELECT i,
+               round(avg(v), 6) AS mu,
+               round(sqrt(avg(v * v) - avg(v) * avg(v)), 6) AS sd
+        FROM (SELECT i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+              FROM embeddings, unnest(range(1, 65)) AS u(i))
+        GROUP BY i
+    ), s AS (
+        SELECT list(mu ORDER BY i) AS mus, list(sd ORDER BY i) AS sds FROM dims
+    )
+    SELECT e.vec_id,
+           round(sqrt(list_sum(list_transform(range(1, 65),
+               i -> ((CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                        - s.mus[CAST(i AS INT)])
+                     / greatest(s.sds[CAST(i AS INT)], 1e-12))
+                  * ((CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                        - s.mus[CAST(i AS INT)])
+                     / greatest(s.sds[CAST(i AS INT)], 1e-12))))), 6) + 0.0
+               AS std_norm,
+           round(sqrt(list_sum(list_transform(range(1, 65),
+               i -> ((CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                        - s.mus[CAST(i AS INT)])
+                     / greatest(s.sds[CAST(i AS INT)], 1e-12))
+                  * ((CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                        - s.mus[CAST(i AS INT)])
+                     / greatest(s.sds[CAST(i AS INT)], 1e-12))))), 6) > 12.0
+               AS is_outlier
+    FROM embeddings e CROSS JOIN s
+    """,
+)
+def embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension standardization (z-scoring) of the embedding corpus,
+    reported as each vector's standardized L2 norm: subtract the corpus
+    mean and divide by the corpus std per coordinate, then fold.  For a
+    well-behaved corpus the norm concentrates near sqrt(d)=8; vectors far
+    above (``is_outlier``: > 12, i.e. 1.5x the expectation) are
+    multi-sigma outliers along many axes at once — the standard
+    preprocessing + outlier gate before cosine/IVF indexing when raw dims
+    have wildly different scales.
+
+    Parity: mu/sd are rounded(6) AT DEFINITION (per-dim float-sum averages
+    are run-order-dependent in the low bits — the centroid convention);
+    variance uses the explicit avg(v^2) - avg(v)^2 form in both engines;
+    after that every op folds the 64 dims in ascending order on exact
+    inputs, the norm is rounded once, and the outlier flag compares the
+    ROUNDED value.  sd is floored at 1e-12 so a constant (dead) dimension
+    contributes zero instead of dividing by zero.
+
+    Scale: the stats grid is ONE posexplode aggregate with map-side
+    partials (64 cells regardless of corpus size) collapsed to a 1-row
+    broadcast; the standardized fold is JVM-side zip_with/aggregate over
+    each vector — no second explode, no UDF, no pairwise anything."""
+    emb = table(spark, sf_dir, "embeddings")
+    dims = emb.select(F.posexplode(as_double(F.col("embedding"))).alias("pos", "x"))
+    stats = (
+        dims.groupBy("pos")
+        .agg(
+            F.round(F.avg("x"), 6).alias("mu"),
+            F.round(
+                F.sqrt(F.avg(F.col("x") * F.col("x")) - F.avg("x") * F.avg("x")), 6
+            ).alias("sd"),
+        )
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mu", "sd"))).alias("g"))
+        .select(
+            F.transform("g", lambda s: s["mu"]).alias("mus"),
+            F.transform("g", lambda s: s["sd"]).alias("sds"),
+        )
+    )
+    centered = F.zip_with(
+        as_double(F.col("embedding")), F.col("mus"), lambda a, b: a - b
+    )
+    z = F.zip_with(
+        centered, F.col("sds"), lambda n, s: n / F.greatest(s, F.lit(1e-12))
+    )
+    std_norm = F.round(
+        F.sqrt(F.aggregate(z, F.lit(0.0), lambda acc, v: acc + v * v)), 6
+    )
+    return (
+        emb.crossJoin(F.broadcast(stats))
+        .withColumn("std_norm", std_norm)
+        .select(
+            "vec_id", "std_norm", (F.col("std_norm") > 12.0).alias("is_outlier")
+        )
+    )

@@ -1005,3 +1005,86 @@ def text_entropy_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
             "char_entropy"
         ),
     )
+
+
+@query(
+    "sample_kfold_assign",
+    oracle="""
+    WITH f AS (
+        SELECT CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER) % 5 AS fold,
+               source, n_chars
+        FROM documents
+    )
+    SELECT fold,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM f GROUP BY fold
+    """,
+)
+def sample_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment (k=5) for cross-validation over the
+    corpus: fold = content-hash bucket, so identical documents always land
+    in the same fold (no train/eval leakage across folds) and the
+    assignment is stable across runs, engines, and partitionings — the
+    k-way generalization of ``sample_train_test_split``'s md5-bucket trick.
+    Emits the per-fold audit (doc count, char mass, source coverage) a
+    pipeline checks before trusting the folds are balanced.
+
+    Scale: one scan, one 5-key aggregate with map-side partials; the
+    count-distinct expands to a (fold, source) pre-aggregate internally —
+    bounded by 5 x source-cardinality."""
+    d = table(spark, sf_dir, "documents")
+    fold = F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast("int") % 5
+    return (
+        d.select(fold.alias("fold"), "source", "n_chars")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+        )
+    )
+
+
+@query(
+    "text_hapax_ratio",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, w AS word, count(*) AS c
+        FROM (SELECT source, unnest({_TOKS}) AS w FROM documents)
+        GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_vocab,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)
+               AS hapax_ratio
+    FROM tok GROUP BY source
+    """,
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source hapax-legomenon share: the fraction of each source's
+    vocabulary that occurs exactly once.  A lexical-richness / noise signal
+    for mixture design — OCR junk and random-id boilerplate push the ratio
+    toward 1, template spam pushes it toward 0; a shifted ratio between
+    crawl snapshots is an early drift flag cheaper than full n-gram
+    novelty.  The ratio is emitted as the raw IEEE integer quotient
+    (catalog rule: rounding integer-quotient halves diverges engines).
+
+    Scale: explode -> ONE (source, word) aggregate (vocab-bounded, not
+    token-bounded, after map-side partials) -> per-source fold bounded by
+    the source grid."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", TOKEN_SPLIT_REGEX), lambda w: F.length(w) > 0)
+    per_word = (
+        d.select("source", F.explode(toks).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    is_hapax = F.when(F.col("c") == 1, 1).otherwise(0)
+    return per_word.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.sum(is_hapax).cast("bigint").alias("n_hapax"),
+        (F.sum(is_hapax) / F.count(F.lit(1)).cast("double")).alias("hapax_ratio"),
+    )

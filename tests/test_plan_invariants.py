@@ -82,6 +82,7 @@ BNLJ_OK = {
     "qa_benford_first_digit": "single-row total anchor over the 9-digit grid",
     "qa_preflight_report": "single-row panel scalars",
     "source_python_datasource": "2000-row golden-contract generator frame",
+    "embed_standardize": "broadcast 1-row per-dim mu/sd stats grid",
 }
 
 
