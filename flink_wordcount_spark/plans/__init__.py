@@ -62,7 +62,9 @@ _MODIFIED_THIS_ROUND: list[str] = [
 # last driver-green row is r03 — pinned directly behind the modified list so
 # they cannot starve again behind never-verified newcomers (staleness sorts
 # round-0 entries first, which would put every new r08 query ahead of them).
-# Budget: 3 modified + 16 pinned + new queries <= ~50 -> cap new at ~25.
+# Budget: 5 modified + 16 pinned + 21 never-verified r08 queries = 42 of
+# the ~50 slots; the remaining ~8 rotate the r04-verified back catalog.
+# New-operator additions stopped at 21 for exactly this reason.
 _PIN_FRONT_THIS_ROUND: list[str] = [
     "q7_volume_shipping",
     "q8_market_share",

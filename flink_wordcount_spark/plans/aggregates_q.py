@@ -435,3 +435,81 @@ def sketch_hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("n_users_exact")
         ).alias("sketch_ok"),
     )
+
+
+from ..operators.text import TOKS_SQL as _CMS_TOKS  # shared tokenizer SQL
+
+
+@query(
+    "sketch_cms_topk_bounds",
+    oracle=f"""
+    WITH t AS (
+        SELECT unnest({_CMS_TOKS}) AS word FROM documents
+    ),
+    c AS (
+        SELECT word, count(*) AS exact_cnt FROM t GROUP BY word
+        ORDER BY exact_cnt DESC, word LIMIT 10
+    )
+    SELECT word, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           TRUE AS no_undercount, TRUE AS within_eps
+    FROM c
+    """,
+)
+def sketch_cms_topk_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch heavy-hitter audit over the token stream: build a
+    CMS (eps=0.001, conf=0.99, fixed seed) distributed, then check its
+    estimates for the exact top-10 words against the CMS error contract —
+    ``no_undercount`` (CMS never underestimates) and ``within_eps``
+    (overcount <= ceil(eps x stream length) at the stated confidence).
+    The frequency twin of ``sketch_hll_shard_merge``'s distinct-count
+    contract: the sketch itself is engine-specific, so what the oracle
+    value-checks is the exact counts plus the error-bound booleans.
+
+    Scale: the sketch is the point — counter arrays merge by addition
+    (order-independent, a few KB per task), so token frequencies at 100 TB
+    cost one partial-aggregated sketch merge with NO keyed shuffle at all;
+    the exact top-10 here is the fixture-scale ground truth the contract
+    is audited against (at production scale you'd audit against a sampled
+    or per-shard exact count instead).  The sketch binary comes back from
+    the ``count_min_sketch`` SQL aggregate and is queried driver-side via
+    the JVM ``CountMinSketch.readFrom`` (PySpark 4 dropped the
+    ``df.stat.countMinSketch`` wrapper)."""
+    import math
+
+    from ..operators.text import TOKEN_SPLIT_REGEX
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(F.split("text", TOKEN_SPLIT_REGEX), lambda w: F.length(w) > 0)
+        ).alias("word")
+    )
+    eps = 0.001
+    total = toks.count()
+    sk = toks.agg(
+        F.expr(f"count_min_sketch(word, {eps}d, 0.99d, 42)").alias("sk")
+    ).first()["sk"]
+    jvm = spark._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(sk))
+    )
+    top = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("word"))
+        .limit(10)
+        .collect()
+    )
+    slack = math.ceil(eps * total)
+    rows = [
+        (
+            r["word"],
+            r["exact_cnt"],
+            cms.estimateCount(r["word"]) >= r["exact_cnt"],
+            cms.estimateCount(r["word"]) <= r["exact_cnt"] + slack,
+        )
+        for r in top
+    ]
+    return spark.createDataFrame(
+        rows, "word string, exact_cnt bigint, no_undercount boolean, within_eps boolean"
+    )

@@ -1036,3 +1036,59 @@ def stream_timeout_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("total_value", F.round("total_value", 2))
     )
     return run_to_completion(flushed, output_mode="append")
+
+
+@query(
+    "stream_windowed_topk",
+    oracle="""
+    WITH agg AS (
+        SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+                   AS win_start,
+               event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT win_start, event_type, n,
+               CAST(row_number() OVER (PARTITION BY win_start
+                                       ORDER BY n DESC, event_type)
+                    AS BIGINT) AS rnk
+        FROM agg
+    )
+    SELECT win_start, event_type, n, rnk FROM r WHERE rnk <= 3
+    """,
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k on the live stream: the trending-now topology.  The
+    STREAM maintains the per-(hour window, event_type) counts (complete
+    mode, grid-bounded state — windows x types, not event volume); the
+    top-3 rank per window is a batch window function over the emitted
+    result table, because a rank over a still-open window is meaningless
+    mid-stream — ranking at read time is the standard dashboard-side cut
+    of this query.  Final output equals the batch twin exactly.
+
+    Scale: streaming state is the calendar x type grid; the read-side rank
+    partitions by window start (bounded frames), never the event stream."""
+    from pyspark.sql import Window
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir_for(f"{sf_dir}/events.parquet"))
+        .transform(normalize_event_ts)
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            "event_type",
+            "n",
+        )
+    )
+    final = run_to_completion(agg, output_mode="complete")
+    w = Window.partitionBy("win_start").orderBy(F.desc("n"), F.asc("event_type"))
+    return final.withColumn("rnk", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rnk") <= 3
+    )

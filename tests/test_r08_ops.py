@@ -76,3 +76,27 @@ def test_curriculum_head_is_staged_and_shuffled(spark, sf_dir):
     for r in rows:
         assert 1 <= r["stage"] <= 10
         assert r["shuffle_key"] >= 0
+
+
+def test_cms_error_contract_holds(spark, sf_dir):
+    rows = QUERIES["sketch_cms_topk_bounds"](spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 10
+    counts = [r["exact_cnt"] for r in rows]
+    assert counts == sorted(counts, reverse=True), "head not frequency-ordered"
+    for r in rows:
+        assert r["no_undercount"], f"CMS undercounted {r['word']}"
+        assert r["within_eps"], f"CMS overcount beyond eps*N for {r['word']}"
+
+
+def test_stream_windowed_topk_ranks_are_dense_per_window(spark, sf_dir):
+    rows = QUERIES["stream_windowed_topk"](spark, sf_dir).collect()
+    assert rows
+    by_win: dict[str, list] = {}
+    for r in rows:
+        by_win.setdefault(r["win_start"], []).append(r)
+    for win, grp in by_win.items():
+        grp.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in grp] == list(range(1, len(grp) + 1)), win
+        ns = [r["n"] for r in grp]
+        assert ns == sorted(ns, reverse=True), f"rank order violates counts: {win}"
+        assert len(grp) <= 3
