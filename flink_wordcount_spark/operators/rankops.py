@@ -64,6 +64,9 @@ def with_global_rank(
     keys would get an arbitrary (though deterministic-per-plan) order, just
     as they would under a real window.  When ``count_col`` is given, the
     frame's total row count is attached too (ntile needs it; same jobs).
+    NULL keys rank exactly where the engine's window puts them (NULLS
+    FIRST ascending, NULLS LAST descending — see the null_pid note below
+    for the DuckDB-oracle caveat on the ascending case).
 
     Eager: runs the two preparation jobs (key bounds, per-range counts) at
     build time — see the module docstring for the plan-size rationale.
@@ -71,24 +74,32 @@ def with_global_rank(
     pid_c = f"_gr_pid_{rank_col}"
     bounds = df.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
     lo, hi = bounds["lo"], bounds["hi"]
-    if lo is None:  # empty frame: rank column exists, no rows to rank
-        out = df.withColumn(rank_col, F.lit(None).cast("bigint"))
-        if count_col is not None:
-            out = out.withColumn(count_col, F.lit(0).cast("bigint"))
-        return out
 
-    span = float(hi) - float(lo)
-    if span == 0.0:
-        pid = F.lit(0)
+    # NULL keys get their own pid at the END the engine's window puts them:
+    # Spark's F.asc defaults to NULLS FIRST (pid -1, before every range) and
+    # F.desc to NULLS LAST (pid n_ranges, after).  Without this, NULL falls
+    # through least/greatest (both skip NULLs) into pid 0 — the TOP bucket
+    # under descending=True, shifting every non-null rank (review r08).
+    # NOTE for oracle parity: DuckDB defaults to NULLS LAST for BOTH
+    # directions, so an ASCENDING rank over a nullable key matches Spark's
+    # window but not a bare DuckDB ORDER BY; null-filter first or order
+    # NULLS FIRST explicitly in such oracles.
+    null_pid = n_ranges if descending else -1
+    if lo is None:  # every key NULL (or empty frame): one all-NULL pid
+        base_pid = F.lit(null_pid)
+    elif float(hi) - float(lo) == 0.0:
+        base_pid = F.lit(0)
     else:
+        span = float(hi) - float(lo)
         width = span / n_ranges
         dist = (F.lit(float(hi)) - F.col(key)) if descending else (
             F.col(key) - F.lit(float(lo))
         )
-        pid = F.least(
+        base_pid = F.least(
             F.lit(n_ranges - 1),
             F.greatest(F.lit(0), F.floor(dist / F.lit(width)).cast("int")),
         )
+    pid = F.when(F.col(key).isNull(), F.lit(null_pid)).otherwise(base_pid)
     keyed = df.withColumn(pid_c, pid.cast("int"))
 
     hist = sorted(
@@ -100,7 +111,10 @@ def with_global_rank(
     for p, n in hist:
         offsets += [F.lit(p), F.lit(total)]
         total += n
-    off = F.element_at(F.create_map(*offsets), F.col(pid_c)).cast("bigint")
+    if offsets:
+        off = F.element_at(F.create_map(*offsets), F.col(pid_c)).cast("bigint")
+    else:  # empty frame: no pids exist, no rows to offset
+        off = F.lit(0).cast("bigint")
 
     order: list[Column] = [F.desc(key) if descending else F.asc(key)]
     order += [F.asc(t) for t in tiebreaks]

@@ -55,6 +55,10 @@ _MODIFIED_THIS_ROUND: list[str] = [
     "retrieval_rrf_fusion",     # both fusion ranks -> grid global rank
                                 # (stopword-ish terms make candidates corpus-
                                 # scaling)
+    "dedup_shared_spans",       # r08 review: body extracted into
+                                # _shared_span_profile for the hashed twin —
+                                # a refactor is still an edit (the r07
+                                # text_quality precedent)
 ]
 
 # Queries to verify THIS round ahead of the staleness rotation even though

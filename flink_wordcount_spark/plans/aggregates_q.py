@@ -473,19 +473,16 @@ def sketch_cms_topk_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     or per-shard exact count instead).  The sketch binary comes back from
     the ``count_min_sketch`` SQL aggregate and is queried driver-side via
     the JVM ``CountMinSketch.readFrom`` (PySpark 4 dropped the
-    ``df.stat.countMinSketch`` wrapper)."""
+    ``df.stat.countMinSketch`` wrapper); the stream length for the eps
+    slack is the sketch's own totalCount — no separate count scan
+    (r08 review)."""
     import math
 
-    from ..operators.text import TOKEN_SPLIT_REGEX
+    from ..operators.text import tokenize, top_k_words
 
     d = table(spark, sf_dir, "documents")
-    toks = d.select(
-        F.explode(
-            F.filter(F.split("text", TOKEN_SPLIT_REGEX), lambda w: F.length(w) > 0)
-        ).alias("word")
-    )
+    toks = tokenize(d.select("text"), "text").select("word")
     eps = 0.001
-    total = toks.count()
     sk = toks.agg(
         F.expr(f"count_min_sketch(word, {eps}d, 0.99d, 42)").alias("sk")
     ).first()["sk"]
@@ -494,13 +491,11 @@ def sketch_cms_topk_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         jvm.java.io.ByteArrayInputStream(bytes(sk))
     )
     top = (
-        toks.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("exact_cnt"))
-        .orderBy(F.desc("exact_cnt"), F.asc("word"))
-        .limit(10)
+        top_k_words(d, 10)
+        .withColumnRenamed("cnt", "exact_cnt")
         .collect()
     )
-    slack = math.ceil(eps * total)
+    slack = math.ceil(eps * cms.totalCount())
     rows = [
         (
             r["word"],

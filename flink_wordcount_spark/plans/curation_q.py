@@ -1274,9 +1274,12 @@ def sample_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     sk = F.conv(F.substring(F.md5("text"), 1, 12), 16, 10).cast("bigint")
+    # Persisted: the decile's two prep jobs and the final sort would each
+    # recompute the quality features otherwise (rankops' prescribed
+    # pattern; clearCache-between-queries lifetime).
     scored = d.select(
         "doc_id", sk.alias("shuffle_key"), quality_features("text")[6]
-    )
+    ).persist()
     staged = global_ntile(
         scored, "quality_score", 10, "doc_id", descending=True, out="stage"
     )

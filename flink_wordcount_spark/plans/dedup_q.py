@@ -862,8 +862,16 @@ def dedup_group_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("rep"))
     )
-    return g.groupBy(F.col("n").cast("bigint").alias("group_size")).agg(
-        F.count(F.lit(1)).alias("n_groups"),
-        (F.first("n") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
-        F.sum("rep").cast("bigint").alias("rep_id_sum"),
+    return (
+        g.groupBy(F.col("n").cast("bigint").alias("group_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("rep").cast("bigint").alias("rep_id_sum"),
+        )
+        .select(
+            "group_size",
+            "n_groups",
+            (F.col("group_size") * F.col("n_groups")).cast("bigint").alias("n_docs"),
+            "rep_id_sum",
+        )
     )

@@ -946,7 +946,14 @@ def ev_user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.rankops import global_ntile
 
     e = table(spark, sf_dir, "events")
-    per_user = e.groupBy("user_id").agg(F.round(F.sum("value"), 2).alias("total"))
+    # Persisted: the rank's two prep jobs (bounds, range counts) and the
+    # final job would each re-run the per-user aggregate otherwise
+    # (rankops' prescribed pattern; clearCache-between-queries lifetime).
+    per_user = (
+        e.groupBy("user_id")
+        .agg(F.round(F.sum("value"), 2).alias("total"))
+        .persist()
+    )
     return (
         global_ntile(per_user, "total", 10, "user_id", descending=True, out="decile")
         .groupBy("decile")
@@ -1280,7 +1287,11 @@ def ev_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, so the former unpartitioned ntile windows were a single task
     sorting the whole rollup; each score now costs one bounded 32-range
     partitioned sort plus a broadcast offsets join, and no SinglePartition
-    exchange touches a corpus-scaling frame."""
+    exchange touches a corpus-scaling frame.  The rollup is persisted
+    before the chained ranks (rankops' prescribed pattern; r08 review:
+    unpersisted, each rank's two prep jobs re-ran the events lineage —
+    ~7 corpus scans for 3 scores); lifetime follows the
+    clearCache-between-queries convention."""
     from ..operators.rankops import global_ntile
 
     ev = table(spark, sf_dir, "events")
@@ -1302,6 +1313,7 @@ def ev_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary",
         )
+        .persist()
     )
     scored = global_ntile(
         rfm, "recency_us", 5, "user_id", descending=True, out="r_score"
@@ -1494,7 +1506,11 @@ def qa_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (quality_cutoff_per_lang's argument)."""
     from ..operators.rankops import global_ntile
 
-    e = table(spark, sf_dir, "events").select("event_id", "value")
+    # Persisting the 2-column projection spares the rank's two prep jobs a
+    # re-scan (r08 review).  At 100 TB CACHING the fact table is the wrong
+    # trade — there you let the two prep scans re-read the column-pruned
+    # parquet (value only) instead; at bench scale the cache wins.
+    e = table(spark, sf_dir, "events").select("event_id", "value").persist()
     return (
         global_ntile(e, "value", 10, "event_id", out="bucket")
         .groupBy("bucket")
@@ -1533,8 +1549,9 @@ def qa_completeness_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY, which simply omits the row).
 
     Scale: the spine is a single-row min/max aggregate exploded to the
-    calendar span (bounded by days, not rows) and broadcast against the
-    per-day counts — one fact-table aggregate total."""
+    calendar span (bounded by days, not rows); the per-day counts (same
+    day-grid size) broadcast against it — one fact-table aggregate
+    total."""
     e = table(spark, sf_dir, "events")
     span = e.agg(
         F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
@@ -1545,9 +1562,12 @@ def qa_completeness_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("n_raw")
     )
+    # The hint sits on the RIGHT (build) side: a LeftOuter BroadcastHashJoin
+    # can only build right, so a broadcast(spine) on the left would be
+    # silently dropped (r08 review).  Both frames are calendar-bounded;
+    # broadcasting the per-day counts keeps the spine's outer rows.
     return (
-        F.broadcast(spine)
-        .join(daily, "day", "left")
+        spine.join(F.broadcast(daily), "day", "left")
         .select(
             F.date_format("day", "yyyy-MM-dd").alias("day"),
             F.coalesce("n_raw", F.lit(0)).cast("bigint").alias("n"),

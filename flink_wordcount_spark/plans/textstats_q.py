@@ -630,25 +630,37 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     any corpus size, but a DIRTY corpus (hashes, ids, boilerplate noise —
     exactly what this metric exists to flag) grows its vocabulary linearly
     with the data, so the rank must not assume a small frame the way a bare
-    Window.orderBy would (r08 plan-invariant sweep).  Ranks are
-    total-ordered (cnt desc, word) so both engines see identical
-    (rank, freq) points.  The counts frame is persisted so the rank's two
-    preparation jobs read the cached vocabulary instead of re-running the
-    wordcount (lifetime: until clearCache/LRU, the curation_end_to_end
-    convention — multi-query harnesses clearCache between queries).
+    Window.orderBy would (r08 plan-invariant sweep).  The counts frame is
+    persisted so the rank's two preparation jobs read the cached
+    vocabulary instead of re-running the wordcount (lifetime: until
+    clearCache/LRU, the curation_end_to_end convention — multi-query
+    harnesses clearCache between queries).
+
+    Tie balance (r08 review): a Zipf vocabulary puts the hapax class
+    (cnt=1, typically ~half the vocabulary) into ONE value-grid cell —
+    rankops' uniform grid cannot split equal keys, so one task would still
+    sort a linearly-growing frame.  The rank therefore runs over the
+    derived key ``cnt - hash_frac(word)`` with hash_frac in [0, 1): class
+    ordering is preserved exactly (cnt >= cnt'+1 implies d > d'), ties
+    spread uniformly across the grid, and the OUTPUT is unchanged — the
+    regression consumes (ln cnt, ln rank) pairs, and permuting which word
+    of a tie class carries which rank permutes nothing in that pair
+    multiset, so the oracle's (cnt desc, word) ranks fit identically.
     """
     from ..operators.rankops import with_global_rank
 
     d = table(spark, sf_dir, "documents")
     toks = F.expr("filter(split(text, '\\\\W+'), x -> length(x) > 0)")
+    frac = F.conv(F.substring(F.md5("word"), 1, 4), 16, 10).cast("double") / 65536.0
     counts = (
         d.select(F.explode(toks).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("grid_key", F.col("cnt") - frac)
         .persist()
     )
     ranked = with_global_rank(
-        counts, "cnt", "word", descending=True, rank_col="rnk"
+        counts, "grid_key", "word", descending=True, rank_col="rnk"
     ).select("cnt", "rnk")
     return ranked.agg(
         F.count(F.lit(1)).alias("n_words"),
@@ -957,7 +969,8 @@ def text_skipgram_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ch AS (
         SELECT doc_id, u.c AS ch
-        FROM (SELECT doc_id, string_split(text, '') AS cs FROM documents),
+        FROM (SELECT doc_id, string_split(text, '') AS cs
+              FROM documents WHERE length(text) > 0),
              unnest(cs) AS u(c)
     ), counts AS (
         SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2
@@ -982,15 +995,22 @@ def text_entropy_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     Parity: per-char probabilities are exact integer ratios; the entropy
     fold sums ~100 grouped terms whose order differs across engines, so the
     result rounds(6) with the +0.0 negative-zero guard (the qa_drift_psi
-    convention; a single-char doc yields -0.0 otherwise).
+    convention; a single-char doc yields -0.0 otherwise).  NULL and
+    empty-string texts are excluded EXPLICITLY on both sides (r08 review:
+    Spark's split('', '') -> [''] is dropped by the empty-char filter while
+    DuckDB's unnest emits it, so an empty-text vintage would row-count
+    mismatch without the shared guard; entropy of no characters is
+    undefined anyway).
 
     Scale: one (doc, char) count aggregate with map-side partials (keys
     bounded by docs x alphabet), then a per-doc fold — no windows, no
     joins beyond the per-doc total."""
     d = table(spark, sf_dir, "documents")
-    chars = d.select(
-        "doc_id", F.explode(F.split("text", "")).alias("ch")
-    ).filter(F.length("ch") > 0)
+    chars = (
+        d.filter(F.length("text") > 0)
+        .select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .filter(F.length("ch") > 0)
+    )
     counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
     w = Window.partitionBy("doc_id")
     p = F.col("c") / F.sum("c").over(w).cast("double")

@@ -86,3 +86,50 @@ def test_rank_plan_has_no_corpus_single_partition(spark, sf_dir):
             assert (
                 "HashAggregate(keys=[]" in child or "_gr_pid" in child
             ), (q, "SinglePartition exchange over a corpus-scaling frame", child)
+
+
+def test_global_rank_matches_window_with_null_keys(spark):
+    """NULL order keys must land exactly where the engine's window puts
+    them (F.asc = NULLS FIRST, F.desc = NULLS LAST) — the r08 review's
+    repro: under descending=True a NULL key used to fall into pid 0 (the
+    TOP bucket) and shift every non-null rank."""
+    rows = [(1, 10.0), (2, None), (3, 5.0), (4, 20.0), (5, None)]
+    df = spark.createDataFrame(rows, "rid bigint, key double")
+    for desc in (False, True):
+        order = [F.desc("key") if desc else F.asc("key"), F.asc("rid")]
+        want = df.withColumn(
+            "rank", F.row_number().over(Window.orderBy(*order)).cast("bigint")
+        )
+        got = with_global_rank(df, "key", "rid", descending=desc, n_ranges=5)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), desc
+
+
+def test_global_rank_all_null_and_empty_frames(spark):
+    all_null = spark.createDataFrame(
+        [(1, None), (2, None), (3, None)], "rid bigint, key double"
+    )
+    got = with_global_rank(all_null, "key", "rid", descending=True, n_ranges=5)
+    want = all_null.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("key"), F.asc("rid")))
+        .cast("bigint"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    empty = all_null.filter(F.lit(False))
+    got_empty = with_global_rank(empty, "key", "rid", count_col="n")
+    assert got_empty.collect() == []
+
+
+def test_global_ntile_with_null_keys_matches_engine(spark):
+    rows = [(i, float(i % 4) if i % 5 else None) for i in range(1, 24)]
+    df = spark.createDataFrame(rows, "rid bigint, key double")
+    want = df.withColumn(
+        "tile",
+        F.ntile(4).over(Window.orderBy(F.desc("key"), F.asc("rid"))).cast("bigint"),
+    )
+    got = global_ntile(df, "key", 4, "rid", descending=True, out="tile", n_ranges=5)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
