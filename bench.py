@@ -959,6 +959,14 @@ SF1_QUERIES = [
     # rows shrink from raw _SPAN_W-word strings to 16 B longs; its ratio
     # vs dedup_shared_spans above IS the measured win of the key change.
     "dedup_shared_spans_hashed",
+    # r08 family representatives: the per-user lead-window rollup (one
+    # user_id exchange), the 1-row-broadcast z-scoring fold over 10x
+    # vectors (key-shifted replication leaves per-dim stats meaningful —
+    # no pair/ANN semantics involved), and the vocab-bounded hapax
+    # aggregate over the text-mutated corpus.
+    "ev_time_weighted_avg",
+    "embed_standardize",
+    "text_hapax_ratio",
 ]
 
 #: Per-replica key offset for the synthetic sf1 (far above any sf0.1 key).
