@@ -183,6 +183,18 @@ def test_answers_stable_under_adverse_confs(spark, sf_dir):
             # range join must degrade to a value-identical shuffle join
             "ev_scd2_history",
             "join_time_band_bucketed",
+            # r08 additions: the grid global rank's literal offsets must be
+            # invariant to the physical partition count (its range ids
+            # derive from the order key), the z-scoring stats grid to
+            # broadcast policy, the lead-window TWA to exchange layout,
+            # the md5-bucket folds to partitioning by construction, and
+            # the CMS estimates to merge order (counters sum)
+            "ev_user_value_deciles",
+            "sample_quality_curriculum",
+            "ev_time_weighted_avg",
+            "embed_standardize",
+            "sample_kfold_assign",
+            "sketch_cms_topk_bounds",
         )
     }
     old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
