@@ -133,3 +133,36 @@ def test_global_ntile_with_null_keys_matches_engine(spark):
     )
     got = global_ntile(df, "key", 4, "rid", descending=True, out="tile", n_ranges=5)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_ntile_formula_matches_engine_across_nk_grid(spark):
+    """The canonical-remainder closed form (ntile_from_rank) must equal the
+    engine's ntile for EVERY (rank, n, k) — swept as one Spark job over a
+    dense grid: n in 1..40, k in {2,3,4,5,7,10,16}, rank in 1..n.  The
+    engine side computes ntile(k) per (n, k) frame via a window; the
+    formula side is the pure expression.  Any off-by-one in the remainder
+    head (the floor((rank-1)*k/n)+1 trap the docstring warns about) fails
+    here on the first non-dividing pair."""
+    from flink_wordcount_spark.operators.rankops import ntile_from_rank
+
+    ks = [2, 3, 4, 5, 7, 10, 16]
+    rows = [
+        (n, k, r)
+        for n in range(1, 41)
+        for k in ks
+        for r in range(1, n + 1)
+    ]
+    df = spark.createDataFrame(rows, "n int, k int, rank int")
+    got = {
+        (r["n"], r["k"], r["rank"]): r["tile"]
+        for k in ks
+        for r in df.filter(F.col("k") == k)
+        .withColumn("tile", ntile_from_rank(F.col("rank"), F.col("n"), k))
+        .collect()
+    }
+    for k in ks:
+        frame = df.filter(F.col("k") == k)
+        w = Window.partitionBy("n").orderBy("rank")
+        want = frame.withColumn("tile", F.ntile(k).over(w).cast("bigint"))
+        for r in want.collect():
+            assert got[(r["n"], k, r["rank"])] == r["tile"], (r["n"], k, r["rank"])
