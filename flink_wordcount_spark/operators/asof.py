@@ -63,7 +63,14 @@ def asof_join(
                 if c not in out.columns:
                     out[c] = None
             return out[out_cols]
-        r = r.sort_values(on, kind="mergesort")
+        # Tie rule (r08 review): merge_asof matches the LAST right row at an
+        # equal `on` value, and a bare sort on `on` preserves the cogroup's
+        # nondeterministic arrival order among ties — sort the remaining
+        # columns too so the matched row is the lexicographic max of the
+        # tied set, identical across runs and partitionings.
+        r = r.sort_values(
+            [on, *[c for c in r.columns if c != on]], kind="mergesort"
+        )
         if keep_right_on:
             r = r.assign(**{keep_right_on: r[on]})
         out = pd.merge_asof(l, r, on=on, by=by, direction=direction, suffixes=("", "_right"))

@@ -19,10 +19,27 @@ query is fully oracle-checked).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import TOKEN_SPLIT_REGEX
+
+
+def bucket_pair_expansion(ids: Column) -> Column:
+    """All ordered (id_a < id_b) pair structs from a SORTED bucket-member
+    array, in-array (flatten/transform/slice) — the one definition shared by
+    every collect_set-based candidate generator (MinHash bands, RHP tables,
+    SimHash bands), so a fix to the expansion can never diverge between the
+    LSH families (r08 review: it was copy-pasted)."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda a, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
 
 
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
@@ -78,6 +95,14 @@ def jaccard_pairs(
     n_shared counts shared distinct *hashes*; a cross-doc collision altering
     a pair's count has probability ~v²/2⁶⁵ for v distinct shingles in the
     pair's union — immaterial against a 0.8 threshold.
+
+    The threshold compares against the ROUNDED(6) similarity, deliberately:
+    round-before-compare is this catalog's cross-engine parity convention
+    (the IVF selection does the same), so a pair within 5e-7 of the
+    threshold is admitted or rejected IDENTICALLY by Spark and the DuckDB
+    oracle instead of by their low-order float bits.  The cost — a pair at
+    e.g. 0.7999996 passing a 0.8 gate — is half a rounding ulp of
+    similarity, far below the metric's meaningfulness.
     """
     key = "h" if "h" in sh.columns else "shingle"
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -125,15 +150,13 @@ def shingle_hashes(
     ``dedup=False`` skips the distinct — for consumers whose aggregate is
     duplicate-invariant (MinHash: min over a multiset == min over its set),
     which turns the signature pipeline into a single shuffle.
+
+    Composes :func:`shingles` (dedup deferred past the hashing so the
+    distinct shuffles 16-byte keys) rather than restating the tokenizer and
+    short-doc guard — r08 review: the copy-pasted expression let a guard
+    change diverge the string and hashed shingle paths.
     """
-    toks = F.filter(F.split(F.col(text_col), TOKEN_SPLIT_REGEX), lambda w: F.length(w) > 0)
-    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
-    sh = F.expr(
-        f"CASE WHEN size(toks) >= {n} THEN "
-        f"transform(sequence(1, size(toks) - {n - 1}), i -> concat_ws(' ', slice(toks, i, {n}))) "
-        f"ELSE array() END"
-    )
-    out = base.select("id", F.explode(sh).alias("shingle")).select(
+    out = shingles(df, text_col, id_col, n=n, dedup=False).select(
         "id", F.xxhash64("shingle").alias("h")
     )
     return out.distinct() if dedup else out
@@ -177,6 +200,14 @@ def lsh_candidate_pairs(
     dropped entirely. Identical documents are the exact-dedup pass's job —
     near-dup LSH losing them is the documented trade.
     """
+    if num_hashes % bands != 0:
+        # fail loudly: the trailing num_hashes % bands signature columns
+        # would be silently ignored and the effective (b, r) collision curve
+        # would differ from the caller's intended tuning (r08 review)
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}); "
+            f"{num_hashes % bands} signature columns would go unused"
+        )
     r = num_hashes // bands
     band_cols = [
         F.xxhash64(*[F.col(f"h{band * r + j}") for j in range(r)]).alias(f"band{band}")
@@ -197,17 +228,8 @@ def lsh_candidate_pairs(
     )
     if max_bucket_size is not None:
         members = members.filter(F.size("ids") <= max_bucket_size)
-    pairs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda a, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
-            ),
-        )
-    )
     return (
-        members.select(F.explode(pairs).alias("p"))
+        members.select(F.explode(bucket_pair_expansion(F.col("ids"))).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
     )
@@ -375,10 +397,16 @@ def simhash_band_pairs(
     Pairs sharing ANY band with Hamming <= ``max_hamming`` are emitted once.
     Pigeonhole: with B disjoint bands, recall is exact for Hamming <= B-1
     CONDITIONAL on the hot-bucket cap not dropping every shared band (the
-    cap bounds the O(size²) in-bucket expansion; its key side is bounded by
-    the band-value space, so the size-gated hint is safe at every scale)."""
-    from ..hints import maybe_broadcast
+    cap bounds the O(size²) in-bucket expansion).
 
+    Shape (r08 review): pairs come from a sorted collect_set of
+    (id, fingerprint) structs per (band_idx, band_val) — ONE shuffle of the
+    banded projection, the same form as :func:`lsh_candidate_pairs` /
+    ``rhp_candidate_pairs`` — instead of the former two-sided self-join
+    that evaluated and shuffled the fingerprint columns twice; the cap
+    becomes a plain array-size filter (the count-join it replaces is gone).
+    Struct sort orders by ``id`` first, so the in-array expansion emits
+    id_a < id_b directly."""
     bands = fp.select(
         "id",
         *fp_cols,
@@ -391,36 +419,24 @@ def simhash_band_pairs(
             )
         ).alias("b"),
     ).select("id", *fp_cols, "b.band_idx", "b.band_val")
+    member = F.struct("id", *fp_cols)
+    members = bands.groupBy("band_idx", "band_val").agg(
+        F.sort_array(F.collect_set(member)).alias("ms")
+    )
     if max_bucket_size is not None:
-        ok = (
-            bands.groupBy("band_idx", "band_val")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") <= max_bucket_size)
-            .select("band_idx", "band_val")
-        )
-        bands = bands.join(maybe_broadcast(ok), ["band_idx", "band_val"])
-    a = bands.select(
-        F.col("id").alias("id_a"),
-        *[F.col(c).alias(f"{c}_a") for c in fp_cols],
-        "band_idx",
-        "band_val",
-    )
-    b = bands.select(
-        F.col("id").alias("id_b"),
-        *[F.col(c).alias(f"{c}_b") for c in fp_cols],
-        "band_idx",
-        "band_val",
-    )
+        members = members.filter(F.size("ms") <= max_bucket_size)
+    pairs = members.select(F.explode(bucket_pair_expansion(F.col("ms"))).alias("p"))
     ham = hamming_fn(
-        {c: F.col(f"{c}_a") for c in fp_cols},
-        {c: F.col(f"{c}_b") for c in fp_cols},
+        {c: F.col(f"p.id_a.{c}") for c in fp_cols},
+        {c: F.col(f"p.id_b.{c}") for c in fp_cols},
     ).cast("bigint")
     return (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", ham)
+        pairs.select(
+            F.col("p.id_a.id").alias("id_a"),
+            F.col("p.id_b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
         .distinct()
     )
 

@@ -36,17 +36,23 @@ def apply_cdc(
     """Apply an insert/update/delete change log to the target.
 
     ``changes`` carries (key, payload..., op in {'I','U','D'}, seq). The last
-    change per key (by seq, ties broken arbitrarily-but-deterministically by
-    op) decides: D removes the key, I/U upserts its payload.
+    change per key (by seq, ties broken deterministically by op and then by
+    EVERY payload column descending — a total order, so two conflicting
+    changes with equal seq and op resolve identically across runs and
+    partitionings; r08 review: the old (seq, op) order left full ties to
+    shuffle arrival) decides: D removes the key, anything else upserts its
+    payload.  An op outside {'I','U','D'} (including NULL) is treated as an
+    upsert, NOT a delete: the delete predicate is null-safe, so malformed
+    change rows surface in the output instead of silently erasing the key.
     """
-    w = Window.partitionBy(key).orderBy(F.desc(seq_col), F.desc(op_col))
+    payload_cols = [c for c in changes.columns if c not in (key, op_col, seq_col)]
+    order = [F.desc(seq_col), F.desc(op_col)] + [F.desc(c) for c in payload_cols]
+    w = Window.partitionBy(key).orderBy(*order)
     last = (
         changes.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    upserts = last.filter(F.col(op_col) != "D").drop(op_col, seq_col)
-    deletes = last.filter(F.col(op_col) == "D").select(key)
+    upserts = last.filter(~F.col(op_col).eqNullSafe("D")).drop(op_col, seq_col)
     survivors = target.join(last.select(key), key, "left_anti")
-    _ = deletes  # deleted keys simply don't re-enter via upserts
     return survivors.unionByName(upserts)

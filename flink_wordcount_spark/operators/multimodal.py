@@ -95,6 +95,8 @@ def featurize(df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # NULL text -> NULL payload: skip, don't crash
+                    continue
                 b = np.frombuffer(bytes(payload), dtype=np.uint8)
                 hist = np.bincount(b >> 5, minlength=8).astype("int64")
                 rows.append(
@@ -143,6 +145,8 @@ def resize_1d(df: DataFrame, out_px: int = 64) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # NULL text -> NULL payload: skip, don't crash
+                    continue
                 b = np.frombuffer(bytes(payload), dtype=np.uint8)
                 L = b.size
                 if L < out_px:
@@ -180,6 +184,8 @@ def sample_frames(df: DataFrame, frame_size: int = 256, every_k: int = 4) -> Dat
         for pdf in batches:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # NULL text -> NULL payload: skip, don't crash
+                    continue
                 b = np.frombuffer(bytes(payload), dtype=np.uint8)
                 n_frames = (b.size + frame_size - 1) // frame_size
                 for idx in range(0, n_frames, every_k):

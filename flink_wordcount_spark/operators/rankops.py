@@ -72,34 +72,60 @@ def with_global_rank(
     build time — see the module docstring for the plan-size rationale.
     """
     pid_c = f"_gr_pid_{rank_col}"
-    bounds = df.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
-    lo, hi = bounds["lo"], bounds["hi"]
+    key_c = F.col(key)
 
-    # NULL keys get their own pid at the END the engine's window puts them:
-    # Spark's F.asc defaults to NULLS FIRST (pid -1, before every range) and
-    # F.desc to NULLS LAST (pid n_ranges, after).  Without this, NULL falls
-    # through least/greatest (both skip NULLs) into pid 0 — the TOP bucket
-    # under descending=True, shifting every non-null rank (review r08).
+    # Non-finite keys get their OWN pids at the exact ends the engine's sort
+    # puts them — Spark's total order is: NULL (F.asc: first; F.desc: last),
+    # -Inf, finite values, +Inf, NaN (NaN sorts GREATER than everything).
+    # Without the routing, NULL fell through least/greatest into pid 0 (the
+    # TOP bucket under descending — shifting every non-null rank), and a
+    # single NaN poisoned the min/max bounds into width = NaN, collapsing
+    # EVERY row into one pid: ranks stayed correct but one task sorted the
+    # whole frame, the exact bottleneck this module exists to prevent
+    # (review r08).  Bounds are computed over finite values only.
     # NOTE for oracle parity: DuckDB defaults to NULLS LAST for BOTH
     # directions, so an ASCENDING rank over a nullable key matches Spark's
     # window but not a bare DuckDB ORDER BY; null-filter first or order
     # NULLS FIRST explicitly in such oracles.
-    null_pid = n_ranges if descending else -1
-    if lo is None:  # every key NULL (or empty frame): one all-NULL pid
+    is_fp = dict(df.dtypes).get(key) in ("float", "double")
+    inf = float("inf")
+    if is_fp:
+        finite = ~F.isnan(key_c) & (key_c != F.lit(inf)) & (key_c != F.lit(-inf))
+        valid = F.when(finite, key_c)
+    else:
+        valid = key_c
+    bounds = df.agg(F.min(valid).alias("lo"), F.max(valid).alias("hi")).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+
+    if descending:  # sort order: NaN, +Inf, finite, -Inf, NULL
+        nan_pid, posinf_pid = -2, -1
+        neginf_pid, null_pid = n_ranges, n_ranges + 1
+    else:  # sort order: NULL, -Inf, finite, +Inf, NaN
+        null_pid, neginf_pid = -2, -1
+        posinf_pid, nan_pid = n_ranges, n_ranges + 1
+
+    if lo is None:  # no finite keys (all NULL/NaN/Inf, or empty frame)
         base_pid = F.lit(null_pid)
     elif float(hi) - float(lo) == 0.0:
         base_pid = F.lit(0)
     else:
         span = float(hi) - float(lo)
         width = span / n_ranges
-        dist = (F.lit(float(hi)) - F.col(key)) if descending else (
-            F.col(key) - F.lit(float(lo))
+        dist = (F.lit(float(hi)) - key_c) if descending else (
+            key_c - F.lit(float(lo))
         )
         base_pid = F.least(
             F.lit(n_ranges - 1),
             F.greatest(F.lit(0), F.floor(dist / F.lit(width)).cast("int")),
         )
-    pid = F.when(F.col(key).isNull(), F.lit(null_pid)).otherwise(base_pid)
+    pid = F.when(key_c.isNull(), F.lit(null_pid))
+    if is_fp:
+        pid = (
+            pid.when(F.isnan(key_c), F.lit(nan_pid))
+            .when(key_c == F.lit(inf), F.lit(posinf_pid))
+            .when(key_c == F.lit(-inf), F.lit(neginf_pid))
+        )
+    pid = pid.otherwise(base_pid)
     keyed = df.withColumn(pid_c, pid.cast("int"))
 
     hist = sorted(

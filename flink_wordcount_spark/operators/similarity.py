@@ -174,22 +174,15 @@ def rhp_candidate_pairs(buckets: DataFrame, max_bucket_size: int | None = None) 
     table gives the pair another chance to collide in a healthier bucket, so
     recall degrades gracefully while the quadratic blowup is bounded).
     """
+    from .dedup import bucket_pair_expansion
+
     members = buckets.groupBy("table_idx", "bucket").agg(
         F.sort_array(F.collect_set("id")).alias("ids")
     )
     if max_bucket_size is not None:
         members = members.filter(F.size("ids") <= max_bucket_size)
-    pairs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda a, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
-            ),
-        )
-    )
     return (
-        members.select(F.explode(pairs).alias("p"))
+        members.select(F.explode(bucket_pair_expansion(F.col("ids"))).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
     )

@@ -59,6 +59,16 @@ _MODIFIED_THIS_ROUND: list[str] = [
                                 # _shared_span_profile for the hashed twin —
                                 # a refactor is still an edit (the r07
                                 # text_quality precedent)
+    # r08 operator-review fixes (late in the round): every prior-green
+    # query whose operator changed re-queues for the driver.
+    "lsh_simhash64_md5",        # simhash_band_pairs -> collect_set shape
+    "lsh_simhash64",            # (rows-only twin of the same rework)
+    "dedup_edit_distance",      # consumes the reworked candidate set
+    "dedup_minhash_verified",   # shingle_hashes composed from shingles;
+                                # shared bucket_pair_expansion
+    "lsh_minhash_candidates_md5",  # same candidate-path refactor
+    "join_asof_two_table",      # deterministic right-side tie order
+    "mm_frame_sample",          # NULL-text guard on both sides
 ]
 
 # Queries to verify THIS round ahead of the staleness rotation even though

@@ -34,13 +34,15 @@ _ASCII_RE = "[^\\x00-\\x7F]"
            'application/octet-stream' AS mime,
            CAST(octet_length(encode(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'))) AS BIGINT) AS n_bytes,
            lower(hex(encode(substring(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'), 1, 8)))) AS header_hex
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed metadata over opaque payloads (mime/size/header magic)."""
-    docs = table(spark, sf_dir, "documents").withColumn(
-        "text", F.regexp_replace("text", _ASCII_RE, "")
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())  # NULL-text parity with the oracle
+        .withColumn("text", F.regexp_replace("text", _ASCII_RE, ""))
     )
     d = attach_binary(docs)
     return d.select(
@@ -58,7 +60,7 @@ def mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                list_transform(string_split(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'), ''),
                               c -> ascii(c)) AS bytes
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     )
     SELECT c.doc_id,
            CAST(len(c.bytes) AS BIGINT) AS n_bytes,
@@ -75,8 +77,10 @@ def mm_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
     of small ints hit exact decimal halves where numpy's banker's rounding
     and DuckDB's diverge; the raw IEEE division is bit-identical.
     """
-    docs = table(spark, sf_dir, "documents").withColumn(
-        "text", F.regexp_replace("text", _ASCII_RE, "")
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())  # NULL-text parity with the oracle
+        .withColumn("text", F.regexp_replace("text", _ASCII_RE, ""))
     )
     d = attach_binary(docs)
     return featurize(d).select(
@@ -94,7 +98,7 @@ def mm_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
         SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7F]', '', 'g') AS s,
                length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) AS L
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ), fr AS (
         SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
                substring(s, CAST(i AS BIGINT) * 256 + 1, 256) AS f
@@ -116,8 +120,10 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     folding each frame's codepoints with DuckDB list functions — so even the
     blob-folding path is now value-checked, not rows-only.
     """
-    docs = table(spark, sf_dir, "documents").withColumn(
-        "text", F.regexp_replace("text", _ASCII_RE, "")
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())  # NULL-text parity with the oracle
+        .withColumn("text", F.regexp_replace("text", _ASCII_RE, ""))
     )
     d = attach_binary(docs)
     return sample_frames(d, frame_size=256, every_k=4).orderBy("doc_id", "frame_idx")
@@ -129,7 +135,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                list_transform(string_split(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'), ''),
                               c -> ascii(c)) AS b
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ), sized AS (
         SELECT doc_id, b, len(b) AS L FROM s WHERE len(b) >= 64
     ), px AS (
@@ -156,8 +162,10 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     math is value-checked — a real pipeline swaps bytes for decode_image()
     pixels with the identical operator shape.  Payloads under 64 bytes are
     skipped on both sides."""
-    docs = table(spark, sf_dir, "documents").withColumn(
-        "text", F.regexp_replace("text", _ASCII_RE, "")
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())  # NULL-text parity with the oracle
+        .withColumn("text", F.regexp_replace("text", _ASCII_RE, ""))
     )
     from ..operators.multimodal import resize_1d
 

@@ -166,3 +166,30 @@ def test_ntile_formula_matches_engine_across_nk_grid(spark):
         want = frame.withColumn("tile", F.ntile(k).over(w).cast("bigint"))
         for r in want.collect():
             assert got[(r["n"], k, r["rank"])] == r["tile"], (r["n"], k, r["rank"])
+
+
+def test_global_rank_matches_window_with_nan_and_inf(spark):
+    """NaN and +/-Inf keys must (a) rank exactly where Spark's window sorts
+    them (NULL, -Inf, finite, +Inf, NaN ascending) and (b) NOT poison the
+    grid: one NaN used to turn the bounds into width=NaN, collapsing every
+    row into a single pid (r08 review)."""
+    nan, inf = float("nan"), float("inf")
+    rows = [
+        (1, 10.0), (2, nan), (3, 5.0), (4, inf), (5, -inf),
+        (6, None), (7, 20.0), (8, 1.0), (9, 30.0), (10, 15.0),
+    ]
+    df = spark.createDataFrame(rows, "rid bigint, key double")
+    for desc in (False, True):
+        order = [F.desc("key") if desc else F.asc("key"), F.asc("rid")]
+        want = df.withColumn(
+            "rank", F.row_number().over(Window.orderBy(*order)).cast("bigint")
+        )
+        # compare (rid, rank) pairs — tuple equality on the key column
+        # would fail on NaN != NaN even for identical results
+        w = sorted((r["rid"], r["rank"]) for r in want.collect())
+        g = sorted((r["rid"], r["rank"]) for r in got_rows(df, desc))
+        assert g == w, desc
+
+
+def got_rows(df, desc):
+    return with_global_rank(df, "key", "rid", descending=desc, n_ranges=4).collect()
