@@ -69,6 +69,13 @@ _MODIFIED_THIS_ROUND: list[str] = [
     "lsh_minhash_candidates_md5",  # same candidate-path refactor
     "join_asof_two_table",      # deterministic right-side tie order
     "mm_frame_sample",          # NULL-text guard on both sides
+    "stream_stream_join",       # shared _view_purchase_stream_join topology
+    "stream_stream_left_join",  # same extraction + self-healing staged dir
+    # NOTE: the _raw_schema plumbing (tune-before-footer-read) touched every
+    # streaming entry; the two above are the behavior-adjacent refactors,
+    # the rest are covered by the streaming pytest suite plus the r08
+    # streaming subset already queued (timeout_flush modified, windowed_topk
+    # and the python-datasource pair never-verified).
 ]
 
 # Queries to verify THIS round ahead of the staleness rotation even though

@@ -22,14 +22,41 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..hints import maybe_broadcast
-from ..io import normalize_event_ts
+from ..io import normalize_event_ts, table
 from ..operators.text import tokenize
 from ..streaming.sentences import batch_golden
 from ..streaming.stateful import final_state_counts
 from ..streaming.wordcount import file_replay_wordcount, run_to_completion, stream_dir_for
 from .catalog import query
-from .events_q import _DRIFT_BINS, _DRIFT_W  # shared drift binning contract
-from .wordcount_q import WC_ORACLE as _WC_ORACLE  # single source of truth
+
+
+def _raw_schema(spark, path: str):
+    """On-disk schema for a readStream source, with the session tuned FIRST.
+
+    r08 review: every streaming query did a bare ``spark.read.parquet``
+    schema grab, so correctness silently depended on some batch query having
+    already routed through ``io.table()`` -> ``tune()`` — on an un-tuned
+    session a nanos-vintage fixture throws at the footer read (no
+    ``nanosAsLong``) and a non-UTC host shifts every window boundary against
+    the oracle.  ``tune()`` is idempotent and cached per session, and the
+    schema read is memoized here for the same reason ``io.table`` memoizes
+    its plans (it costs a file listing + footer read per call).
+    """
+    from ..session import tune
+
+    tune(spark)
+    app_id = spark.sparkContext.applicationId
+    cached = _SCHEMA_CACHE.get((app_id, path))
+    if cached is None:
+        cached = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[(app_id, path)] = cached
+    return cached
+
+
+_SCHEMA_CACHE: dict = {}
+
+from .events_q import _DRIFT_BINS, _DRIFT_W  # noqa: E402  (shared drift binning contract)
+from .wordcount_q import WC_ORACLE as _WC_ORACLE  # noqa: E402  (single source of truth)
 
 
 @query("stream_wordcount_file", oracle=_WC_ORACLE)
@@ -45,7 +72,7 @@ def stream_wordcount_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CountWords via the stateful API: per-key state in the state store,
     emission logic in an Arrow-batched pandas fn (update mode, single-batch
     replay -> one emitted row per word carrying the final running total)."""
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    schema = _raw_schema(spark, f"{sf_dir}/documents.parquet")
     stream = spark.readStream.schema(schema).parquet(
         stream_dir_for(f"{sf_dir}/documents.parquet")
     )
@@ -64,7 +91,7 @@ def stream_wordcount_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling windows over the events stream (file replay);
     complete mode -> final windows equal the batch twin ev_tumbling_hour."""
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = _raw_schema(spark, f"{sf_dir}/events.parquet")
     stream = (
         spark.readStream.schema(schema)
         .parquet(stream_dir_for(f"{sf_dir}/events.parquet"))
@@ -101,11 +128,11 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension (per-user profile), then aggregated — the standard streaming
     enrichment topology (dim broadcast per micro-batch, no stream state)."""
     static_profiles = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
+        table(spark, sf_dir, "events")  # tuned + memoized io path
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("lifetime_events"))
     )
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = _raw_schema(spark, f"{sf_dir}/events.parquet")
     stream = spark.readStream.schema(schema).parquet(
         stream_dir_for(f"{sf_dir}/events.parquet")
     )
@@ -114,6 +141,48 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", (F.col("lifetime_events") >= 20).alias("heavy_user")
     ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
     return run_to_completion(agg, output_mode="complete")
+
+
+
+
+def _view_purchase_stream_join(
+    spark, schema, src: str, how: str, one_file_per_trigger: bool = False
+):
+    """Shared topology of the two stream-stream conversion joins (r08
+    review: the side builder and join/select block were copy-pasted between
+    the inner and left-outer queries and had already drifted in reader
+    options).  Both sides are watermarked 2h; the time-range condition
+    bounds the join state; the caller picks the join type and whether each
+    staged file gets its own micro-batch (the left join's flush-sentinel
+    replay needs that)."""
+
+    def side(event_type: str, alias: str):
+        reader = spark.readStream.schema(schema)
+        if one_file_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", "1")
+        return (
+            reader.parquet(src)
+            .transform(normalize_event_ts)
+            .filter(F.col("event_type") == event_type)
+            .selectExpr(f"event_id AS {alias}_id", "user_id", f"ts AS {alias}_ts")
+            .withWatermark(f"{alias}_ts", "2 hours")
+        )
+
+    views, purchases = side("view", "view"), side("purchase", "purchase")
+    return views.join(
+        purchases,
+        (views.user_id == purchases.user_id)
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        how,
+    ).select(
+        "view_id",
+        "purchase_id",
+        views.user_id.alias("user_id"),
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts")
+        ).cast("bigint").alias("secs_to_purchase"),
+    )
 
 
 @query(
@@ -133,35 +202,9 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join state is bounded (Spark purges buffered rows once the watermark
     passes the range); inner-join matches emit as they arrive, so the
     complete replayed result equals the batch join."""
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = _raw_schema(spark, f"{sf_dir}/events.parquet")
     src = stream_dir_for(f"{sf_dir}/events.parquet")
-
-    def side(event_type: str, alias: str):
-        return (
-            spark.readStream.schema(schema)
-            .parquet(src)
-            .transform(normalize_event_ts)
-            .filter(F.col("event_type") == event_type)
-            .selectExpr(
-                f"event_id AS {alias}_id", "user_id", f"ts AS {alias}_ts"
-            )
-            .withWatermark(f"{alias}_ts", "2 hours")
-        )
-
-    views, purchases = side("view", "view"), side("purchase", "purchase")
-    joined = views.join(
-        purchases,
-        (views.user_id == purchases.user_id)
-        & (F.col("purchase_ts") >= F.col("view_ts"))
-        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
-    ).select(
-        "view_id",
-        "purchase_id",
-        views.user_id.alias("user_id"),
-        (
-            F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts")
-        ).cast("bigint").alias("secs_to_purchase"),
-    )
+    joined = _view_purchase_stream_join(spark, schema, src, "inner")
     return run_to_completion(joined, output_mode="append")
 
 
@@ -200,7 +243,7 @@ def stream_sentences_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_golden(
             spark, n_rows, sentence_size=size, sample_period=period, seed=seed
         ).write.mode("overwrite").parquet(path)
-    schema = spark.read.parquet(path).schema
+    schema = _raw_schema(spark, path)
     stream = spark.readStream.schema(schema).parquet(path)
     counts = tokenize(stream, text_col="sentence", out_col="word").groupBy("word").agg(
         F.count(F.lit(1)).alias("cnt")
@@ -248,9 +291,7 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     for time-bounded streams ``dropDuplicatesWithinWatermark`` caps it by
     eviction instead — exercised in tests/test_watermark.py semantics.
     """
-    from ..streaming.wordcount import stream_dir_for
-
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = _raw_schema(spark, f"{sf_dir}/events.parquet")
     stream = spark.readStream.schema(schema).parquet(
         stream_dir_for(f"{sf_dir}/events.parquet")
     )
@@ -290,9 +331,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale this is the one window type whose state merges ranges —
     watermark + append mode bound retention for unbounded streams.
     """
-    from ..streaming.wordcount import stream_dir_for
-
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = _raw_schema(spark, f"{sf_dir}/events.parquet")
     stream = (
         spark.readStream.schema(schema)
         .parquet(stream_dir_for(f"{sf_dir}/events.parquet"))
@@ -333,9 +372,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (1 h length, 30 min hop) on the LIVE event stream —
     each event updates two window states per micro-batch; complete mode,
     same oracle as the batch twin ev_sliding_window."""
-    from ..streaming.wordcount import stream_dir_for
-
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = _raw_schema(spark, f"{sf_dir}/events.parquet")
     stream = (
         spark.readStream.schema(schema)
         .parquet(stream_dir_for(f"{sf_dir}/events.parquet"))
@@ -383,34 +420,10 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     guaranteed to wait for (no reliance on no-data-batch timing).  Sentinels
     carry negative event_ids and are filtered after the join.  At scale this
     is exactly how a bounded backfill through a streaming job is drained."""
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = _raw_schema(spark, f"{sf_dir}/events.parquet")
     src = _left_join_stream_dir(spark, sf_dir, schema)
-
-    def side(event_type: str, alias: str):
-        return (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(src)
-            .transform(normalize_event_ts)
-            .filter(F.col("event_type") == event_type)
-            .selectExpr(f"event_id AS {alias}_id", "user_id", f"ts AS {alias}_ts")
-            .withWatermark(f"{alias}_ts", "2 hours")
-        )
-
-    views, purchases = side("view", "view"), side("purchase", "purchase")
-    joined = views.join(
-        purchases,
-        (views.user_id == purchases.user_id)
-        & (F.col("purchase_ts") >= F.col("view_ts"))
-        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
-        "left_outer",
-    ).select(
-        "view_id",
-        "purchase_id",
-        views.user_id.alias("user_id"),
-        (
-            F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts")
-        ).cast("bigint").alias("secs_to_purchase"),
+    joined = _view_purchase_stream_join(
+        spark, schema, src, "left_outer", one_file_per_trigger=True
     )
     # The sentinel filter must run on the RESULT table, not in the stream:
     # in-stream, Catalyst pushes `view_id >= 0` through the left-outer join
@@ -436,6 +449,7 @@ def _left_join_stream_dir(spark: SparkSession, sf_dir: str, schema) -> str:
     that watermark, evicting (and thus emitting) all remaining unmatched
     left rows.  Cached per sf_dir."""
     import hashlib
+    import shutil
     import time as _time
 
     key = hashlib.sha1(f"{sf_dir}/events.parquet#lj".encode()).hexdigest()[:12]
@@ -451,22 +465,24 @@ def _left_join_stream_dir(spark: SparkSession, sf_dir: str, schema) -> str:
         # data < part-00001 < part-00002 ordering; a fixture carrying a
         # FUTURE mtime (copied with preserved timestamps) can defeat
         # os.utime(now), in which case the dir is restaged from scratch.
-        import shutil
-
-        data_mtime = os.stat(f"{sf_dir}/events.parquet").st_mtime
-        parts = [os.path.join(d, f"part-0000{i}.parquet") for i in (1, 2)]
-        if any(os.stat(p).st_mtime <= data_mtime for p in parts):
-            # anchor EXPLICIT mtimes past the data file (utime(now) is
-            # defeated by a future-dated fixture copied with preserved
-            # timestamps), re-touching BOTH sentinels so their relative
-            # order survives too
-            t1 = max(_time.time(), data_mtime + 1.0)
-            os.utime(parts[0], (t1, t1))
-            os.utime(parts[1], (t1 + 1.0, t1 + 1.0))
-        mtimes = [os.stat(p).st_mtime for p in parts]
-        if data_mtime < mtimes[0] < mtimes[1]:
-            return d
-        shutil.rmtree(d)  # ordering still unestablishable: restage
+        try:
+            data_mtime = os.stat(f"{sf_dir}/events.parquet").st_mtime
+            parts = [os.path.join(d, f"part-0000{i}.parquet") for i in (1, 2)]
+            if any(os.stat(p).st_mtime <= data_mtime for p in parts):
+                # anchor EXPLICIT mtimes past the data file (utime(now) is
+                # defeated by a future-dated fixture copied with preserved
+                # timestamps), re-touching BOTH sentinels so their relative
+                # order survives too
+                t1 = max(_time.time(), data_mtime + 1.0)
+                os.utime(parts[0], (t1, t1))
+                os.utime(parts[1], (t1 + 1.0, t1 + 1.0))
+            mtimes = [os.stat(p).st_mtime for p in parts]
+            if data_mtime < mtimes[0] < mtimes[1]:
+                return d
+        except OSError:
+            pass  # a sentinel vanished (tmp cleaner left _STAGED but reaped
+            # a part file — r08 review): fall through and restage
+        shutil.rmtree(d)  # ordering unestablishable or dir damaged: restage
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "part-00000.parquet")
     if not os.path.exists(link):
@@ -517,6 +533,9 @@ def _left_join_stream_dir(spark: SparkSession, sf_dir: str, schema) -> str:
         )
         dst = os.path.join(d, f"part-0000{i}.parquet")
         os.rename(os.path.join(out, part), dst)
+        # the writer dir (now just _SUCCESS/.crc litter) must not stay
+        # inside the published stream-source dir (r08 review)
+        shutil.rmtree(out, ignore_errors=True)
         # mtime ordering is the replay ordering contract — pin it explicitly
         t = anchor + (i - 1) * 1.0
         os.utime(dst, (t, t))
@@ -556,9 +575,7 @@ def stream_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the full corpus per ingest; the batch oracle (distinct texts per
     source over the gated set) pins that replaying the stream admits exactly
     the batch-correct set."""
-    from ..streaming.wordcount import stream_dir_for
-
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    schema = _raw_schema(spark, f"{sf_dir}/documents.parquet")
     stream = spark.readStream.schema(schema).parquet(
         stream_dir_for(f"{sf_dir}/documents.parquet")
     )
@@ -626,7 +643,7 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle as the batch twin — the point of the pair is that the identical
     ``session_window(gap_expr)`` expression produces identical sessions in
     both engines."""
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = _raw_schema(spark, f"{sf_dir}/events.parquet")
     stream = (
         spark.readStream.schema(schema)
         .parquet(stream_dir_for(f"{sf_dir}/events.parquet"))
@@ -680,7 +697,7 @@ def stream_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     current-state table.  In production this runs in update mode so each
     micro-batch emits only the keys it changed; complete-mode replay here
     makes the final table directly oracle-comparable."""
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = _raw_schema(spark, f"{sf_dir}/events.parquet")
     stream = (
         spark.readStream.schema(schema)
         .parquet(stream_dir_for(f"{sf_dir}/events.parquet"))
@@ -766,7 +783,7 @@ def stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume; binning/day-keying are map-side expressions before the one
     stateful exchange.  The post-stream PSI join runs over that same tiny
     cell table."""
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = _raw_schema(spark, f"{sf_dir}/events.parquet")
     stream = (
         spark.readStream.schema(schema)
         .parquet(stream_dir_for(f"{sf_dir}/events.parquet"))
@@ -857,7 +874,7 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_mismatch_vs_batch")
         )
     )
-    toks = tokenize(df.select("sentence"), "sentence").filter(F.length("word") > 0)
+    toks = tokenize(df.select("sentence"), "sentence")
     stats = (
         toks.groupBy("word")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -966,7 +983,7 @@ def stream_timeout_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = _raw_schema(spark, f"{sf_dir}/events.parquet")
     src = _left_join_stream_dir(spark, sf_dir, schema)
     stream = (
         spark.readStream.schema(schema)
@@ -1070,7 +1087,7 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions by window start (bounded frames), never the event stream."""
     from pyspark.sql import Window
 
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = _raw_schema(spark, f"{sf_dir}/events.parquet")
     stream = (
         spark.readStream.schema(schema)
         .parquet(stream_dir_for(f"{sf_dir}/events.parquet"))
