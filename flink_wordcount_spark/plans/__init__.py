@@ -62,7 +62,11 @@ _MODIFIED_THIS_ROUND: list[str] = [
     # r08 operator-review fixes (late in the round): every prior-green
     # query whose operator changed re-queues for the driver.
     "lsh_simhash64_md5",        # simhash_band_pairs -> collect_set shape
-    "lsh_simhash64",            # (rows-only twin of the same rework)
+    # lsh_simhash64 (the rows-only xxhash twin of the SAME rework) is NOT
+    # queued: head(14) + pinned(16) + never-verified(21) exactly fills the
+    # ~50-slot budget, and its weaker rows-only check is the one whose miss
+    # costs least — the md5 twin value-checks the shared operator and
+    # tests/test_lsh_recall.py pins its recall floor.
     "dedup_edit_distance",      # consumes the reworked candidate set
     "dedup_minhash_verified",   # shingle_hashes composed from shingles;
                                 # shared bucket_pair_expansion
