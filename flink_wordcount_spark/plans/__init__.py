@@ -80,6 +80,15 @@ _MODIFIED_THIS_ROUND: list[str] = [
     # the rest are covered by the streaming pytest suite plus the r08
     # streaming subset already queued (timeout_flush modified, windowed_topk
     # and the python-datasource pair never-verified).
+    # NOT queued — r08 curation-review NULL-parity fixes
+    # (qa_partition_checksums keyed-digest coalesce, quality_cutoff_per_lang
+    # conditional count, four tokens_arr() reuse sites): all are
+    # OUTPUT-IDENTICAL on the NULL-free fixtures, so a driver slot buys no
+    # information — the gate corpus cannot exercise the NULL path either
+    # way.  The behavior change is pinned where it IS observable:
+    # tests/test_null_vintage.py runs both engines over a synthetic
+    # NULL-text corpus plus an engine-independent hashlib ground truth, and
+    # the head-50 budget (exactly full, see below) stays intact.
 ]
 
 # Queries to verify THIS round ahead of the staleness rotation even though

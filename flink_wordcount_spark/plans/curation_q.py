@@ -29,7 +29,8 @@ from pyspark.sql import functions as F
 from ..hints import maybe_broadcast
 from ..io import table
 from ..operators.dedup import shingle_hashes
-from ..operators.text import TOKEN_SPLIT_REGEX
+from ..operators.text import TOKS_SQL as _TOKS_SQL  # shared tokenizer SQL
+from ..operators.textstats import tokens_arr
 from .catalog import query
 
 _SHINGLE_N = 3
@@ -234,10 +235,7 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (source, word) distinct set is tiny relative to the corpus (vocab ×
     domains), so the pair join runs on the reduced set, never the corpus."""
     d = table(spark, sf_dir, "documents")
-    toks = F.expr(
-        "filter(split(text, '\\\\W+'), x -> length(x) > 0)"
-    )
-    v = d.select("source", F.explode(toks).alias("w")).distinct()
+    v = d.select("source", F.explode(tokens_arr("text")).alias("w")).distinct()
     sizes = v.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a = v.select(F.col("source").alias("source_a"), "w")
     b = v.select(F.col("source").alias("source_b"), "w")
@@ -595,8 +593,6 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: run uses ~100M-1B tokens/shard — the math is scale-free).
 _SHARD_TOKENS = 20_000
 
-from ..operators.text import TOKS_SQL as _TOKS_SQL  # shared tokenizer SQL
-
 
 @query(
     "shard_by_token_budget",
@@ -636,7 +632,7 @@ def shard_by_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     window.  The plan-shape test pins that every corpus-sized window is
     partitioned."""
     d = table(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", TOKEN_SPLIT_REGEX), lambda w: F.length(w) > 0)
+    toks = tokens_arr("text")
     n_ranges = 32
     base = d.select(
         "doc_id",
@@ -747,7 +743,11 @@ def quality_cutoff_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textstats import quality_features
 
     d = table(spark, sf_dir, "documents")
-    scored = d.select("doc_id", "lang", quality_features("text")[6])
+    # Persisted: both plan branches (the per-lang rank window and the
+    # cutoff-join probe) consume the scored frame; without the cache the
+    # regex-heavy quality features run twice over the corpus
+    # (clearCache-between-queries lifetime, see curation_end_to_end).
+    scored = d.select("doc_id", "lang", quality_features("text")[6]).persist()
     w_rank = Window.partitionBy("lang").orderBy(
         F.desc("quality_score"), "doc_id"
     )
@@ -762,14 +762,20 @@ def quality_cutoff_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("quality_score").alias("cutoff_score"),
         F.col("n").cast("bigint").alias("n_docs"),
     )
+    # Conditional count, NOT filter-then-group: if a language's cutoff rank
+    # lands on a NULL quality_score (possible once >1-keep of its docs have
+    # NULL text — scores sort NULLS LAST under DESC in both engines), the
+    # oracle still emits (lang, n_docs, NULL, 0); a pre-group filter would
+    # drop the language entirely.  Non-NULL cutoffs count identically.
     return (
         scored.join(F.broadcast(cut), "lang")  # cut: one row per language
-        .filter(F.col("quality_score") >= F.col("cutoff_score"))
         .groupBy("lang")
         .agg(
             F.max("n_docs").alias("n_docs"),
             F.max("cutoff_score").alias("cutoff_score"),
-            F.count(F.lit(1)).alias("n_kept"),
+            F.count(
+                F.when(F.col("quality_score") >= F.col("cutoff_score"), F.lit(1))
+            ).alias("n_kept"),
         )
     )
 
@@ -807,8 +813,8 @@ _TEMP_TARGET_FRAC = 0.4
 )
 def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled mixture sampling: per-source rates proportional to
-    n^alpha (alpha = {_TEMP_ALPHA}) renormalized to a {_TEMP_TARGET_FRAC:.0%}
-    target corpus, capped at 1.0 — small sources keep a larger share of
+    n^alpha (alpha = _TEMP_ALPHA) renormalized to a _TEMP_TARGET_FRAC
+    fraction of the input corpus, capped at 1.0 — small sources keep a larger share of
     themselves than big ones (the standard multilingual-pretraining
     rebalance), and the per-doc keep decision is the same deterministic
     multiplicative hash as sample_stratified (reproducible under retries
@@ -880,7 +886,7 @@ _PAD_MULT = 64
 )
 def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inference batch packing profile: documents bucketed by padded length
-    (next multiple of {_PAD_MULT} tokens, minimum one pad block) with the
+    (next multiple of _PAD_MULT tokens, minimum one pad block) with the
     padding waste per bucket — the serving-side complement of
     pack_sequences (which packs for TRAINING); the waste_ratio column is
     what decides whether to re-bucket or sort-by-length a corpus before
@@ -888,7 +894,7 @@ def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     waste ratio is the raw IEEE quotient (never round an integer-quotient
     ratio)."""
     d = table(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", TOKEN_SPLIT_REGEX), lambda w: F.length(w) > 0)
+    toks = tokens_arr("text")
     n_tokens = F.size(toks).cast("bigint")
     bucket = (
         F.greatest(F.ceil(n_tokens / F.lit(float(_PAD_MULT))), F.lit(1)) * _PAD_MULT
@@ -927,7 +933,7 @@ _RESERVOIR_K = 10
     """,
 )
 def sample_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic fixed-size per-domain sample: exactly {_RESERVOIR_K}
+    """Deterministic fixed-size per-domain sample: exactly _RESERVOIR_K
     docs per source, chosen by multiplicative-hash order — the
     reproducible analogue of per-group reservoir sampling (rand()-based
     reservoirs change under retries/speculation; this one is a pure
@@ -1121,9 +1127,7 @@ def qa_preflight_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct shuffle carries 32 B digests.  All rates are raw
     integer-quotient IEEE divisions."""
     d = table(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(F.col("text"), TOKEN_SPLIT_REGEX), lambda w: F.length(w) > 0
-    )
+    toks = tokens_arr("text")
     base = d.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("text").alias("n_distinct_texts"),
@@ -1183,14 +1187,27 @@ def qa_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream hash-mismatch appears.
 
     Scale: pure map-side hashing + an XOR aggregate (commutative,
-    overflow-free, NULL-skipping in both engines) — one exchange keyed on
-    source, constant bytes per group.  The 60-bit md5 prefix is the
+    overflow-free) — one exchange keyed on source, constant bytes per
+    group.  NULL-text rows: the plain content digest skips them in both
+    engines (md5(NULL) IS NULL), while the keyed digest folds them in as
+    md5('<id>:') on both sides (DuckDB concat skips NULL args; the Spark
+    side coalesces to '' to match).  The 60-bit md5 prefix is the
     repo's standard cross-engine hash (see ``lsh_minhash_candidates_md5``)."""
     d = table(spark, sf_dir, "documents")
     h_text = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
+    # coalesce(text, '') keeps NULL-text rows IN the keyed digest, matching
+    # DuckDB concat() which skips NULL args (md5('7:')); Spark F.concat
+    # would return NULL and bit_xor would silently drop the row.  Non-NULL
+    # rows are byte-identical either way.
     h_keyed = F.conv(
         F.substring(
-            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))),
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.coalesce(F.col("text"), F.lit("")),
+                )
+            ),
             1,
             15,
         ),
