@@ -104,6 +104,45 @@ def jaccard_pairs(
     e.g. 0.7999996 passing a 0.8 gate — is half a rounding ulp of
     similarity, far below the metric's meaningfulness.
     """
+    return _similar_pairs(
+        sh,
+        threshold,
+        lambda s, a, b: s / (a + b - s),
+        "jaccard",
+        max_shingle_freq,
+    )
+
+
+def containment_pairs(
+    sh: DataFrame, threshold: float, max_shingle_freq: int | None = None
+) -> DataFrame:
+    """Asymmetric shingle-containment pairs: n_shared / min(|A|, |B|).
+
+    The metric that catches a short doc embedded in a long one, which
+    Jaccard misses (the union term dilutes it).  Same inverted-index
+    machinery, same hot-shingle cap, same round-before-compare convention
+    as :func:`jaccard_pairs` — only the denominator differs (review r08:
+    the machinery was previously forked inline in the containment query,
+    so a fix here would not have reached it)."""
+    return _similar_pairs(
+        sh,
+        threshold,
+        lambda s, a, b: s / F.least(a, b),
+        "containment",
+        max_shingle_freq,
+    )
+
+
+def _similar_pairs(
+    sh: DataFrame,
+    threshold: float,
+    metric,
+    out_col: str,
+    max_shingle_freq: int | None,
+) -> DataFrame:
+    """Shared inverted-index pair join: ``metric(n_shared, n_a, n_b)`` is the
+    similarity, rounded(6) BEFORE the threshold compare (cross-engine parity
+    convention — see :func:`jaccard_pairs`'s docstring)."""
     key = "h" if "h" in sh.columns else "shingle"
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     joinable = sh
@@ -124,13 +163,11 @@ def jaccard_pairs(
         shared.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")), 6
-            ),
+            out_col,
+            F.round(metric(F.col("n_shared"), F.col("n_a"), F.col("n_b")), 6),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "n_shared", "jaccard")
+        .filter(F.col(out_col) >= threshold)
+        .select("id_a", "id_b", "n_shared", out_col)
     )
 
 

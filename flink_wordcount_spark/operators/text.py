@@ -56,3 +56,40 @@ def token_count_expr(text_col: str = "text") -> Column:
     """Token count per row without exploding (size of the split array)."""
     arr = F.split(F.col(text_col), TOKEN_SPLIT_REGEX)
     return F.size(F.filter(arr, lambda w: F.length(w) > 0))
+
+
+def shingle_pair_cte_sql(n: int, rel: str = "documents") -> str:
+    """The toks/sh/sizes/shared CTE chain over ``rel`` — the DuckDB twin of
+    :func:`operators.dedup.shingles` + the inverted-index pair join, emitted
+    as the CTE body every near-dup oracle interpolates after ``WITH``
+    (review r08: the block was hand-copied in four oracles, so a
+    shingle-bound or tokenizer change had four more places to miss; this is
+    the SQL-side analog of the TOKS_SQL rule above).  Exposes CTEs ``sh``
+    (distinct doc shingles), ``sizes`` (shingle count per doc) and
+    ``shared`` (co-shingle counts per id-ordered doc pair)."""
+    return f"""toks AS (
+    SELECT doc_id, {TOKS_SQL} AS t
+    FROM {rel}
+), sh AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+{n - 1}], ' ') AS s
+    FROM toks, unnest(range(1, len(t) - {n - 2})) AS u(i)
+), sizes AS (
+    SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+    FROM sh a JOIN sh b USING (s)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)"""
+
+
+def jaccard_pairs_cte_sql(threshold: float) -> str:
+    """The ``pairs`` CTE (id-ordered near-dup pairs at ``threshold`` Jaccard)
+    over :func:`shingle_pair_cte_sql`'s ``shared``/``sizes`` — appended with
+    a leading ``, `` by the oracles that consume the pair SET rather than
+    the scored pairs."""
+    return f"""pairs AS (
+    SELECT id_a, id_b
+    FROM shared JOIN sizes x ON x.doc_id = id_a JOIN sizes y ON y.doc_id = id_b
+    WHERE round(n_shared / (x.n + y.n - n_shared), 6) >= {threshold}
+)"""

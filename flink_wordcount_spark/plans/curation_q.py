@@ -28,8 +28,9 @@ from pyspark.sql import functions as F
 
 from ..hints import maybe_broadcast
 from ..io import table
-from ..operators.dedup import shingle_hashes
+from ..operators.dedup import containment_pairs, shingle_hashes
 from ..operators.text import TOKS_SQL as _TOKS_SQL  # shared tokenizer SQL
+from ..operators.text import jaccard_pairs_cte_sql, shingle_pair_cte_sql
 from ..operators.textstats import tokens_arr
 from .catalog import query
 
@@ -118,23 +119,10 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# DuckDB twin of the containment pair join (same shingle machinery as
-# dedup_q._JACCARD_ORACLE, metric = n_shared / min(|A|, |B|)).
+# DuckDB twin of the containment pair join (the shared shingle-CTE builder,
+# metric = n_shared / min(|A|, |B|)).
 _CONTAIN_ORACLE = f"""
-WITH toks AS (
-    SELECT doc_id, list_filter(regexp_split_to_array(text, '\\W+'), x -> length(x) > 0) AS t
-    FROM documents
-), sh AS (
-    SELECT DISTINCT doc_id, array_to_string(t[i:i+{_SHINGLE_N - 1}], ' ') AS s
-    FROM toks, unnest(range(1, len(t) - {_SHINGLE_N - 2})) AS u(i)
-), sizes AS (
-    SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-), shared AS (
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
-    FROM sh a JOIN sh b USING (s)
-    WHERE a.doc_id < b.doc_id
-    GROUP BY 1, 2
-)
+WITH {shingle_pair_cte_sql(_SHINGLE_N)}
 SELECT id_a, id_b, n_shared,
        round(n_shared / least(x.n, y.n), 6) AS containment
 FROM shared JOIN sizes x ON x.doc_id = id_a JOIN sizes y ON y.doc_id = id_b
@@ -148,28 +136,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     metric that catches a short doc embedded in a long one, which Jaccard
     misses (the union term dilutes it).  Same inverted-index join and hashed
     shingle keys as dedup_ngram_jaccard, so the 100 TB shuffle shape is
-    identical."""
+    identical (operators.dedup.containment_pairs shares the machinery with
+    jaccard_pairs — review r08)."""
     d = table(spark, sf_dir, "documents")
     sh = shingle_hashes(d, "text", "doc_id", n=_SHINGLE_N)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("id").alias("id_a"), "h")
-    b = sh.select(F.col("id").alias("id_b"), "h")
-    shared = (
-        a.join(b, "h")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    return (
-        shared.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
-        .withColumn(
-            "containment",
-            F.round(F.col("n_shared") / F.least("n_a", "n_b"), 6),
-        )
-        .filter(F.col("containment") >= _CONTAIN_T)
-        .select("id_a", "id_b", "n_shared", "containment")
-    )
+    return containment_pairs(sh, _CONTAIN_T)
 
 
 @query(
@@ -209,12 +180,10 @@ def ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "source_vocab_overlap",
-    oracle="""
+    oracle=f"""
     WITH v AS (
         SELECT DISTINCT source, u.w
-        FROM documents,
-             unnest(list_filter(regexp_split_to_array(text, '\\W+'),
-                                x -> length(x) > 0)) AS u(w)
+        FROM documents, unnest({_TOKS_SQL}) AS u(w)
     ), sizes AS (
         SELECT source, count(*) AS n FROM v GROUP BY source
     ), shared AS (
@@ -308,24 +277,7 @@ WITH RECURSIVE keep1 AS (
     SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
 ), s1 AS (
     SELECT d.* FROM documents d JOIN keep1 USING (doc_id)
-), toks AS (
-    SELECT doc_id, list_filter(regexp_split_to_array(text, '\\W+'), x -> length(x) > 0) AS t
-    FROM s1
-), sh AS (
-    SELECT DISTINCT doc_id, array_to_string(t[i:i+{_SHINGLE_N - 1}], ' ') AS s
-    FROM toks, unnest(range(1, len(t) - {_SHINGLE_N - 2})) AS u(i)
-), sizes AS (
-    SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-), shared AS (
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
-    FROM sh a JOIN sh b USING (s)
-    WHERE a.doc_id < b.doc_id
-    GROUP BY 1, 2
-), pairs AS (
-    SELECT id_a, id_b
-    FROM shared JOIN sizes x ON x.doc_id = id_a JOIN sizes y ON y.doc_id = id_b
-    WHERE round(n_shared / (x.n + y.n - n_shared), 6) >= 0.8
-), edges AS (
+), {shingle_pair_cte_sql(_SHINGLE_N, rel="s1")}, {jaccard_pairs_cte_sql(0.8)}, edges AS (
     SELECT id_a AS s, id_b AS t FROM pairs
     UNION SELECT id_b, id_a FROM pairs
     UNION SELECT id_a, id_a FROM pairs
@@ -524,27 +476,10 @@ def sample_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# DuckDB twin: near-dup pairs (same shingle machinery as dedup_q's oracle,
-# jaccard >= 0.8) rolled up to the canonicalized source-pair matrix.
+# DuckDB twin: near-dup pairs (the shared shingle-CTE builder, jaccard >=
+# 0.8) rolled up to the canonicalized source-pair matrix.
 _DUP_BY_SOURCE_ORACLE = f"""
-WITH toks AS (
-    SELECT doc_id, list_filter(regexp_split_to_array(text, '\\W+'), x -> length(x) > 0) AS t
-    FROM documents
-), sh AS (
-    SELECT DISTINCT doc_id, array_to_string(t[i:i+{_SHINGLE_N - 1}], ' ') AS s
-    FROM toks, unnest(range(1, len(t) - {_SHINGLE_N - 2})) AS u(i)
-), sizes AS (
-    SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-), shared AS (
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
-    FROM sh a JOIN sh b USING (s)
-    WHERE a.doc_id < b.doc_id
-    GROUP BY 1, 2
-), pairs AS (
-    SELECT id_a, id_b
-    FROM shared JOIN sizes x ON x.doc_id = id_a JOIN sizes y ON y.doc_id = id_b
-    WHERE round(n_shared / (x.n + y.n - n_shared), 6) >= 0.8
-)
+WITH {shingle_pair_cte_sql(_SHINGLE_N)}, {jaccard_pairs_cte_sql(0.8)}
 SELECT least(da.source, db.source) AS source_lo,
        greatest(da.source, db.source) AS source_hi,
        CAST(count(*) AS BIGINT) AS n_dup_pairs
@@ -1012,19 +947,60 @@ def qa_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+#: ln(k)-normalized Shannon entropy over a (c, t) category-count relation —
+#: the SINGLE oracle-side definition of the normalized-entropy audit
+#: (review r08: qa_preflight_report restated the formula; a smoothing or
+#: -0.0-guard tweak would have silently decoupled the panel from the
+#: entropy query it summarizes).  The trailing +0.0 clears IEEE -0.0.
+_ENT_NORM_SQL = """round(CASE WHEN count(*) > 1
+                      THEN -sum((c / t) * ln(c / t)) / ln(count(*))
+                      ELSE 0.0 END, 6) + 0.0"""
+
+
+def _category_counts_sql(tbl: str, col: str) -> str:
+    """Oracle-side (c, t) category-count relation the entropy folds run on."""
+    return f"""SELECT CAST(count(*) AS BIGINT) AS c,
+               CAST(sum(count(*)) OVER () AS BIGINT) AS t
+        FROM {tbl} GROUP BY {col}"""
+
+
+def _category_counts(df: DataFrame, col: str) -> DataFrame:
+    """Spark twin of :func:`_category_counts_sql`: the tiny (c, t)
+    category-count frame both entropy audits fold over (one map-side-
+    combined count per category; the window total runs over categories,
+    never rows)."""
+    return (
+        df.groupBy(col)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("c", F.sum("c").over(Window.partitionBy()).alias("t"))
+    )
+
+
+def _entropy_norm_agg():
+    """Spark twin of ``_ENT_NORM_SQL``: the ln(k)-normalized entropy
+    aggregate over a (c, t) frame, rounded with the -0.0 guard."""
+    p = F.col("c") / F.col("t")
+    return (
+        F.round(
+            F.when(
+                F.count(F.lit(1)) > 1,
+                -F.sum(p * F.log(p)) / F.log(F.count(F.lit(1)).cast("double")),
+            ).otherwise(0.0),
+            6,
+        )
+        + F.lit(0.0)
+    )
+
+
 def _entropy_block(tbl: str, col: str) -> str:
     """One oracle block: Shannon entropy of a categorical column."""
     return f"""
     SELECT '{tbl}' AS tbl, '{col}' AS col,
            CAST(count(*) AS BIGINT) AS n_values,
            round(-sum((c / t) * ln(c / t)), 6) + 0.0 AS entropy,
-           round(CASE WHEN count(*) > 1
-                      THEN -sum((c / t) * ln(c / t)) / ln(count(*))
-                      ELSE 0.0 END, 6) + 0.0 AS normalized
+           {_ENT_NORM_SQL} AS normalized
     FROM (
-        SELECT CAST(count(*) AS BIGINT) AS c,
-               CAST(sum(count(*)) OVER () AS BIGINT) AS t
-        FROM {tbl} GROUP BY {col}
+        {_category_counts_sql(tbl, col)}
     )
     """
 
@@ -1057,28 +1033,14 @@ def qa_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("documents", "source"),
         ("events", "event_type"),
     ):
-        counts = (
-            table(spark, sf_dir, tbl)
-            .groupBy(col)
-            .agg(F.count(F.lit(1)).alias("c"))
-            .select("c", F.sum("c").over(Window.partitionBy()).alias("t"))
-        )
+        counts = _category_counts(table(spark, sf_dir, tbl), col)
         p = F.col("c") / F.col("t")
         block = counts.agg(
             F.lit(tbl).alias("tbl"),
             F.lit(col).alias("col"),
             F.count(F.lit(1)).alias("n_values"),
             (F.round(-F.sum(p * F.log(p)), 6) + F.lit(0.0)).alias("entropy"),
-            (
-                F.round(
-                    F.when(
-                        F.count(F.lit(1)) > 1,
-                        -F.sum(p * F.log(p)) / F.log(F.count(F.lit(1)).cast("double")),
-                    ).otherwise(0.0),
-                    6,
-                )
-                + F.lit(0.0)
-            ).alias("normalized"),
+            _entropy_norm_agg().alias("normalized"),
         )
         out = block if out is None else out.unionAll(block)
     return out
@@ -1095,14 +1057,10 @@ def qa_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS total_tokens
         FROM documents
     ), ent AS (
-        SELECT round(CASE WHEN count(*) > 1
-                          THEN -sum((c / t) * ln(c / t)) / ln(count(*))
-                          ELSE 0.0 END, 6) + 0.0 AS source_entropy_norm
+        SELECT {_ENT_NORM_SQL} AS source_entropy_norm
         FROM (
-            SELECT CAST(count(*) AS BIGINT) AS c,
-                   CAST(sum(count(*)) OVER () AS BIGINT) AS t
-            FROM documents GROUP BY source
-        )
+        {_category_counts_sql("documents", "source")}
+    )
     )
     SELECT n_docs,
            (n_docs - n_distinct_texts) / n_docs AS exact_dup_rate,
@@ -1134,23 +1092,8 @@ def qa_preflight_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("n_null_text"),
         F.sum(F.size(toks)).alias("total_tokens"),
     )
-    counts = (
-        d.groupBy("source")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .select("c", F.sum("c").over(Window.partitionBy()).alias("t"))
-    )
-    p = F.col("c") / F.col("t")
-    ent = counts.agg(
-        (
-            F.round(
-                F.when(
-                    F.count(F.lit(1)) > 1,
-                    -F.sum(p * F.log(p)) / F.log(F.count(F.lit(1)).cast("double")),
-                ).otherwise(0.0),
-                6,
-            )
-            + F.lit(0.0)
-        ).alias("source_entropy_norm")
+    ent = _category_counts(d, "source").agg(
+        _entropy_norm_agg().alias("source_entropy_norm")
     )
     return base.crossJoin(F.broadcast(ent)).select(  # ent: single row
         "n_docs",

@@ -28,6 +28,7 @@ from ..operators.dedup import (
     shingles,
     simhash,
 )
+from ..operators.text import shingle_pair_cte_sql
 from .catalog import query
 
 _SHINGLE_N = 3
@@ -37,22 +38,10 @@ _THRESHOLD = 0.8
 # of identical-prefix docs landing in one bucket)
 _MAX_BUCKET = 1024
 
-# DuckDB twin of operators.dedup.shingles + jaccard_pairs (n=3).
+# DuckDB twin of operators.dedup.shingles + jaccard_pairs (n=3); the CTE
+# chain is the shared builder (operators.text.shingle_pair_cte_sql).
 _JACCARD_ORACLE = f"""
-WITH toks AS (
-    SELECT doc_id, list_filter(regexp_split_to_array(text, '\\W+'), x -> length(x) > 0) AS t
-    FROM documents
-), sh AS (
-    SELECT DISTINCT doc_id, array_to_string(t[i:i+{_SHINGLE_N - 1}], ' ') AS s
-    FROM toks, unnest(range(1, len(t) - {_SHINGLE_N - 2})) AS u(i)
-), sizes AS (
-    SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-), shared AS (
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
-    FROM sh a JOIN sh b USING (s)
-    WHERE a.doc_id < b.doc_id
-    GROUP BY 1, 2
-)
+WITH {shingle_pair_cte_sql(_SHINGLE_N)}
 SELECT id_a, id_b, n_shared,
        round(n_shared / (x.n + y.n - n_shared), 6) AS jaccard
 FROM shared JOIN sizes x ON x.doc_id = id_a JOIN sizes y ON y.doc_id = id_b
