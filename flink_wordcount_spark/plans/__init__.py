@@ -80,15 +80,20 @@ _MODIFIED_THIS_ROUND: list[str] = [
     # the rest are covered by the streaming pytest suite plus the r08
     # streaming subset already queued (timeout_flush modified, windowed_topk
     # and the python-datasource pair never-verified).
-    # NOT queued — r08 curation-review NULL-parity fixes
+    # NOT queued — r08 NULL/empty-vintage parity fixes
     # (qa_partition_checksums keyed-digest coalesce, quality_cutoff_per_lang
-    # conditional count, four tokens_arr() reuse sites): all are
-    # OUTPUT-IDENTICAL on the NULL-free fixtures, so a driver slot buys no
-    # information — the gate corpus cannot exercise the NULL path either
-    # way.  The behavior change is pinned where it IS observable:
-    # tests/test_null_vintage.py runs both engines over a synthetic
-    # NULL-text corpus plus an engine-independent hashlib ground truth, and
-    # the head-50 budget (exactly full, see below) stays intact.
+    # conditional count, four tokens_arr() reuse sites, and the catalog
+    # sweep's finds: text_quality mean_tok_len coalesce, text_fingerprint
+    # NULL-fp CASE, text_repetition_ratio NULL-stats alignment; mm_featurize
+    # is already PINNED below so its byte_mean zero-guard does get a driver
+    # slot): all are OUTPUT-IDENTICAL on the NULL-free fixtures, so a driver
+    # slot buys no information — the gate corpus cannot exercise the
+    # NULL/empty path either way.  The behavior change is pinned where it
+    # IS observable: tests/test_null_vintage.py sweeps EVERY documents-only
+    # oracle query over a synthetic NULL/empty-injected corpus (72 queries)
+    # plus engine-independent hashlib ground truth for the checksum/cutoff
+    # semantics, and the head-50 budget (exactly full, see below) stays
+    # intact.
 ]
 
 # Queries to verify THIS round ahead of the staleness rotation even though

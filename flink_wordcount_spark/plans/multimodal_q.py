@@ -56,18 +56,24 @@ def mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "mm_featurize",
     oracle="""
-    WITH chars AS (
-        SELECT doc_id,
-               list_transform(string_split(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'), ''),
-                              c -> ascii(c)) AS bytes
+    WITH s AS (
+        SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7F]', '', 'g') AS s
         FROM documents WHERE text IS NOT NULL
+    ), chars AS (
+        SELECT doc_id, s,
+               CASE WHEN length(s) = 0 THEN CAST([] AS INTEGER[])
+                    ELSE list_transform(string_split(s, ''), c -> ascii(c))
+               END AS bytes
+        FROM s
     )
-    SELECT c.doc_id,
-           CAST(len(c.bytes) AS BIGINT) AS n_bytes,
-           CAST(list_sum(c.bytes) AS BIGINT) AS byte_sum,
-           CAST(list_sum(c.bytes) AS BIGINT) / CAST(len(c.bytes) AS BIGINT) AS byte_mean,
-           lower(hex(encode(substring(regexp_replace(d.text, '[^\\x00-\\x7F]', '', 'g'), 1, 8)))) AS header_hex
-    FROM chars c JOIN documents d ON d.doc_id = c.doc_id
+    SELECT doc_id,
+           CAST(len(bytes) AS BIGINT) AS n_bytes,
+           CAST(coalesce(list_sum(bytes), 0) AS BIGINT) AS byte_sum,
+           CASE WHEN len(bytes) > 0
+                THEN CAST(list_sum(bytes) AS BIGINT) / CAST(len(bytes) AS BIGINT)
+           END AS byte_mean,
+           lower(hex(encode(substring(s, 1, 8)))) AS header_hex
+    FROM chars
     """,
 )
 def mm_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,7 +81,12 @@ def mm_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     byte_mean is derived JVM-side as byte_sum/n_bytes (unrounded): quotients
     of small ints hit exact decimal halves where numpy's banker's rounding
-    and DuckDB's diverge; the raw IEEE division is bit-identical.
+    and DuckDB's diverge; the raw IEEE division is bit-identical.  An empty
+    payload (empty or all-non-ASCII text) emits byte_mean NULL on both
+    engines — the zero-guard matters under ANSI mode, where a long/long
+    division by zero is an ERROR, not a NULL (NULL-vintage sweep, r08);
+    DuckDB additionally needs the empty-string CASE because
+    string_split('', '') is [''], not [].
     """
     docs = (
         table(spark, sf_dir, "documents")
@@ -87,7 +98,9 @@ def mm_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_bytes",
         "byte_sum",
-        (F.col("byte_sum") / F.col("n_bytes")).alias("byte_mean"),
+        F.when(F.col("n_bytes") > 0, F.col("byte_sum") / F.col("n_bytes")).alias(
+            "byte_mean"
+        ),
         "header_hex",
     )
 

@@ -78,7 +78,8 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(n_chars_m AS BIGINT) AS n_chars_m,
            CAST(n_toks AS BIGINT) AS n_tokens,
-           tok_chars / greatest(n_toks, 1) AS mean_tok_len,
+           coalesce(tok_chars, CASE WHEN n_toks = 0 THEN 0 END)
+               / greatest(n_toks, 1) AS mean_tok_len,
            n_stop / greatest(n_toks, 1) AS stop_ratio,
            n_digits / greatest(n_chars_m, 1) AS digit_ratio,
            n_punct / greatest(n_chars_m, 1) AS punct_ratio,
@@ -88,7 +89,10 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality features + composite score (filtering surface for
-    training-data curation)."""
+    training-data curation).  The oracle's mean_tok_len coalesces a
+    zero-token doc's NULL list_sum to 0 — Spark's aggregate starts from the
+    0 initial value, so an empty/all-punct doc means 0.0 on both sides
+    while NULL text stays NULL (NULL-vintage sweep, r08)."""
     d = table(spark, sf_dir, "documents")
     return d.select("doc_id", *quality_features("text"))
 
@@ -227,17 +231,20 @@ def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_fingerprint",
     oracle=f"""
     SELECT doc_id,
-           list_reduce(
+           CASE WHEN text IS NOT NULL THEN list_reduce(
                list_prepend(0::BIGINT,
                    list_transform({_TOKS},
                                   w -> (ascii(w) * 7 + length(w))::BIGINT)),
-               (h, x) -> (h * 31 + x) % {FNV_MOD}) AS fp
+               (h, x) -> (h * 31 + x) % {FNV_MOD}) END AS fp
     FROM documents
     """,
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling polynomial document fingerprint (order-sensitive, exact in
-    both engines via bigint modular arithmetic)."""
+    both engines via bigint modular arithmetic).  NULL text is NULL fp on
+    both sides — without the CASE, DuckDB's list_prepend(0, NULL) is [0]
+    (not NULL), silently fingerprinting NULL documents as 0 while Spark's
+    aggregate over a NULL array stays NULL (NULL-vintage sweep, r08)."""
     d = table(spark, sf_dir, "documents")
     return d.select("doc_id", fingerprint("text").alias("fp"))
 
@@ -348,7 +355,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN len(trigrams) > 0
                 THEN 1.0 - CAST(len(list_distinct(trigrams)) AS DOUBLE)
                            / CAST(len(trigrams) AS DOUBLE)
-                ELSE 0.0 END AS rep_ratio
+                WHEN len(trigrams) = 0 THEN 0.0 END AS rep_ratio
     FROM grams
     """,
 )
@@ -359,11 +366,16 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions. The ratio is emitted as the raw IEEE division of two small
     ints (bit-identical across engines; rounding integer-quotient ratios is
     the known parity trap). Spark's sequence(1, n) is DESCENDING for n < 1,
-    so short docs are guarded explicitly.
+    so short docs are guarded explicitly.  NULL text is NULL stats on both
+    sides (the textstats family convention; the old ``otherwise(empty)``
+    silently counted NULL documents as zero-trigram docs while the oracle
+    emitted NULL — NULL-vintage sweep, r08).
     """
     d = table(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", TOKEN_SPLIT_REGEX), lambda x: F.length(x) > 0)
     grams = F.when(
+        F.col("text").isNull(), F.lit(None).cast("array<string>")
+    ).when(
         F.size(toks) >= 3,
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - 3),
@@ -383,7 +395,7 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_trigrams"),
         nd.alias("n_distinct"),
         F.when(n > 0, 1.0 - nd.cast("double") / n.cast("double"))
-        .otherwise(F.lit(0.0))
+        .when(n == 0, F.lit(0.0))
         .alias("rep_ratio"),
     )
 

@@ -1,9 +1,19 @@
-"""NULL-text vintage parity (review r08).
+"""NULL/empty-text vintage parity (review r08).
 
-The generated fixtures contain zero NULL-text rows, so neither the driver
-gate nor the sf-dir oracle-parity sweep can exercise the NULL paths; these
-tests build a synthetic NULL-heavy documents table and check Spark-vs-DuckDB
-parity for the two queries whose NULL behavior the r08 review flagged:
+The generated fixtures contain zero NULL-text and zero empty-text rows, so
+neither the driver gate nor the sf-dir oracle-parity sweep can exercise
+those paths — yet NULL-text vintages are a planned-for input (the streaming
+gate's NULL hardening, qa_preflight_report's null_text_rate).  Two layers:
+
+1. A catalog-wide sweep: EVERY documents-only oracle query runs on a
+   NULL/empty-injected copy of the fixture corpus and must match its oracle
+   there too.  First run of this sweep surfaced four real latent bugs:
+   an ANSI divide-by-zero crash (mm_featurize on empty payloads), DuckDB
+   list_prepend(0, NULL) = [0] fingerprinting NULL docs as 0, DuckDB
+   list_sum([]) = NULL vs Spark's 0 initial value, and NULL docs counted
+   as zero-trigram docs.
+2. Targeted semantics tests for the two queries whose NULL behavior the
+   r08 review flagged, with engine-independent hashlib ground truth:
 
 - ``qa_partition_checksums``: the keyed digest must FOLD NULL-text rows in
   as md5('<id>:') on both engines (DuckDB concat skips NULL args; Spark
@@ -16,12 +26,56 @@ parity for the two queries whose NULL behavior the r08 review flagged:
 from __future__ import annotations
 
 import hashlib
+import re
 
 import duckdb
 import pandas as pd
+import pytest
 
 from flink_wordcount_spark.oracle import canon_rows
 from flink_wordcount_spark.plans import ORACLES, QUERIES
+
+_ALL_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _documents_only_queries() -> list[str]:
+    """Oracle queries whose SQL references the documents table and nothing
+    else (streaming queries excluded: their staging machinery has its own
+    NULL-hardening tests and restages files per run)."""
+    out = []
+    for name, sql in ORACLES.items():
+        if name.startswith("stream_"):
+            continue
+        used = {t for t in _ALL_TABLES if re.search(rf"\b{t}\b", sql)}
+        if used == {"documents"}:
+            out.append(name)
+    return sorted(out)
+
+
+@pytest.fixture(scope="session")
+def null_sf_dir(tmp_path_factory, sf_dir) -> str:
+    """The fixture corpus with ~10% NULL and ~10% empty texts injected
+    (deterministic by doc_id), n_chars kept consistent."""
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).df()
+    pdf.loc[pdf.doc_id % 10 == 3, "text"] = None
+    pdf.loc[pdf.doc_id % 10 == 7, "text"] = ""
+    pdf["n_chars"] = pdf["text"].str.len().astype("Int64")
+    d = tmp_path_factory.mktemp("null_vintage")
+    pdf.to_parquet(d / "documents.parquet", index=False)
+    return str(d)
+
+
+@pytest.mark.parametrize("name", _documents_only_queries())
+def test_query_matches_oracle_on_null_vintage(spark, null_sf_dir, name):
+    spark.catalog.clearCache()  # unfreeze persisted frames between queries
+    ok_cols_rows_vals = _parity(spark, null_sf_dir, name)
+    assert ok_cols_rows_vals is not None
 
 # lang 'xx' / source 'src0': 2 of 5 texts NULL, so the 80% cutoff rank
 # (ceil(0.8*5) = 4) lands on a NULL quality score (NULLS LAST under DESC).
