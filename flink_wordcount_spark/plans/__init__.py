@@ -83,17 +83,20 @@ _MODIFIED_THIS_ROUND: list[str] = [
     # NOT queued — r08 NULL/empty-vintage parity fixes
     # (qa_partition_checksums keyed-digest coalesce, quality_cutoff_per_lang
     # conditional count, four tokens_arr() reuse sites, and the catalog
-    # sweep's finds: text_quality mean_tok_len coalesce, text_fingerprint
-    # NULL-fp CASE, text_repetition_ratio NULL-stats alignment; mm_featurize
-    # is already PINNED below so its byte_mean zero-guard does get a driver
-    # slot): all are OUTPUT-IDENTICAL on the NULL-free fixtures, so a driver
-    # slot buys no information — the gate corpus cannot exercise the
-    # NULL/empty path either way.  The behavior change is pinned where it
-    # IS observable: tests/test_null_vintage.py sweeps EVERY documents-only
-    # oracle query over a synthetic NULL/empty-injected corpus (72 queries)
-    # plus engine-independent hashlib ground truth for the checksum/cutoff
-    # semantics, and the head-50 budget (exactly full, see below) stays
-    # intact.
+    # sweep's finds: text_quality / text_fingerprint / text_repetition_ratio
+    # NULL alignment, ev_gap_fill NULL-type spine, ev_session_paths all-NULL
+    # path, ev_value_percentiles + qa_equi_depth_histogram NULL-value
+    # exclusion, sketch_hll_shard_merge null-safe join, and the embeddings
+    # family's NULL-vector exclusion; mm_featurize is already PINNED below
+    # so its byte_mean zero-guard does get a driver slot): all are
+    # OUTPUT-IDENTICAL on the NULL-free fixtures — re-verified one by one at
+    # sf0.01/sf0.1 — so a driver slot buys no information; the gate corpus
+    # cannot exercise the NULL/empty path either way.  The behavior change
+    # is pinned where it IS observable: tests/test_null_vintage.py sweeps
+    # EVERY single-table oracle query over NULL-injected copies of
+    # documents/events/embeddings (121 queries) plus engine-independent
+    # hashlib ground truth for the checksum/cutoff semantics, and the
+    # head-50 budget (exactly full, see below) stays intact.
 ]
 
 # Queries to verify THIS round ahead of the staleness rotation even though

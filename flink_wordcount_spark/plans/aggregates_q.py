@@ -427,7 +427,13 @@ def sketch_hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = e.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("n_users_exact")
     )
-    return exact.join(F.broadcast(merged), "event_type").select(
+    # eqNullSafe: GROUP BY keeps a NULL event_type as its own group in both
+    # engines, but a plain equi-join between the two rollups would silently
+    # drop that group's row (NULL never equals NULL — NULL-vintage sweep, r08)
+    return exact.join(
+        F.broadcast(merged.withColumnRenamed("event_type", "et")),
+        F.col("event_type").eqNullSafe(F.col("et")),
+    ).select(
         "event_type",
         "n_users_exact",
         (

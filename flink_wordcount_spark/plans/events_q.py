@@ -293,7 +293,7 @@ def ev_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ),
     spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hr FROM bounds),
-    types AS (SELECT DISTINCT event_type FROM events),
+    types AS (SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL),
     hourly AS (
         SELECT time_bucket(INTERVAL '1 hour', ts) AS hr, event_type,
                count(*) AS n, round(sum(value), 2) AS tv
@@ -321,6 +321,10 @@ def ev_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     and an ignore-nulls last() window. The spine derives from a 1-row
     min/max aggregate, so the only data-sized shuffle is the hourly rollup;
     the spine side stays broadcast-small at any corpus scale.
+
+    A NULL event_type is NOT a series: collect_set drops NULLs and the
+    oracle's type dim filters them to match (an untyped event can never
+    equi-join back to its spine row anyway — NULL-vintage sweep, r08).
     """
     from pyspark.sql import Window
 
@@ -561,19 +565,31 @@ def ev_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths = (
         sess.groupBy("user_id", "sess_id")
         .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
-                    lambda s: s["event_type"],
+            # count(event_type) counts NON-NULL types: a session of only
+            # untyped events has path NULL like the oracle's string_agg
+            # (array_join and string_agg both skip interleaved NULLs, but
+            # array_join of an all-NULL array is '' while string_agg is
+            # NULL — NULL-vintage sweep, r08)
+            F.when(
+                F.count("event_type") > 0,
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("ts", "event_id", "event_type"))
+                        ),
+                        lambda s: s["event_type"],
+                    ),
+                    ">",
                 ),
-                ">",
             ).alias("path")
         )
     )
     return (
         paths.groupBy("path")
         .agg(F.count(F.lit(1)).alias("n_sessions"))
-        .orderBy(F.desc("n_sessions"), "path")
+        # asc_nulls_last: DuckDB's ASC default; keeps the limit-20 boundary
+        # deterministic when a NULL path ties on count
+        .orderBy(F.desc("n_sessions"), F.asc_nulls_last("path"))
         .limit(20)
     )
 
@@ -865,7 +881,7 @@ def ev_moving_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (PARTITION BY event_type
                                   ORDER BY value, event_id) AS rn,
                count(*) OVER (PARTITION BY event_type) AS n
-        FROM events
+        FROM events WHERE value IS NOT NULL
     )
     SELECT event_type,
            CAST(max(n) AS BIGINT) AS n,
@@ -886,8 +902,12 @@ def ev_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one window sort per event_type partition + one aggregate.  At
     100 TB prefer approx_percentile (one-pass sketch) for dashboards and
     keep this exact form for SLO audits — the same exact/approx pairing as
-    agg_quantile_disc."""
-    e = table(spark, sf_dir, "events")
+    agg_quantile_disc.
+
+    NULL values are excluded on both sides (a missing metric is not part of
+    the distribution; unfiltered, Spark's NULLS-FIRST vs DuckDB's NULLS-LAST
+    ASC default shifts every rank — NULL-vintage sweep, r08)."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     wr = Window.partitionBy("event_type").orderBy("value", "event_id")
     wn = Window.partitionBy("event_type")
     r = e.select(
@@ -1481,7 +1501,7 @@ def qa_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (
         SELECT value,
                CAST(ntile(10) OVER (ORDER BY value, event_id) AS BIGINT) AS bucket
-        FROM events
+        FROM events WHERE value IS NOT NULL
     )
     SELECT bucket,
            CAST(count(*) AS BIGINT) AS n,
@@ -1503,14 +1523,24 @@ def qa_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned 32-range sort, then a 10-key grid aggregate.  At 100 TB an
     approx_percentile sketch gives the same table cheaper but engine-
     specific; exact boundaries are the reproducible-calibration choice
-    (quality_cutoff_per_lang's argument)."""
+    (quality_cutoff_per_lang's argument).
+
+    NULL values are excluded on both sides: a histogram profiles the value
+    DISTRIBUTION (qa_schema_profile reports the null rate separately), and
+    unfiltered NULLs land in opposite end buckets under Spark's NULLS-FIRST
+    vs DuckDB's NULLS-LAST ASC default (NULL-vintage sweep, r08)."""
     from ..operators.rankops import global_ntile
 
     # Persisting the 2-column projection spares the rank's two prep jobs a
     # re-scan (r08 review).  At 100 TB CACHING the fact table is the wrong
     # trade — there you let the two prep scans re-read the column-pruned
     # parquet (value only) instead; at bench scale the cache wins.
-    e = table(spark, sf_dir, "events").select("event_id", "value").persist()
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "value")
+        .persist()
+    )
     return (
         global_ntile(e, "value", 10, "event_id", out="bucket")
         .groupBy("bucket")

@@ -31,12 +31,26 @@ _N_QUERIES = 10
 _K = 5
 
 
+def _emb_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings with NULL vectors dropped — the family convention for
+    every query that feeds vectors into a distance computation (NULL-vintage
+    sweep, r08): a row whose encoder failed (NULL embedding) is not a
+    similarity/clustering candidate.  Unfiltered, DuckDB's
+    list_cosine_similarity/list_inner_product ERROR outright on NULL input
+    while Spark's zip_with/aggregate folds propagate NULL — the two engines
+    cannot even agree on failure mode, so the semantics are defined as
+    exclusion on both sides (each oracle carries the matching
+    ``embedding IS NOT NULL``)."""
+    return table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+
+
 @query(
     "embed_cosine_topk",
     oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-               FROM embeddings WHERE vec_id < {_N_QUERIES}),
-    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+               FROM embeddings WHERE vec_id < {_N_QUERIES} AND embedding IS NOT NULL),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE embedding IS NOT NULL),
     scored AS (
         SELECT query_id, neighbor_id,
                round(list_cosine_similarity(qv, cv), 6) AS cos_sim
@@ -52,7 +66,7 @@ _K = 5
 )
 def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ANN baseline: brute-force cosine top-{k} for 10 query vectors."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _emb_nn(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return brute_force_topk(emb, queries, k=_K).select(
         "query_id", "neighbor_id", "cos_sim", "rank"
@@ -64,7 +78,7 @@ def lsh_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-pruned top-k: centroids = every 50th vector (deterministic),
     nprobe=3 cells per query. The 100 TB path: corpus stored partitioned by
     cell_id -> per-query partition pruning instead of a full scan."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _emb_nn(spark, sf_dir)
     centroids = (
         emb.filter(F.col("vec_id") % 50 == 0)
         .select((F.col("vec_id") / 50).cast("int").alias("cell_id"), "embedding")
@@ -87,9 +101,10 @@ _IVF_ORACLE = f"""
 WITH c AS (
     SELECT CAST(vec_id // 50 AS INTEGER) AS cell_id,
            CAST(embedding AS DOUBLE[]) AS cv
-    FROM embeddings WHERE vec_id % 50 = 0
+    FROM embeddings WHERE vec_id % 50 = 0 AND embedding IS NOT NULL
 ), v AS (
-    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv
+    FROM embeddings WHERE embedding IS NOT NULL
 ), scored AS (
     SELECT vec_id, cell_id, round(list_cosine_similarity(vv, cv), 6) AS sim
     FROM v CROSS JOIN c
@@ -132,7 +147,7 @@ def lsh_ivf_topk_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment, probe choice and the final ranking exactly."""
     from ..operators.similarity import cosine
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _emb_nn(spark, sf_dir)
     cents = (
         emb.filter(F.col("vec_id") % 50 == 0)
         .select(
@@ -184,7 +199,8 @@ _PLANES_SQL = "[%s]" % ",".join(
 )
 
 _EMBED_LSH_ORACLE = f"""
-WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE embedding IS NOT NULL),
 pl AS (SELECT CAST(i AS INTEGER) AS plane_idx,
               ({_PLANES_SQL})[CAST(i AS INTEGER)+1] AS p
        FROM range(0, {_N_TABLES * _BITS}) t(i)),
@@ -227,7 +243,7 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline (`cosine_pairs`, kept test-only) is measured in
     tests/test_similarity.py.
     """
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _emb_nn(spark, sf_dir)
     cands = rhp_candidate_pairs(
         rhp_buckets(emb, _N_TABLES, _BITS), max_bucket_size=_MAX_BUCKET
     )
@@ -261,7 +277,7 @@ def lsh_cosine_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dedup_embed_cosine`, exposed on its own so bucket/pair generation is
     independently oracle-checked (the oracle computes the same buckets from
     the same plane constants in SQL)."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _emb_nn(spark, sf_dir)
     return rhp_candidate_pairs(
         rhp_buckets(emb, _N_TABLES, _BITS), max_bucket_size=_MAX_BUCKET
     )
@@ -453,7 +469,7 @@ def _km_oracle() -> str:
         f"""
     WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
     ), c0 AS (
         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster_id, v AS c
         FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_KM_K})
@@ -493,7 +509,7 @@ def kmeans_embed_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel-summation ulps cannot flip a later assignment; ties break on
     cluster_id via lexicographic [dist, id] min.
     """
-    e = table(spark, sf_dir, "embeddings").select(
+    e = _emb_nn(spark, sf_dir).select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
     init = e.orderBy("vec_id").limit(_KM_K).collect()
@@ -646,9 +662,10 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEMDEDUP_T = 0.45
 
 _SEMDEDUP_ORACLE = f"""
-WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE embedding IS NOT NULL),
 c AS (SELECT CAST(vec_id // 50 AS INTEGER) AS cell_id, CAST(embedding AS DOUBLE[]) AS cv
-      FROM embeddings WHERE vec_id % 50 = 0),
+      FROM embeddings WHERE vec_id % 50 = 0 AND embedding IS NOT NULL),
 scored AS (
     SELECT id, cell_id, v, round(list_cosine_similarity(v, cv), 6) AS sim
     FROM e CROSS JOIN c
@@ -694,7 +711,7 @@ def semdedup_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-wide pair join exists in the plan."""
     from ..operators.similarity import cosine
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _emb_nn(spark, sf_dir)
     cents = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.expr("CAST(vec_id div 50 AS INT)").alias("cell_id"),
         as_double(F.col("embedding")).alias("cv"),
@@ -799,6 +816,7 @@ def embed_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
                       * (e.embedding[CAST(i AS INT)] - c.cv[CAST(i AS INT)]))), 6)
                    AS d2
         FROM embeddings e CROSS JOIN cent c
+        WHERE e.embedding IS NOT NULL
     ), own AS (
         SELECT vec_id, label, d2 AS d_own FROM d WHERE label = clabel
     ), oth AS (
@@ -829,7 +847,7 @@ def embed_class_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side zip_with/aggregate fold (no UDF); the nearest-other argmin is
     a per-vector window over k-1 rows.  No pairwise vector joins
     anywhere."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _emb_nn(spark, sf_dir)
     dims = emb.select("vec_id", "label", F.posexplode("embedding").alias("pos", "x"))
     cent = (
         dims.groupBy("label", "pos")
@@ -901,6 +919,7 @@ def embed_class_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / greatest(s.sds[CAST(i AS INT)], 1e-12))))), 6) > 12.0
                AS is_outlier
     FROM embeddings e CROSS JOIN s
+    WHERE e.embedding IS NOT NULL
     """,
 )
 def embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -925,7 +944,7 @@ def embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials (64 cells regardless of corpus size) collapsed to a 1-row
     broadcast; the standardized fold is JVM-side zip_with/aggregate over
     each vector — no second explode, no UDF, no pairwise anything."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _emb_nn(spark, sf_dir)
     dims = emb.select(F.posexplode(as_double(F.col("embedding"))).alias("pos", "x"))
     stats = (
         dims.groupBy("pos")

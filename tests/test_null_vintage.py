@@ -1,17 +1,24 @@
-"""NULL/empty-text vintage parity (review r08).
+"""NULL/empty vintage parity (review r08).
 
-The generated fixtures contain zero NULL-text and zero empty-text rows, so
-neither the driver gate nor the sf-dir oracle-parity sweep can exercise
-those paths — yet NULL-text vintages are a planned-for input (the streaming
-gate's NULL hardening, qa_preflight_report's null_text_rate).  Two layers:
+The generated fixtures contain zero NULLs in text, event value/type/props,
+and embedding columns, so neither the driver gate nor the sf-dir
+oracle-parity sweep can exercise those paths — yet dirty vintages are a
+planned-for input (the streaming gate's NULL hardening,
+qa_preflight_report's null_text_rate).  Two layers:
 
-1. A catalog-wide sweep: EVERY documents-only oracle query runs on a
-   NULL/empty-injected copy of the fixture corpus and must match its oracle
-   there too.  First run of this sweep surfaced four real latent bugs:
-   an ANSI divide-by-zero crash (mm_featurize on empty payloads), DuckDB
-   list_prepend(0, NULL) = [0] fingerprinting NULL docs as 0, DuckDB
-   list_sum([]) = NULL vs Spark's 0 initial value, and NULL docs counted
-   as zero-trigram docs.
+1. A catalog-wide sweep: EVERY single-table oracle query over documents,
+   events, or embeddings runs on a NULL-injected copy of its fixture table
+   and must match its oracle there too.  First runs of this sweep surfaced
+   SEVENTEEN real latent divergences, all fixed: an ANSI divide-by-zero
+   crash (mm_featurize on empty payloads), DuckDB list_prepend(0, NULL) =
+   [0] fingerprinting NULL docs as 0, DuckDB list_sum([]) = NULL vs
+   Spark's 0 fold-init, NULL docs counted as zero-trigram docs, collect_set
+   vs DISTINCT NULL-type drift in the gap-fill spine, all-NULL session
+   paths ('' vs NULL), Spark NULLS-FIRST vs DuckDB NULLS-LAST rank shifts
+   in the percentile/histogram rank selections, a NULL-group row silently
+   dropped by an internal equi-join (sketch_hll_shard_merge), and the
+   whole embeddings distance family crashing the DuckDB oracle on NULL
+   vectors (now excluded by convention on both sides).
 2. Targeted semantics tests for the two queries whose NULL behavior the
    r08 review flagged, with engine-independent hashlib ground truth:
 
@@ -41,37 +48,59 @@ _ALL_TABLES = (
 ).split()
 
 
-def _documents_only_queries() -> list[str]:
-    """Oracle queries whose SQL references the documents table and nothing
-    else (streaming queries excluded: their staging machinery has its own
+#: Tables the vintage fixture injects NULLs into; single-table queries over
+#: any of these are swept.
+_INJECTED = ("documents", "events", "embeddings")
+
+
+def _single_table_queries() -> list[str]:
+    """Oracle queries whose SQL references exactly one injected table
+    (streaming queries excluded: their staging machinery has its own
     NULL-hardening tests and restages files per run)."""
     out = []
     for name, sql in ORACLES.items():
         if name.startswith("stream_"):
             continue
         used = {t for t in _ALL_TABLES if re.search(rf"\b{t}\b", sql)}
-        if used == {"documents"}:
+        if len(used) == 1 and used <= set(_INJECTED):
             out.append(name)
     return sorted(out)
 
 
 @pytest.fixture(scope="session")
 def null_sf_dir(tmp_path_factory, sf_dir) -> str:
-    """The fixture corpus with ~10% NULL and ~10% empty texts injected
-    (deterministic by doc_id), n_chars kept consistent."""
+    """The fixture corpus with dirty-vintage NULLs injected (deterministic
+    by row id): documents get ~10% NULL + ~10% empty texts (n_chars kept
+    consistent); events get NULL value/props/event_type slices; embeddings
+    get NULL vectors and NULL labels."""
     con = duckdb.connect()
-    pdf = con.execute(
+    d = tmp_path_factory.mktemp("null_vintage")
+
+    docs = con.execute(
         f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
     ).df()
-    pdf.loc[pdf.doc_id % 10 == 3, "text"] = None
-    pdf.loc[pdf.doc_id % 10 == 7, "text"] = ""
-    pdf["n_chars"] = pdf["text"].str.len().astype("Int64")
-    d = tmp_path_factory.mktemp("null_vintage")
-    pdf.to_parquet(d / "documents.parquet", index=False)
+    docs.loc[docs.doc_id % 10 == 3, "text"] = None
+    docs.loc[docs.doc_id % 10 == 7, "text"] = ""
+    docs["n_chars"] = docs["text"].str.len().astype("Int64")
+    docs.to_parquet(d / "documents.parquet", index=False)
+
+    ev = con.execute(f"SELECT * FROM read_parquet('{sf_dir}/events.parquet')").df()
+    ev.loc[ev.event_id % 10 == 3, "value"] = None
+    ev.loc[ev.event_id % 20 == 7, "props"] = None
+    ev.loc[ev.event_id % 25 == 11, "event_type"] = None
+    ev.to_parquet(d / "events.parquet", index=False)
+
+    emb = con.execute(
+        f"SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).df()
+    emb.loc[emb.vec_id % 10 == 3, "embedding"] = None
+    emb.loc[emb.vec_id % 20 == 7, "label"] = None
+    emb["label"] = emb["label"].astype("Int32")
+    emb.to_parquet(d / "embeddings.parquet", index=False)
     return str(d)
 
 
-@pytest.mark.parametrize("name", _documents_only_queries())
+@pytest.mark.parametrize("name", _single_table_queries())
 def test_query_matches_oracle_on_null_vintage(spark, null_sf_dir, name):
     spark.catalog.clearCache()  # unfreeze persisted frames between queries
     ok_cols_rows_vals = _parity(spark, null_sf_dir, name)
@@ -106,12 +135,16 @@ def _null_docs_dir(tmp_path) -> str:
 
 
 def _parity(spark, sf_dir: str, name: str) -> pd.DataFrame:
+    import os
+
     spdf = QUERIES[name](spark, sf_dir).toPandas()
     con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW documents AS SELECT * FROM "
-        f"read_parquet('{sf_dir}/documents.parquet')"
-    )
+    for t in _INJECTED:
+        if os.path.exists(f"{sf_dir}/{t}.parquet"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
     opdf = con.execute(ORACLES[name]).df()
     assert sorted(spdf.columns) == sorted(opdf.columns)
     assert len(spdf) == len(opdf), f"{name}: spark={len(spdf)} oracle={len(opdf)}"
