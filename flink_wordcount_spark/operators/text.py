@@ -83,6 +83,13 @@ def shingle_pair_cte_sql(n: int, rel: str = "documents") -> str:
 )"""
 
 
+#: The Jaccard score as a DuckDB SQL expression over the builder's
+#: shared/sizes aliases — the SINGLE definition (review r08 second pass: the
+#: round/denominator convention lived in four oracle copies; a rounding
+#: tweak had four places to miss).
+JACCARD_SCORE_SQL = "round(n_shared / (x.n + y.n - n_shared), 6)"
+
+
 def jaccard_pairs_cte_sql(threshold: float) -> str:
     """The ``pairs`` CTE (id-ordered near-dup pairs at ``threshold`` Jaccard)
     over :func:`shingle_pair_cte_sql`'s ``shared``/``sizes`` — appended with
@@ -91,5 +98,5 @@ def jaccard_pairs_cte_sql(threshold: float) -> str:
     return f"""pairs AS (
     SELECT id_a, id_b
     FROM shared JOIN sizes x ON x.doc_id = id_a JOIN sizes y ON y.doc_id = id_b
-    WHERE round(n_shared / (x.n + y.n - n_shared), 6) >= {threshold}
+    WHERE {JACCARD_SCORE_SQL} >= {threshold}
 )"""

@@ -30,7 +30,11 @@ from ..hints import maybe_broadcast
 from ..io import table
 from ..operators.dedup import containment_pairs, shingle_hashes
 from ..operators.text import TOKS_SQL as _TOKS_SQL  # shared tokenizer SQL
-from ..operators.text import jaccard_pairs_cte_sql, shingle_pair_cte_sql
+from ..operators.text import (
+    JACCARD_SCORE_SQL,
+    jaccard_pairs_cte_sql,
+    shingle_pair_cte_sql,
+)
 from ..operators.textstats import tokens_arr
 from .catalog import query
 
@@ -193,7 +197,7 @@ def ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     )
     SELECT source_a, source_b, CAST(n_shared AS BIGINT) AS n_shared,
-           round(n_shared / (x.n + y.n - n_shared), 6) AS jaccard
+           {JACCARD_SCORE_SQL} AS jaccard
     FROM shared JOIN sizes x ON x.source = source_a
                 JOIN sizes y ON y.source = source_b
     """,

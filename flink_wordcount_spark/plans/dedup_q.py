@@ -28,7 +28,7 @@ from ..operators.dedup import (
     shingles,
     simhash,
 )
-from ..operators.text import shingle_pair_cte_sql
+from ..operators.text import JACCARD_SCORE_SQL, shingle_pair_cte_sql
 from .catalog import query
 
 _SHINGLE_N = 3
@@ -43,9 +43,9 @@ _MAX_BUCKET = 1024
 _JACCARD_ORACLE = f"""
 WITH {shingle_pair_cte_sql(_SHINGLE_N)}
 SELECT id_a, id_b, n_shared,
-       round(n_shared / (x.n + y.n - n_shared), 6) AS jaccard
+       {JACCARD_SCORE_SQL} AS jaccard
 FROM shared JOIN sizes x ON x.doc_id = id_a JOIN sizes y ON y.doc_id = id_b
-WHERE round(n_shared / (x.n + y.n - n_shared), 6) >= {_THRESHOLD}
+WHERE {JACCARD_SCORE_SQL} >= {_THRESHOLD}
 """
 
 
@@ -246,9 +246,9 @@ _NEW_SHARD_MOD, _NEW_SHARD_RES = 5, 4
         GROUP BY 1, 2
     )
     SELECT new_id, old_id, n_shared,
-           round(n_shared / (x.n + y.n - n_shared), 6) AS jaccard
+           {JACCARD_SCORE_SQL} AS jaccard
     FROM shared JOIN sizes x ON x.doc_id = new_id JOIN sizes y ON y.doc_id = old_id
-    WHERE round(n_shared / (x.n + y.n - n_shared), 6) >= {_THRESHOLD}
+    WHERE {JACCARD_SCORE_SQL} >= {_THRESHOLD}
     """,
 )
 def dedup_incremental_shard(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -806,6 +806,7 @@ def embed_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH dims AS (
         SELECT label, i, round(avg(embedding[CAST(i AS INT)]), 6) AS c
         FROM embeddings, unnest(range(1, 65)) AS u(i)
+        WHERE embedding IS NOT NULL
         GROUP BY label, i
     ), cent AS (
         SELECT label AS clabel, list(c ORDER BY i) AS cv FROM dims GROUP BY label

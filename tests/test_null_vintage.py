@@ -96,6 +96,10 @@ def null_sf_dir(tmp_path_factory, sf_dir) -> str:
     ).df()
     emb.loc[emb.vec_id % 10 == 3, "embedding"] = None
     emb.loc[emb.vec_id % 20 == 7, "label"] = None
+    # one label with EVERY vector NULL: the ghost-centroid case (an oracle
+    # computing per-label centroids from unfiltered embeddings emits an
+    # all-NULL centroid for it while the filtered Spark side has none)
+    emb.loc[emb.label == emb.label.max(), "embedding"] = None
     emb["label"] = emb["label"].astype("Int32")
     emb.to_parquet(d / "embeddings.parquet", index=False)
     return str(d)
