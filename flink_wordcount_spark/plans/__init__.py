@@ -96,7 +96,11 @@ _MODIFIED_THIS_ROUND: list[str] = [
     # EVERY single-table oracle query over NULL-injected copies of
     # documents/events/embeddings (121 queries) plus engine-independent
     # hashlib ground truth for the checksum/cutoff semantics, and the
-    # head-50 budget (exactly full, see below) stays intact.
+    # head-50 budget (exactly full, see below) stays intact.  Same
+    # reasoning for the events_q review fixes (ts_profile_similarity
+    # NULLS-LAST top-k + persisted profile rollup, SCD2/CEP _TS_FMT
+    # constant, dead-import cleanups); ev_rfm_segmentation's NULLS-FIRST
+    # oracle pin IS driver-verified — it was already in this list.
 ]
 
 # Queries to verify THIS round ahead of the staleness rotation even though

@@ -326,8 +326,6 @@ def ev_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's type dim filters them to match (an untyped event can never
     equi-join back to its spine row anyway — NULL-vintage sweep, r08).
     """
-    from pyspark.sql import Window
-
     e = table(spark, sf_dir, "events")
     hourly = (
         e.groupBy(F.date_trunc("hour", "ts").alias("hr"), "event_type")
@@ -727,14 +725,24 @@ def ts_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tractable at 100 TB); the reference profile is a <=24-row broadcast, so
     the search is a map-side join + partial agg, and top-k plans as
     TakeOrdered.  Swap the single reference for an LSH bucket join
-    (operators/similarity.py) for all-pairs search."""
+    (operators/similarity.py) for all-pairs search.
+
+    The profile rollup is persisted: it feeds both the reference-profile
+    branch and the probe side, which otherwise each re-aggregate the fact
+    table (r08 review; lifetime follows the clearCache-between-queries
+    convention).  A user whose shared-hour values are all NULL has ssd NULL
+    and sorts LAST like the oracle (asc_nulls_last — DuckDB's ASC default):
+    no measurable distance is not 'nearest'."""
     e = table(spark, sf_dir, "events")
     prof = (
         e.select("user_id", F.hour("ts").cast("long").alias("hod"), "value")
         .groupBy("user_id", "hod")
         .agg(F.avg("value").alias("v"))
+        .persist()
     )
-    ref_user = e.agg(F.min("user_id").alias("ref_user"))
+    # min over the (user, hod) rollup == min over events (every user with
+    # an event has a profile row) — reads the cache, not a third fact scan
+    ref_user = prof.agg(F.min("user_id").alias("ref_user"))
     ref_prof = (
         prof.join(
             maybe_broadcast(ref_user),
@@ -750,7 +758,7 @@ def ts_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum((F.col("v") - F.col("rv")) * (F.col("v") - F.col("rv"))), 4).alias("ssd"),
             F.count(F.lit(1)).alias("n_hours"),
         )
-        .orderBy("ssd", "user_id")
+        .orderBy(F.asc_nulls_last("ssd"), "user_id")
         .limit(10)
     )
 
@@ -1032,7 +1040,7 @@ _DRIFT_BINS = 10
 def qa_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift report: per event_type Population Stability Index
     of the ``value`` distribution between the first and second half of the
-    month (split {_DRIFT_SPLIT}).  The standard silent-upstream-change alarm
+    month (split at _DRIFT_SPLIT).  The standard silent-upstream-change alarm
     a long-running ingest pipeline runs per delivery: PSI < 0.1 stable,
     0.1-0.2 watch, > 0.2 investigate.  Laplace-smoothed ((c+1)/(n+bins)) so
     empty bins are well-defined; the full type x bin grid is materialized so
@@ -1173,8 +1181,8 @@ def ev_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return changes.select(
         "user_id",
         "state",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
-        F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        F.date_format("ts", _TS_FMT).alias("valid_from"),
+        F.date_format(nxt, _TS_FMT).alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
 
@@ -1268,7 +1276,7 @@ def ev_pattern_strict_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_matches"),
-            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_match_ts"),
+            F.date_format(F.min("ts"), _TS_FMT).alias("first_match_ts"),
         )
     )
 
@@ -1289,7 +1297,8 @@ def ev_pattern_strict_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, recency_us, frequency, monetary,
            CAST(ntile(5) OVER (ORDER BY recency_us DESC, user_id) AS BIGINT) AS r_score,
            CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS BIGINT) AS f_score,
-           CAST(ntile(5) OVER (ORDER BY monetary, user_id) AS BIGINT) AS m_score
+           CAST(ntile(5) OVER (ORDER BY monetary NULLS FIRST, user_id) AS BIGINT)
+               AS m_score
     FROM rfm
     """,
 )
@@ -1299,6 +1308,10 @@ def ev_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     into quintiles (higher = better: most-recent / most-frequent /
     highest-spend land in bucket 5) — the classic lifecycle-marketing
     segmentation, with total tie-break orders so ntile is engine-neutral.
+    A purchaser whose every purchase value is NULL has monetary NULL and
+    ranks LOWEST for m_score on both sides (the oracle pins NULLS FIRST to
+    match Spark's ascending window default — rankops' documented caveat;
+    NULL-vintage review, r08): no spend evidence is the weakest spend.
 
     Scale (VERDICT r07 What's-wrong #1 closed): one purchase-filtered
     aggregate per user (the single-row corpus-max side broadcast), then
@@ -1640,7 +1653,7 @@ def ev_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: ONE hash exchange on user_id feeding both the lead window and
     the aggregate; per-task frames are single-user-sized."""
-    e = normalize_event_ts(table(spark, sf_dir, "events"))
+    e = table(spark, sf_dir, "events")  # table() already normalizes event ts
     us = F.unix_micros("ts")
     w = Window.partitionBy("user_id").orderBy(us.asc(), F.col("event_id").asc())
     seq = e.select(

@@ -89,6 +89,10 @@ def null_sf_dir(tmp_path_factory, sf_dir) -> str:
     ev.loc[ev.event_id % 10 == 3, "value"] = None
     ev.loc[ev.event_id % 20 == 7, "props"] = None
     ev.loc[ev.event_id % 25 == 11, "event_type"] = None
+    # one user with EVERY value NULL: exercises all-NULL rollups (RFM
+    # monetary NULL -> NULLS-FIRST quintile, ts-profile ssd NULL -> sorts
+    # last) that the per-row slice above cannot reach
+    ev.loc[ev.user_id == ev.user_id.max(), "value"] = None
     ev.to_parquet(d / "events.parquet", index=False)
 
     emb = con.execute(
