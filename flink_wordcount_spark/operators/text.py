@@ -30,6 +30,14 @@ TOKEN_SPLIT_REGEX = r"\W+"
 #: the drop-empties rule exactly.
 TOKS_SQL = "list_filter(regexp_split_to_array(text, '\\W+'), x -> length(x) > 0)"
 
+#: Per-row word-trigram array as a DuckDB SQL snippet — the single oracle
+#: definition of the trigram window (review r08: the block was hand-copied
+#: in two oracles).  NULL text propagates NULL; <3 tokens yields [].
+TRIGRAMS_SQL = (
+    f"list_transform(generate_series(1, len({TOKS_SQL}) - 2), "
+    f"i -> {TOKS_SQL}[i] || ' ' || {TOKS_SQL}[i+1] || ' ' || {TOKS_SQL}[i+2])"
+)
+
 
 def tokenize(df: DataFrame, text_col: str = "text", out_col: str = "word") -> DataFrame:
     """One output row per non-empty ``\\W+``-separated token; other columns kept."""

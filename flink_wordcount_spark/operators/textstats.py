@@ -30,6 +30,31 @@ def tokens_arr(text_col: str = "text") -> Column:
     return F.filter(F.split(F.col(text_col), TOKEN_SPLIT_REGEX), lambda w: F.length(w) > 0)
 
 
+def word_trigrams(text_col: str = "text") -> Column:
+    """Per-row word-trigram array ('a b c' strings) — the Spark twin of
+    operators.text.TRIGRAMS_SQL (review r08: two hand-rolled copies had
+    already drifted on the NULL branch).  NULL text -> NULL (the textstats
+    family convention); <3 tokens -> [] (guarded explicitly: Spark's
+    sequence(1, 0) is the DESCENDING [1, 0])."""
+    toks = tokens_arr(text_col)
+    return (
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("array<string>"))
+        .when(
+            F.size(toks) >= 3,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                    F.element_at(toks, i + 3),
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+    )
+
+
 def lang_scores(text_col: str = "text") -> list[Column]:
     """One hit-count column per language: |tokens ∩ stopwords(lang)|, counting
     repeats (a real frequency heuristic, not just set overlap)."""

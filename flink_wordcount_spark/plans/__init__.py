@@ -100,7 +100,13 @@ _MODIFIED_THIS_ROUND: list[str] = [
     # reasoning for the events_q review fixes (ts_profile_similarity
     # NULLS-LAST top-k + persisted profile rollup, SCD2/CEP _TS_FMT
     # constant, dead-import cleanups); ev_rfm_segmentation's NULLS-FIRST
-    # oracle pin IS driver-verified — it was already in this list.
+    # oracle pin IS driver-verified — it was already in this list.  And for
+    # the textstats_q review batch: text_chunk_split's NULL-text chunk is
+    # NULL-tokened (was a phantom 512 — mirrored on both engines, invisible
+    # to any parity gate), -0.0 guards on zipf/char-lm (zipf is queued
+    # above), tokens_arr/word_trigrams/TRIGRAMS_SQL single-sourcing, and
+    # the char-lm m2/vocab + tfidf df derivations (fewer corpus explodes,
+    # values identical, parity-verified at sf0.001).
 ]
 
 # Queries to verify THIS round ahead of the staleness rotation even though

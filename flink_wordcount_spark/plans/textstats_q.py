@@ -21,11 +21,13 @@ from ..operators.textstats import (
     quality_features,
     quality_score_sql,
     token_counts,
+    tokens_arr,
+    word_trigrams,
 )
 from .catalog import query
 
-from ..operators.text import TOKEN_SPLIT_REGEX
 from ..operators.text import TOKS_SQL as _TOKS  # shared tokenizer SQL
+from ..operators.text import TRIGRAMS_SQL as _TRIGRAMS
 from ..operators.dedup import shingles
 
 
@@ -128,7 +130,7 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bigrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 word bigrams across the corpus (n-gram language statistics)."""
     d = table(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", TOKEN_SPLIT_REGEX), lambda w: F.length(w) > 0)
+    toks = tokens_arr("text")
     bigrams = F.expr(
         "CASE WHEN size(__t) >= 2 THEN "
         "transform(sequence(1, size(__t) - 1), i -> concat(__t[i-1], ' ', __t[i])) "
@@ -172,16 +174,25 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back) + a window top-k; the classic text-features pipeline."""
     d = table(spark, sf_dir, "documents")
     toks = (
-        d.select("doc_id", F.explode(F.split("text", TOKEN_SPLIT_REGEX)).alias("word"))
-        .filter(F.length("word") > 0)
+        d.select("doc_id", F.explode(tokens_arr("text")).alias("word"))
     )
-    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    # Persisted: both the score probe and the df rollup read tf, and
+    # Catalyst does not reuse the exchange across the branches — unpersisted
+    # the corpus token stream exploded twice (r08 review).  At 100 TB
+    # caching a (doc, word) frame is the wrong trade (re-read the
+    # column-pruned parquet instead); at bench scale the cache wins —
+    # the qa_equi_depth_histogram argument.
+    tf = (
+        toks.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    # df derives from tf: exactly one tf row per (doc, word), so a plain
+    # count per word IS the distinct-doc count — no second corpus explode
+    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     # corpus size as a 1-row broadcast-joined aggregate, not a driver-side
     # d.count() — keeps the whole query one job / one documents scan at scale
     n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
-    from pyspark.sql import Window
-
     scored = (
         tf.join(maybe_broadcast(df_), "word")
         .join(F.broadcast(n))
@@ -317,13 +328,11 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     each shard packs independently in parallel instead of serializing one
     global cumulative sum through a single partition.
     """
-    from pyspark.sql import Window
-
     d = table(spark, sf_dir, "documents")
     sized = d.select(
         "source",
         "doc_id",
-        F.size(F.filter(F.split("text", TOKEN_SPLIT_REGEX), lambda x: F.length(x) > 0))
+        F.size(tokens_arr("text"))
         .cast("bigint")
         .alias("n_tokens"),
     )
@@ -343,10 +352,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH grams AS (
         SELECT doc_id,
-               list_transform(
-                   generate_series(1, len({_TOKS}) - 2),
-                   i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]
-               ) AS trigrams
+               {_TRIGRAMS} AS trigrams
         FROM documents
     )
     SELECT doc_id,
@@ -372,22 +378,7 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted NULL — NULL-vintage sweep, r08).
     """
     d = table(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", TOKEN_SPLIT_REGEX), lambda x: F.length(x) > 0)
-    grams = F.when(
-        F.col("text").isNull(), F.lit(None).cast("array<string>")
-    ).when(
-        F.size(toks) >= 3,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 3),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-                F.element_at(toks, i + 3),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    g = d.select("doc_id", grams.alias("trigrams"))
+    g = d.select("doc_id", word_trigrams("text").alias("trigrams"))
     n = F.size("trigrams").cast("bigint")
     nd = F.size(F.array_distinct("trigrams")).cast("bigint")
     return g.select(
@@ -405,10 +396,7 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH g AS (
         SELECT doc_id, text, n_chars, lang,
-               list_transform(
-                   generate_series(1, len({_TOKS}) - 2),
-                   i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]
-               ) AS trigrams
+               {_TRIGRAMS} AS trigrams
         FROM documents
     ), flags AS (
         SELECT text,
@@ -435,24 +423,14 @@ def curation_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     2*distinct >= total — integer arithmetic, no float ratio to drift.
     """
     d = table(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", TOKEN_SPLIT_REGEX), lambda x: F.length(x) > 0)
-    grams = F.when(
-        F.size(toks) >= 3,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 3),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-                F.element_at(toks, i + 3),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # word_trigrams: NULL text -> NULL trigrams; the c_* flags are already
+    # NULL-gated through n_chars, so the funnel sums are unchanged (the old
+    # inline copy mapped NULL to [] — the drift the shared helper removes)
     flags = d.select(
         "text",
         (F.col("n_chars") >= 100).alias("c_len"),
         ((F.col("n_chars") >= 100) & F.col("lang").isin("en", "fr", "de", "es")).alias("c_lang"),
-        grams.alias("trigrams"),
+        word_trigrams("text").alias("trigrams"),
     ).select(
         "text",
         "c_len",
@@ -583,7 +561,9 @@ def sample_upsample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id, CAST(u.chunk_id AS BIGINT) AS chunk_id,
-           CAST(least(512, n_toks - 512 * u.chunk_id) AS BIGINT) AS chunk_tokens
+           CAST(CASE WHEN n_toks IS NOT NULL
+                     THEN least(512, n_toks - 512 * u.chunk_id) END AS BIGINT)
+               AS chunk_tokens
     FROM sized, unnest(range(0, n_chunks)) AS u(chunk_id)
     """,
 )
@@ -592,9 +572,12 @@ def text_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     style): one output row per chunk via explode(sequence(...)) — map-side
     expansion, no shuffle. Tail chunks carry their true (short) token
     count; empty docs still yield one zero-token chunk so no document
-    silently disappears from the corpus."""
+    silently disappears from the corpus, and a NULL-text doc yields one
+    chunk with chunk_tokens NULL (the dirty-vintage contract; unguarded,
+    both engines' NULL-skipping least() reported a phantom 512-token chunk
+    — mirrored on both sides, so only the r08 review caught it)."""
     d = table(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", TOKEN_SPLIT_REGEX), lambda x: F.length(x) > 0)
+    toks = tokens_arr("text")
     sized = d.select(
         "doc_id",
         F.size(toks).cast("bigint").alias("n_toks"),
@@ -608,7 +591,12 @@ def text_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunks.select(
         "doc_id",
         F.col("chunk_id").cast("bigint").alias("chunk_id"),
-        F.least(F.lit(512).cast("bigint"), F.col("n_toks") - 512 * F.col("chunk_id"))
+        F.when(
+            F.col("n_toks").isNotNull(),
+            F.least(
+                F.lit(512).cast("bigint"), F.col("n_toks") - 512 * F.col("chunk_id")
+            ),
+        )
         .cast("bigint")
         .alias("chunk_tokens"),
     )
@@ -626,8 +614,8 @@ def text_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM counts
     )
     SELECT CAST(count(*) AS BIGINT) AS n_words,
-           round(regr_slope(ln(cnt), ln(rnk)), 4) AS zipf_slope,
-           round(regr_intercept(ln(cnt), ln(rnk)), 4) AS zipf_intercept
+           round(regr_slope(ln(cnt), ln(rnk)), 4) + 0.0 AS zipf_slope,
+           round(regr_intercept(ln(cnt), ln(rnk)), 4) + 0.0 AS zipf_intercept
     FROM ranked
     """,
 )
@@ -662,7 +650,7 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.rankops import with_global_rank
 
     d = table(spark, sf_dir, "documents")
-    toks = F.expr("filter(split(text, '\\\\W+'), x -> length(x) > 0)")
+    toks = tokens_arr("text")
     frac = F.conv(F.substring(F.md5("word"), 1, 4), 16, 10).cast("double") / 65536.0
     counts = (
         d.select(F.explode(toks).alias("word"))
@@ -676,8 +664,12 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("cnt", "rnk")
     return ranked.agg(
         F.count(F.lit(1)).alias("n_words"),
-        F.round(F.regr_slope(F.ln("cnt"), F.ln("rnk")), 4).alias("zipf_slope"),
-        F.round(F.regr_intercept(F.ln("cnt"), F.ln("rnk")), 4).alias("zipf_intercept"),
+        (F.round(F.regr_slope(F.ln("cnt"), F.ln("rnk")), 4) + F.lit(0.0)).alias(
+            "zipf_slope"
+        ),
+        (
+            F.round(F.regr_intercept(F.ln("cnt"), F.ln("rnk")), 4) + F.lit(0.0)
+        ).alias("zipf_intercept"),
     )
 
 
@@ -698,7 +690,7 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT count(DISTINCT substr(g3, 3, 1)) AS v FROM grams
     )
     SELECT g.doc_id,
-           round(avg(ln((m3.c3 + 1.0) / (m2.c2 + vocab.v))), 3) AS avg_logp,
+           round(avg(ln((m3.c3 + 1.0) / (m2.c2 + vocab.v))), 3) + 0.0 AS avg_logp,
            count(*) AS n_trigrams
     FROM grams g
     JOIN m3 USING (g3) JOIN m2 USING (g2) CROSS JOIN vocab
@@ -712,13 +704,19 @@ def text_char_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     a crawl pipeline runs to drop gibberish/binary-ish documents — done
     entirely in DataFrame ops, no model library.
 
-    Two-pass scale shape: pass 1 aggregates the trigram/context model (one
-    shuffle on the gram key; model cardinality is bounded by alphabet^3,
-    i.e. MBs at any corpus size), pass 2 re-streams the corpus joining
-    trigrams to the broadcast model — the same build-small-then-broadcast
-    topology as BM25.  Docs shorter than 3 chars are excluded BEFORE the
-    index sequence on both sides (Spark's sequence(1, 0) is the DESCENDING
-    [1, 0], which would substr garbage)."""
+    Two-pass scale shape: pass 1 aggregates the trigram model (one shuffle
+    on the gram key; model cardinality is bounded by alphabet^3, i.e. MBs
+    at any corpus size), pass 2 re-streams the corpus joining trigrams to
+    the broadcast model — the same build-small-then-broadcast topology as
+    BM25.  The context model m2 and the alphabet size both DERIVE from the
+    persisted m3 (every gram's g2 is its g3's 2-char prefix, so m2 =
+    m3 grouped by prefix; the alphabet is m3's distinct third chars) —
+    r08 review: building them from the raw gram stream re-exploded the
+    corpus twice more for tables m3 already determines.  Docs shorter than
+    3 chars are excluded BEFORE the index sequence on both sides (Spark's
+    sequence(1, 0) is the DESCENDING [1, 0], which would substr garbage).
+    avg_logp carries the catalog's post-round +0.0 (-0.0 guard): add-one-
+    smoothed logs sit just below zero on near-saturated corpora."""
     d = (
         table(spark, sf_dir, "documents")
         .select("doc_id", "text")
@@ -733,9 +731,13 @@ def text_char_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").substr(F.col("i"), F.lit(3)).alias("g3"),
         F.col("text").substr(F.col("i"), F.lit(2)).alias("g2"),
     )
-    m3 = g.groupBy("g3").agg(F.count(F.lit(1)).alias("c3"))
-    m2 = g.groupBy("g2").agg(F.count(F.lit(1)).alias("c2"))
-    vocab = g.select(
+    # alphabet^3-bounded model table; persisted because m2/vocab/the final
+    # join all read it (clearCache-between-queries lifetime)
+    m3 = g.groupBy("g3").agg(F.count(F.lit(1)).alias("c3")).persist()
+    m2 = m3.groupBy(F.col("g3").substr(F.lit(1), F.lit(2)).alias("g2")).agg(
+        F.sum("c3").alias("c2")
+    )
+    vocab = m3.select(
         F.count_distinct(F.col("g3").substr(F.lit(3), F.lit(1))).alias("v")
     )
     return (
@@ -744,9 +746,14 @@ def text_char_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(maybe_broadcast(vocab))
         .groupBy("doc_id")
         .agg(
-            F.round(
-                F.avg(F.ln((F.col("c3") + F.lit(1.0)) / (F.col("c2") + F.col("v")))),
-                3,
+            (
+                F.round(
+                    F.avg(
+                        F.ln((F.col("c3") + F.lit(1.0)) / (F.col("c2") + F.col("v")))
+                    ),
+                    3,
+                )
+                + F.lit(0.0)
             ).alias("avg_logp"),
             F.count(F.lit(1)).alias("n_trigrams"),
         )
@@ -775,7 +782,7 @@ _VOCAB_N = 1000
     """,
 )
 def text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vocabulary construction: the top-{_VOCAB_N} lowercased tokens by
+    """Vocabulary construction: the top-_VOCAB_N lowercased tokens by
     corpus frequency, assigned dense ids in (freq DESC, token) order — the
     tokenizer-training step that turns a curated corpus into a vocab file
     (word-level here; a BPE trainer consumes the same frequency table).
@@ -783,11 +790,10 @@ def text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: token counting is one map-side-combined shuffle on the token;
     the id assignment is a top-N — TakeOrderedAndProject over the counts,
     never a global sort of the vocabulary — and the window that numbers
-    the survivors runs over {_VOCAB_N} rows."""
-    from ..operators.text import TOKEN_SPLIT_REGEX
+    the survivors runs over _VOCAB_N rows."""
 
     d = table(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", TOKEN_SPLIT_REGEX), lambda w: F.length(w) > 0)
+    toks = tokens_arr("text")
     counts = (
         d.select(F.explode(toks).alias("w"))
         .select(F.lower("w").alias("token"))
@@ -831,7 +837,7 @@ _NOVELTY_N = 3
 )
 def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-saturation curve: per document (in ingestion = doc_id order),
-    the fraction of its distinct {_NOVELTY_N}-gram shingles never seen in
+    the fraction of its distinct _NOVELTY_N-gram shingles never seen in
     any EARLIER document.  Plotted over ingestion order this is the
     is-the-web-running-out measurement — novelty decaying toward the
     duplication floor tells you each marginal crawl batch adds less — and
@@ -898,9 +904,9 @@ def text_bpe_char_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus token stream — at 100 TB that is the difference between
     exploding ~10^6 vocabulary entries and ~10^13 tokens.  The pair
     aggregate lands on an alphabet^2-bounded grid with map-side partials;
-    top-{_BPE_TOP} is TakeOrderedAndProject (freq DESC, pair tie-break)."""
+    top-_BPE_TOP is TakeOrderedAndProject (freq DESC, pair tie-break)."""
     d = table(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", TOKEN_SPLIT_REGEX), lambda w: F.length(w) > 0)
+    toks = tokens_arr("text")
     freqs = (
         d.select(F.explode(toks).alias("w"))
         .select(F.lower("w").alias("w"))
@@ -944,7 +950,7 @@ def text_bpe_char_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_skipgram_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skip-gram co-occurrence counts (window ±2): the (center, context)
     pair table word2vec-style embedding training consumes, top-
-    {_SKIPGRAM_TOP} by count.  Directed pairs — (a, b) at distance -1 and
+    _SKIPGRAM_TOP by count.  Directed pairs — (a, b) at distance -1 and
     (b, a) at +1 both count, matching the training objective.
 
     Scale: NO self-join — each token row looks up its ±2 neighbors by ARRAY
@@ -954,7 +960,7 @@ def text_skipgram_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     the position fan-out is a fixed x4 multiplier.  A join-based plan
     would shuffle the token stream twice on (doc, position)."""
     d = table(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", TOKEN_SPLIT_REGEX), lambda w: F.length(w) > 0)
+    toks = tokens_arr("text")
     base = d.select(toks.alias("t"))
     idx = base.select(
         "t", F.explode(F.sequence(F.lit(1), F.size("t"))).alias("i")
@@ -1108,7 +1114,7 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-bounded, after map-side partials) -> per-source fold bounded by
     the source grid."""
     d = table(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", TOKEN_SPLIT_REGEX), lambda w: F.length(w) > 0)
+    toks = tokens_arr("text")
     per_word = (
         d.select("source", F.explode(toks).alias("word"))
         .groupBy("source", "word")
