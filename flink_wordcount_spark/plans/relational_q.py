@@ -26,6 +26,13 @@ def _r(c, n=2):
     return F.round(c, n)
 
 
+def _rev():
+    """Discounted line revenue — the SINGLE definition of the association
+    order (review r08: eight inline copies risked a future edit changing
+    the float evaluation order in only some of them)."""
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
 # ---------------------------------------------------------------- TPC-H-ish
 
 @query(
@@ -48,7 +55,7 @@ def _r(c, n=2):
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: wide hash agg with filter pushed to the parquet scan."""
     li = table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc_price = _rev()
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -100,7 +107,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             "o_orderpriority",
         )
-        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(_r(F.sum(_rev())).alias("revenue"))
         .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -149,7 +156,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
         .groupBy("n_name")
-        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(_r(F.sum(_rev())).alias("revenue"))
     )
 
 
@@ -207,7 +214,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(_r(F.sum(_rev())).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
@@ -287,7 +294,11 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey")
     )
     return (
-        li.join(big.withColumnRenamed("l_orderkey", "bk"), li.l_orderkey == F.col("bk"), "leftsemi")
+        li.join(
+            maybe_broadcast(big.withColumnRenamed("l_orderkey", "bk")),
+            li.l_orderkey == F.col("bk"),
+            "leftsemi",
+        )
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy(
@@ -348,7 +359,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: conditional revenue split by a dimension attribute
     (promo parts), dim broadcast into the filtered fact scan."""
     li, p = table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = _rev()
     return (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
@@ -610,11 +621,11 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(maybe_broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
-        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(_r(F.sum(_rev())).alias("revenue"))
     )
 
 
@@ -659,7 +670,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
     n1 = n.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
     n2 = n.select(F.col("n_nationkey").alias("nk2"), F.col("n_regionkey").alias("rk2"))
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = _rev()
     nation_vol = F.round(
         F.sum(F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(0.0)), 2
     )
@@ -675,7 +686,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             li.l_orderkey == o.o_orderkey,
         )
-        .join(c, o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
         .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), F.col("rk2") == F.col("r_regionkey"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
@@ -705,9 +716,13 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT IN subquery's supplier set (fixture schema has no partsupp, so the
     lineitem fact stands in as the part-supplier relation).
 
-    The NOT IN becomes a broadcast null-aware anti join (s_suppkey is
-    non-null here); count(DISTINCT) expands to the two-phase distinct
-    aggregate. Part filter is broadcast into the fact scan.
+    The NOT IN is rewritten as a plain (broadcast) anti join — equivalent
+    here because BOTH keys are NOT-NULL by the TPC-H schema contract: a
+    NULL probe-side l_suppkey would survive a leftanti but be dropped by
+    SQL NOT IN (r08 review corrected this docstring, which previously
+    claimed a null-aware anti join the operator does not perform).
+    count(DISTINCT) expands to the two-phase distinct aggregate; the part
+    filter is broadcast into the fact scan.
     """
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").filter(
@@ -774,7 +789,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(maybe_broadcast(p), li.l_partkey == p.p_partkey)
         .filter(branch)
-        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(_r(F.sum(_rev())).alias("revenue"))
     )
 
 
@@ -901,7 +916,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("total_revenue"))
+        .agg(_r(F.sum(_rev())).alias("total_revenue"))
     )
     top = revenue.agg(F.max("total_revenue").alias("max_rev"))
     return (
@@ -934,7 +949,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(maybe_broadcast(p), li.l_partkey == p.p_partkey)
-        .join(avg_q, li.l_partkey == F.col("pk"))
+        .join(maybe_broadcast(avg_q), li.l_partkey == F.col("pk"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg((_r(F.sum("l_extendedprice")) / 7.0).alias("avg_yearly"))
     )
@@ -1037,7 +1052,8 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n.n_name AS nation,
            CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
            round(sum(l.l_extendedprice * (1 - l.l_discount)
-                     - 0.5 * p.p_retailprice * l.l_quantity), 2) AS sum_profit
+                     - 0.5 * p.p_retailprice * l.l_quantity), 2) + 0.0
+               AS sum_profit
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -1059,9 +1075,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
     o = table(spark, sf_dir, "orders")
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.5 * F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity")
+    profit = _rev() - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
     return (
         li.join(maybe_broadcast(p), li.l_partkey == p.p_partkey)
         .join(maybe_broadcast(s), li.l_suppkey == s.s_suppkey)
@@ -1071,7 +1085,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
-        .agg(_r(F.sum(profit)).alias("sum_profit"))
+        # post-round +0.0: the only SIGNED rounded sum in this module — a
+        # group near zero rounds to -0.0 in DuckDB and +0.0 in Spark
+        .agg((_r(F.sum(profit)) + F.lit(0.0)).alias("sum_profit"))
     )
 
 
