@@ -30,10 +30,31 @@ def salted_count(df: DataFrame, key: str, salt_buckets: int = 16) -> DataFrame:
     addition is commutative; for non-decomposable aggregates use a
     deterministic salt (hash of a secondary column) instead.
     """
+    out = salted_measures(df, key, {"cnt": F.count(F.lit(1))}, salt_buckets)
+    return out.withColumn("cnt", F.col("cnt").cast("bigint"))
+
+
+def salted_measures(
+    df: DataFrame,
+    key: str,
+    measures: dict[str, Column],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Exact per-key sums/counts for SEVERAL measures in ONE salted
+    two-phase pass — one scan, one (key, salt) shuffle, one salt_buckets-
+    rows-per-key reduce, however many measures ride along (review r08:
+    computing each measure with its own salted pass doubles the fact-table
+    I/O for no exactness gain).  Each measure must be sum-re-aggregatable
+    (sum/count); the phase-2 combine is always SUM of the phase-1 partials.
+    """
     _assert_no_salt_column(df)
     salted = df.withColumn("__salt", (F.rand(seed=0) * salt_buckets).cast("int"))
-    partial = salted.groupBy(key, "__salt").agg(F.count(F.lit(1)).alias("__partial"))
-    return partial.groupBy(key).agg(F.sum("__partial").cast("bigint").alias("cnt"))
+    partial = salted.groupBy(key, "__salt").agg(
+        *[m.alias(f"__p_{name}") for name, m in measures.items()]
+    )
+    return partial.groupBy(key).agg(
+        *[F.sum(f"__p_{name}").alias(name) for name in measures]
+    )
 
 
 def _assert_no_salt_column(*dfs: DataFrame) -> None:
@@ -50,10 +71,7 @@ def _assert_no_salt_column(*dfs: DataFrame) -> None:
 
 def salted_agg(df: DataFrame, key: str, measure: Column, salt_buckets: int = 16) -> DataFrame:
     """Exact per-key SUM of ``measure`` with the same two-phase shape."""
-    _assert_no_salt_column(df)
-    salted = df.withColumn("__salt", (F.rand(seed=0) * salt_buckets).cast("int"))
-    partial = salted.groupBy(key, "__salt").agg(F.sum(measure).alias("__partial"))
-    return partial.groupBy(key).agg(F.sum("__partial").alias("total"))
+    return salted_measures(df, key, {"total": F.sum(measure)}, salt_buckets)
 
 
 def salted_join(

@@ -106,7 +106,12 @@ _MODIFIED_THIS_ROUND: list[str] = [
     # to any parity gate), -0.0 guards on zipf/char-lm (zipf is queued
     # above), tokens_arr/word_trigrams/TRIGRAMS_SQL single-sourcing, and
     # the char-lm m2/vocab + tfidf df derivations (fewer corpus explodes,
-    # values identical, parity-verified at sf0.001).
+    # values identical, parity-verified at sf0.001).  And the relational/
+    # aggregates review batches: q9's -0.0 guard (q9 is pinned below),
+    # broadcast hints on q7/q8/q17/q18 fact joins (q7/q8/q17 pinned),
+    # agg_salted_two_phase's one-pass salted_measures rewrite, and
+    # dq_constraint_report's stack()-unpivoted single-scan row-local checks
+    # with empty-table coalesce guards.
 ]
 
 # Queries to verify THIS round ahead of the staleness rotation even though

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import table
+from ..operators.text import TOKS_SQL as _CMS_TOKS  # shared tokenizer SQL
 from .catalog import query
 
 
@@ -303,18 +304,17 @@ def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count and the integral quantity sums are exact under any grouping
     order), shuffle rows per hot key drop from N to 16.
     """
-    from ..operators.skew import salted_count
+    from ..operators.skew import salted_measures
 
     li = table(spark, sf_dir, "lineitem")
-    cnt = salted_count(li, "l_returnflag", salt_buckets=16)
-    salted = li.withColumn("__salt", (F.rand(seed=0) * 16).cast("int"))
-    qty = (
-        salted.groupBy("l_returnflag", "__salt")
-        .agg(F.sum("l_quantity").alias("__p"))
-        .groupBy("l_returnflag")
-        .agg(F.sum("__p").alias("total_qty"))
-    )
-    return cnt.join(qty, "l_returnflag").select("l_returnflag", "cnt", "total_qty")
+    # ONE salted pass carries both measures (r08 review: a pass per measure
+    # doubled the fact scan + shuffle and needed a join to recombine)
+    return salted_measures(
+        li,
+        "l_returnflag",
+        {"cnt": F.count(F.lit(1)), "total_qty": F.sum("l_quantity")},
+        salt_buckets=16,
+    ).select("l_returnflag", F.col("cnt").cast("bigint").alias("cnt"), "total_qty")
 
 
 @query(
@@ -343,19 +343,29 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     its violation count (range checks, null checks, PK uniqueness, and
     referential integrity both directions).
 
-    Scale shape: range/null checks are conditional aggregates inside each
-    table's single scan (map-side partial, one-row result); PK-dup and the
-    two referential checks shuffle only on the join/group key. All checks
-    union into one report — the whole audit is one pass per fact table plus
-    two key-hash joins, which is how you'd run it nightly at 100 TB.
+    Scale shape: ALL of a table's row-local checks (ranges, nulls) ride ONE
+    conditional aggregate inside that table's single scan and unpivot via
+    stack() — one 1-row result per fact table, structurally one scan, not
+    an optimizer-dependent ReuseExchange across union branches (r08 review:
+    each check used to be its own aggregation subtree, re-scanning lineitem
+    4x and orders 5x).  PK-dup and the two referential checks shuffle only
+    on the join/group key.  Every counter is coalesced to 0 so an EMPTY
+    vintage table reports zero violations like the oracle's count(*) FILTER
+    (Spark's sum over zero rows is NULL).
     """
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
 
-    def one(name: str, df: DataFrame, cond) -> DataFrame:
-        return df.agg(
-            F.lit(name).alias("constraint"),
-            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias("violations"),
+    def viol(cond) -> F.Column:
+        return (
+            F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+            .cast("bigint")
+        )
+
+    def unpivot(agg_df: DataFrame, names: list[str]) -> DataFrame:
+        pairs = ", ".join(f"'{n}', {n}" for n in names)
+        return agg_df.select(
+            F.expr(f"stack({len(names)}, {pairs}) AS (constraint, violations)")
         )
 
     def count_rows(name: str, df: DataFrame) -> DataFrame:
@@ -364,22 +374,28 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("violations"),
         )
 
-    qty = one(
-        "lineitem_quantity_range",
-        li,
-        (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+    li_checks = unpivot(
+        li.agg(
+            viol(
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+            ).alias("lineitem_quantity_range"),
+            viol(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)
+            ).alias("lineitem_discount_range"),
+        ),
+        ["lineitem_quantity_range", "lineitem_discount_range"],
     )
-    disc = one(
-        "lineitem_discount_range",
-        li,
-        (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1),
+    o_checks = unpivot(
+        o.agg(
+            viol(F.col("o_totalprice") <= 0).alias("orders_nonpositive_total"),
+            viol(F.col("o_orderdate").isNull()).alias("orders_null_date"),
+        ),
+        ["orders_nonpositive_total", "orders_null_date"],
     )
     orphans = count_rows(
         "lineitem_orphans",
         li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "leftanti"),
     )
-    total = one("orders_nonpositive_total", o, F.col("o_totalprice") <= 0)
-    nulldate = one("orders_null_date", o, F.col("o_orderdate").isNull())
     dup_pk = (
         o.groupBy("o_orderkey")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -393,9 +409,14 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "orders_without_lineitems",
         o.join(li.select("l_orderkey"), o.o_orderkey == li.l_orderkey, "leftanti"),
     )
-    return qty.unionAll(disc).unionAll(orphans).unionAll(total).unionAll(
-        nulldate
-    ).unionAll(dup_pk).unionAll(childless)
+    # union order is immaterial: the driver's value compare is
+    # order-insensitive (constraint names key the rows)
+    return (
+        li_checks.unionAll(o_checks)
+        .unionAll(orphans)
+        .unionAll(dup_pk)
+        .unionAll(childless)
+    )
 
 
 @query(
@@ -442,8 +463,6 @@ def sketch_hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sketch_ok"),
     )
 
-
-from ..operators.text import TOKS_SQL as _CMS_TOKS  # shared tokenizer SQL
 
 
 @query(
