@@ -25,6 +25,7 @@ from ..operators.similarity import (
     rhp_candidate_pairs,
     rhp_planes,
 )
+from ..operators.textstats import tokens_arr
 from .catalog import query
 
 _N_QUERIES = 10
@@ -376,6 +377,39 @@ _BM25_SCORE_SQL = "round(" + " + ".join(
 from ..operators.text import TOKS_SQL as _BM25_TOKS  # shared tokenizer SQL
 
 
+def _bm25_per_stats(d: DataFrame) -> tuple[DataFrame, DataFrame, F.Column]:
+    """Shared BM25 scoring prep (review r08: bm25_keyword_search and
+    retrieval_rrf_fusion each hand-rolled identical tokenizer/tf/stats
+    frames — a term-list or tokenizer tweak in one would silently decouple
+    the fused ranking from the score it fuses).  Returns the per-document
+    term-frequency frame ``per`` (doc_id, dl, tf0..tfN — all JVM array ops
+    in the scan projection, no explode), the single-row corpus-stats frame
+    ``stats`` (N, avgdl denominator, per-term df), and the ``any_tf``
+    match predicate column."""
+    def _eq(term: str):
+        # NB: must stay a 1-arg lambda — F.filter dispatches on arity, and a
+        # defaulted 2nd param would be bound to the element *index* column
+        return lambda x: x == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter(F.col("t"), _eq(w))).alias(f"tf{i}")
+        for i, w in enumerate(_BM25_TERMS)
+    ]
+    per = d.select("doc_id", tokens_arr("text").alias("t")).select(
+        "doc_id", F.size("t").alias("dl"), *tf_cols
+    )
+    stats = per.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").cast("double").alias("sdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    any_tf = sum(F.col(f"tf{i}") for i in range(len(_BM25_TERMS)))
+    return per, stats, any_tf
+
+
 @query(
     "bm25_keyword_search",
     oracle=f"""
@@ -406,30 +440,7 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast cross join.
     """
     d = table(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(F.col("text"), r"\W+"), lambda w: F.length(w) > 0
-    )
-    def _eq(term: str):
-        # NB: must stay a 1-arg lambda — F.filter dispatches on arity, and a
-        # defaulted 2nd param would be bound to the element *index* column
-        return lambda x: x == F.lit(term)
-
-    tf_cols = [
-        F.size(F.filter(F.col("t"), _eq(w))).alias(f"tf{i}")
-        for i, w in enumerate(_BM25_TERMS)
-    ]
-    per = d.select("doc_id", toks.alias("t")).select(
-        "doc_id", F.size("t").alias("dl"), *tf_cols
-    )
-    stats = per.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("dl").cast("double").alias("sdl"),
-        *[
-            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
-            for i in range(len(_BM25_TERMS))
-        ],
-    )
-    any_tf = sum(F.col(f"tf{i}") for i in range(len(_BM25_TERMS)))  # noqa: built-in sum over Columns
+    per, stats, any_tf = _bm25_per_stats(d)
     return (
         per.crossJoin(F.broadcast(stats))  # single-row stats: always broadcast
         .filter(any_tf > 0)
@@ -605,28 +616,9 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation_end_to_end convention).
     """
     from ..operators.rankops import with_global_rank
+
     d = table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.col("text"), r"\W+"), lambda w: F.length(w) > 0)
-
-    def _eq(term: str):
-        return lambda x: x == F.lit(term)
-
-    tf_cols = [
-        F.size(F.filter(F.col("t"), _eq(w))).alias(f"tf{i}")
-        for i, w in enumerate(_BM25_TERMS)
-    ]
-    per = d.select("doc_id", toks.alias("t")).select(
-        "doc_id", F.size("t").alias("dl"), *tf_cols
-    )
-    stats = per.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("dl").cast("double").alias("sdl"),
-        *[
-            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
-            for i in range(len(_BM25_TERMS))
-        ],
-    )
-    any_tf = sum(F.col(f"tf{i}") for i in range(len(_BM25_TERMS)))
+    per, stats, any_tf = _bm25_per_stats(d)
     scored = (
         per.crossJoin(F.broadcast(stats))
         .filter(any_tf > 0)
