@@ -111,7 +111,10 @@ _MODIFIED_THIS_ROUND: list[str] = [
     # broadcast hints on q7/q8/q17/q18 fact joins (q7/q8/q17 pinned),
     # agg_salted_two_phase's one-pass salted_measures rewrite, and
     # dq_constraint_report's stack()-unpivoted single-scan row-local checks
-    # with empty-table coalesce guards.
+    # with empty-table coalesce guards.  And the similarity_q review batch:
+    # bm25_keyword_search / retrieval_rrf_fusion now share one
+    # _bm25_per_stats prep (same tokenizer, same tf/stats expressions) —
+    # output-identical, both re-verified hash-green at sf0.001 and sf0.01.
 ]
 
 # Queries to verify THIS round ahead of the staleness rotation even though
