@@ -42,6 +42,31 @@ def test_broadcast_dims_in_join_queries(spark, sf_dir):
         assert "BroadcastHashJoin" in _plan(QUERIES[q](spark, sf_dir)), q
 
 
+def test_threshold_parser_units():
+    """_threshold_bytes must parse every form Spark accepts for
+    autoBroadcastJoinThreshold: plain bytes, unit suffixes (case-insensitive,
+    single- and double-letter), and -1/garbage -> disabled.  The gating tests
+    below exercise only the plain-int and '1b' paths; a user session tuned
+    with '64MB' would silently disable every size-gated hint if the suffix
+    branch regressed."""
+    from types import SimpleNamespace
+
+    from flink_wordcount_spark.hints import _threshold_bytes
+
+    def fake(value):
+        return SimpleNamespace(conf=SimpleNamespace(get=lambda *_: value))
+
+    assert _threshold_bytes(fake("10485760")) == 10 * 1024 * 1024
+    assert _threshold_bytes(fake("64MB")) == 64 * 1024 * 1024
+    assert _threshold_bytes(fake("64mb")) == 64 * 1024 * 1024
+    assert _threshold_bytes(fake("10m")) == 10 * 1024 * 1024
+    assert _threshold_bytes(fake("1g")) == 1 << 30
+    assert _threshold_bytes(fake("512k")) == 512 * 1024
+    assert _threshold_bytes(fake("1b")) == 1
+    assert _threshold_bytes(fake("-1")) == -1
+    assert _threshold_bytes(fake("not-a-size")) == -1
+
+
 def test_maybe_broadcast_gates_on_size(spark, sf_dir):
     """SF-scaling dims get a size-gated hint: broadcast below the threshold
     (fixture scale), plain shuffle join above it (the 100 TB case, simulated
