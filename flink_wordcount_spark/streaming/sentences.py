@@ -62,16 +62,24 @@ def wordlist() -> list[str]:
     return _WORDLIST_CACHE
 
 
-#: one broadcast of the vocabulary per SparkContext (4 MB, shipped once)
+#: One broadcast of the vocabulary per application (4 MB, shipped once).
+#: Keyed on applicationId, NOT id(sc): a stopped context's id() can be
+#: reused by a new object, which would hand out a broadcast handle from a
+#: dead JVM (the same round-3 bug class io._CACHE and session._TUNED were
+#: moved off id() for).  Bounded like io._CACHE so dead apps' handles are
+#: dropped instead of accumulating across a long pytest session.
 _WORDS_BC = {}
+_WORDS_BC_MAX_APPS = 4
 
 
 def _words_broadcast(spark: SparkSession):
     import numpy as np
 
     sc = spark.sparkContext
-    key = id(sc)
+    key = sc.applicationId
     if key not in _WORDS_BC:
+        while len(_WORDS_BC) >= _WORDS_BC_MAX_APPS:
+            _WORDS_BC.pop(next(iter(_WORDS_BC)))
         _WORDS_BC[key] = sc.broadcast(np.array(wordlist(), dtype=object))
     return _WORDS_BC[key]
 
