@@ -242,7 +242,7 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full pipeline in SQL, so bucketing, capping, pair generation AND
     verification are all value-checked. Recall vs the exact all-pairs
     baseline (`cosine_pairs`, kept test-only) is measured in
-    tests/test_similarity.py.
+    tests/test_llm_ops.py.
     """
     emb = _emb_nn(spark, sf_dir)
     cands = rhp_candidate_pairs(
