@@ -44,6 +44,31 @@ def test_cache_evicts_oldest_application():
     assert f"app-{io._CACHE_MAX_APPS + 1}" in io._CACHE  # newest retained
 
 
+def test_words_broadcast_keyed_and_bounded_like_io_cache():
+    """r08: the vocabulary broadcast was the one remaining id()-keyed map —
+    now applicationId-keyed and bounded like io._CACHE, so a new app never
+    inherits a dead JVM's broadcast handle and dead apps' handles drop."""
+    from flink_wordcount_spark.streaming import sentences as sn
+
+    sn._WORDS_BC.clear()
+
+    def fake(app_id: str):
+        sc = SimpleNamespace(
+            applicationId=app_id, broadcast=MagicMock(side_effect=lambda v: object())
+        )
+        return SimpleNamespace(sparkContext=sc)
+
+    a = fake("app-a")
+    h1 = sn._words_broadcast(a)
+    assert sn._words_broadcast(a) is h1  # memoized within app
+    assert sn._words_broadcast(fake("app-b")) is not h1  # fresh per app
+    for i in range(sn._WORDS_BC_MAX_APPS + 2):
+        sn._words_broadcast(fake(f"app-{i}"))
+    assert len(sn._WORDS_BC) <= sn._WORDS_BC_MAX_APPS
+    assert f"app-{sn._WORDS_BC_MAX_APPS + 1}" in sn._WORDS_BC
+    sn._WORDS_BC.clear()
+
+
 def test_tune_memo_is_weak():
     s = _FakeSession("app-weak")
     session.tune(s)
