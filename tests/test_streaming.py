@@ -345,6 +345,11 @@ def test_streaming_upsert_sink_maintains_keyed_table(spark, tmp_path):
     sink(spark.createDataFrame([(2, "ZZZ")], "k int, v string"), 1)
     got = {(r.k, r.v) for r in sink.read(spark).collect()}
     assert got == {(1, "a"), (2, "B"), (3, "c")}
+    # replay of an OLDER id after a newer commit: the forward-only _LATEST
+    # guard must not point the table backwards to the batch-0 snapshot
+    sink(spark.createDataFrame([(1, "stale")], "k int, v string"), 0)
+    got = {(r.k, r.v) for r in sink.read(spark).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
     # via a real streaming query: one sink root per query lineage (batch ids
     # are only unique within a checkpoint lineage — see _commit)
     src = str(tmp_path / "src")
