@@ -43,105 +43,63 @@ from . import catalog as _catalog
 # session-window oracle break shipped unverified precisely because a stale
 # green row pinned it behind the budget).  Reset this list each round.
 _MODIFIED_THIS_ROUND: list[str] = [
-    # Edited post-r07-verification / in r08 (the driver has never seen
-    # these versions):
-    "stream_timeout_flush",     # ADVICE r07: engine-side F.round (HALF_UP)
-                                # replaced Python banker's round in the flush
-    "ev_user_value_deciles",    # VERDICT r07 #2: unpartitioned ntile ->
-                                # grid-partitioned two-phase global rank
-    "ev_rfm_segmentation",      # same rewrite, three quintile scores
-    "text_zipf_fit",            # vocab rank -> grid global rank (dirty-corpus
-                                # vocabularies scale with the data)
-    "retrieval_rrf_fusion",     # both fusion ranks -> grid global rank
-                                # (stopword-ish terms make candidates corpus-
-                                # scaling)
-    "dedup_shared_spans",       # r08 review: body extracted into
-                                # _shared_span_profile for the hashed twin —
-                                # a refactor is still an edit (the r07
-                                # text_quality precedent)
-    # r08 operator-review fixes (late in the round): every prior-green
-    # query whose operator changed re-queues for the driver.
-    "lsh_simhash64_md5",        # simhash_band_pairs -> collect_set shape
-    # lsh_simhash64 (the rows-only xxhash twin of the SAME rework) is NOT
-    # queued: head(14) + pinned(16) + never-verified(21) exactly fills the
-    # ~50-slot budget, and its weaker rows-only check is the one whose miss
-    # costs least — the md5 twin value-checks the shared operator and
-    # tests/test_lsh_recall.py pins its recall floor.
-    "dedup_edit_distance",      # consumes the reworked candidate set
-    "dedup_minhash_verified",   # shingle_hashes composed from shingles;
-                                # shared bucket_pair_expansion
-    "lsh_minhash_candidates_md5",  # same candidate-path refactor
-    "join_asof_two_table",      # deterministic right-side tie order
-    "mm_frame_sample",          # NULL-text guard on both sides
-    "stream_stream_join",       # shared _view_purchase_stream_join topology
-    "stream_stream_left_join",  # same extraction + self-healing staged dir
-    # NOTE: the _raw_schema plumbing (tune-before-footer-read) touched every
-    # streaming entry; the two above are the behavior-adjacent refactors,
-    # the rest are covered by the streaming pytest suite plus the r08
-    # streaming subset already queued (timeout_flush modified, windowed_topk
-    # and the python-datasource pair never-verified).
-    # NOT queued — r08 NULL/empty-vintage parity fixes
-    # (qa_partition_checksums keyed-digest coalesce, quality_cutoff_per_lang
-    # conditional count, four tokens_arr() reuse sites, and the catalog
-    # sweep's finds: text_quality / text_fingerprint / text_repetition_ratio
-    # NULL alignment, ev_gap_fill NULL-type spine, ev_session_paths all-NULL
-    # path, ev_value_percentiles + qa_equi_depth_histogram NULL-value
-    # exclusion, sketch_hll_shard_merge null-safe join, and the embeddings
-    # family's NULL-vector exclusion; mm_featurize is already PINNED below
-    # so its byte_mean zero-guard does get a driver slot): all are
-    # OUTPUT-IDENTICAL on the NULL-free fixtures — re-verified one by one at
-    # sf0.01/sf0.1 — so a driver slot buys no information; the gate corpus
-    # cannot exercise the NULL/empty path either way.  The behavior change
-    # is pinned where it IS observable: tests/test_null_vintage.py sweeps
-    # EVERY single-table oracle query over NULL-injected copies of
-    # documents/events/embeddings (121 queries) plus engine-independent
-    # hashlib ground truth for the checksum/cutoff semantics, and the
-    # head-50 budget (exactly full, see below) stays intact.  Same
-    # reasoning for the events_q review fixes (ts_profile_similarity
-    # NULLS-LAST top-k + persisted profile rollup, SCD2/CEP _TS_FMT
-    # constant, dead-import cleanups); ev_rfm_segmentation's NULLS-FIRST
-    # oracle pin IS driver-verified — it was already in this list.  And for
-    # the textstats_q review batch: text_chunk_split's NULL-text chunk is
-    # NULL-tokened (was a phantom 512 — mirrored on both engines, invisible
-    # to any parity gate), -0.0 guards on zipf/char-lm (zipf is queued
-    # above), tokens_arr/word_trigrams/TRIGRAMS_SQL single-sourcing, and
-    # the char-lm m2/vocab + tfidf df derivations (fewer corpus explodes,
-    # values identical, parity-verified at sf0.001).  And the relational/
-    # aggregates review batches: q9's -0.0 guard (q9 is pinned below),
-    # broadcast hints on q7/q8/q17/q18 fact joins (q7/q8/q17 pinned),
-    # agg_salted_two_phase's one-pass salted_measures rewrite, and
-    # dq_constraint_report's stack()-unpivoted single-scan row-local checks
-    # with empty-table coalesce guards.  And the similarity_q review batch:
-    # bm25_keyword_search / retrieval_rrf_fusion now share one
-    # _bm25_per_stats prep (same tokenizer, same tf/stats expressions) —
-    # output-identical, both re-verified hash-green at sf0.001 and sf0.01.
+    # r09: the round's theme is VERIFICATION FRESHNESS (VERDICT r08 #1) —
+    # the entire 41-query r04-stale cohort is pinned below and new-operator
+    # additions are capped, so this list stays small by design.
+    # (stream_timeout_flush itself is UNCHANGED this round; its new
+    # transformWithState twin registers as a never-verified query and takes
+    # a budget slot right after the pinned cohort.)
 ]
 
 # Queries to verify THIS round ahead of the staleness rotation even though
-# their code is unchanged.  r08 (VERDICT r07 #1): the 16-query cohort whose
-# last driver-green row is r03 — pinned directly behind the modified list so
-# they cannot starve again behind never-verified newcomers (staleness sorts
-# round-0 entries first, which would put every new r08 query ahead of them).
-# Budget: 5 modified + 16 pinned + 21 never-verified r08 queries = 42 of
-# the ~50 slots; the remaining ~8 rotate the r04-verified back catalog.
-# New-operator additions stopped at 21 for exactly this reason.
+# their code is unchanged.  r09 (VERDICT r08 #1): the FULL 41-query cohort
+# whose last driver-green row is r04 — the histogram floor.  Pinning all of
+# them moves the floor to r05 in one round, exactly like r08 retired the
+# r03 cohort.  Budget: 0 modified + 41 pinned + ~5 never-verified new
+# queries (TWS timer twin + the r09 additions) ≈ the ~50-slot budget; the
+# r05 back catalog rotates next round.
 _PIN_FRONT_THIS_ROUND: list[str] = [
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_excess_shippers",
-    "q21_suppliers_kept_waiting",
-    "q22_dormant_customers",
-    "mm_featurize",
-    "mm_metadata",
-    "setop_union_by_name",
-    "window_cume_percent",
+    "approx_distinct_quantile",
+    "bm25_keyword_search",
+    "curation_quality_gate",
+    "decontam_eval_overlap",
+    "dedup_cluster_representatives",
+    "dedup_containment",
+    "dedup_incremental_shard",
+    "dedup_keep_list",
+    "dedup_ngram_jaccard",
+    "dedup_rate_by_source",
+    "doc_length_histogram",
+    "dq_constraint_report",
+    "embed_quantize_int8",
+    "ev_funnel_conversion",
+    "ev_retention_cohorts",
+    "ev_session_paths",
+    "ev_session_window",
+    "join_inner",
+    "join_left_outer",
+    "kmeans_embed_clusters",
+    "lsh_minhash_candidates",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_volume_customers",
+    "sample_shuffle_order",
+    "sample_stratified",
+    "sample_upsample_weighted",
+    "sketch_hll_shard_merge",
+    "source_vocab_overlap",
+    "stream_events_tumbling",
+    "stream_session_window",
+    "stream_sliding_window",
+    "text_chunk_split",
+    "text_ngram_boilerplate",
+    "text_pii_scrub",
 ]
 
 

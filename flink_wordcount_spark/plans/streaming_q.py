@@ -1056,6 +1056,65 @@ def stream_timeout_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_timeout_flush_tws",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_timeout_flush_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_timeout_flush on the Spark 4 transformWithStateInPandas API:
+    explicit ValueState + REAL event-time timers (registerTimer /
+    handleExpiredTimer) instead of applyInPandasWithState's
+    EventTimeTimeout — the stateful-processor feature pair the older API
+    cannot express (named state variables, multiple re-armable timers per
+    key). Same staged replay (events + two future-dated sentinels), same
+    emit-once-per-key contract, same oracle as the apply twin: the second
+    sentinel's watermark fires every real key's timer, sentinels are
+    negative-keyed and filtered from the result.
+
+    Heals the 8-round environment gate: the worker-side protobuf runtime is
+    the container's bundled pure-Python copy, wired up by
+    streaming/tws._ensure_protobuf_runtime at module import (which the
+    worker runs when it unpickles TimeoutFlushProcessor).
+
+    Scale: identical state-hygiene story to the apply twin — state is
+    (count, sum, last_ms) per LIVE key, removed at flush; timers are
+    per-key singletons (re-armed, not accumulated), so the timer store
+    tracks the active working set too."""
+    from ..streaming.tws import tws_timeout_flush
+
+    schema = _raw_schema(spark, f"{sf_dir}/events.parquet")
+    src = _left_join_stream_dir(spark, sf_dir, schema)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .transform(normalize_event_ts)
+        .withWatermark("ts", "1 second")
+        .select("user_id", "ts", "value")
+    )
+    # tws_timeout_flush pins the RocksDB provider (transformWithState
+    # requires it); restore the session's provider afterwards so later
+    # streaming queries keep their configured store.
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    try:
+        flushed = (
+            tws_timeout_flush(stream)
+            .filter(F.col("user_id") >= 0)  # drop the staging sentinels
+            .withColumn("total_value", F.round("total_value", 2))
+        )
+        return run_to_completion(flushed, output_mode="append")
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
+
+
+@query(
     "stream_windowed_topk",
     oracle="""
     WITH agg AS (

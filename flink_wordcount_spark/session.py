@@ -77,4 +77,11 @@ def get_spark(app_name: str = "flink_wordcount_spark", cpus: int | None = None) 
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
-    return tune(builder.getOrCreate())
+    spark = tune(builder.getOrCreate())
+    # Non-local master: ship the package zip to executors (the Python
+    # DataSource / stateful processors unpickle by reference and must
+    # import flink_wordcount_spark worker-side). No-op on local[*].
+    from .packaging import ship_package
+
+    ship_package(spark)
+    return spark

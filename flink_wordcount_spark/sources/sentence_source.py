@@ -20,14 +20,15 @@ The generation core is shared with the streaming UDF path
 (``sentences_for_ids``) — one implementation, so the DataSource and the
 rate-source stream can never drift.
 
-DEPLOYMENT ASSUMPTION (ADVICE r07): ``_PKG_ROOT`` below captures the repo's
+DEPLOYMENT (ADVICE r07, built r09): ``_PKG_ROOT`` below captures the repo's
 absolute path at import time and ``read()`` re-inserts it into ``sys.path``
-on the executor — which only resolves when workers share the driver's
-filesystem layout (local mode, or a cluster with the repo mounted at the
-same path).  On a real cluster ship the package instead:
-``spark.sparkContext.addPyFile(...)`` over a zip of
-``flink_wordcount_spark`` or a ``--py-files``/pip install of the wheel;
-the sys.path insert is then a harmless no-op.
+on the executor — the local-mode fast path (workers share the driver's
+filesystem).  On a real cluster the package travels with the job instead:
+``packaging.ship_package(spark)`` zips ``flink_wordcount_spark`` and
+``addPyFile``s it (``session.get_spark`` does this automatically for
+non-local masters), after which this insert is a harmless no-op; the
+executor import path from the zip alone — repo stripped from ``sys.path``
+— is pinned by ``tests/test_packaging.py``.
 """
 
 from __future__ import annotations

@@ -35,7 +35,13 @@ from pyspark.sql import functions as F
 #: Vocabulary size bounds the streaming wordcount's state cardinality and
 #: shuffle key space, so using the real list keeps the stateful-agg
 #: operating point honest (a 1k synthetic list understates state ~355x).
-_WORDS_RESOURCE = Path(__file__).resolve().parent.parent / "resources" / "words.txt"
+#: Loaded through importlib.resources so it also resolves when the package
+#: is shipped to executors as a zip (packaging.ship_package) — a bare
+#: Path(__file__) breaks under zipimport.
+def _words_resource():
+    from importlib import resources
+
+    return resources.files("flink_wordcount_spark") / "resources" / "words.txt"
 
 #: Fallback-only synthetic list (FIXTURES.md §B): syllable products.
 _SYL_A = ("ba", "de", "fi", "go", "hu", "ka", "lo", "mi", "na", "pe")
@@ -55,8 +61,9 @@ def wordlist() -> list[str]:
     the synthetic list otherwise (keeps the package importable standalone)."""
     global _WORDLIST_CACHE
     if _WORDLIST_CACHE is None:
-        if _WORDS_RESOURCE.exists():
-            _WORDLIST_CACHE = _WORDS_RESOURCE.read_text(encoding="utf-8").splitlines()
+        res = _words_resource()
+        if res.is_file():
+            _WORDLIST_CACHE = res.read_text(encoding="utf-8").splitlines()
         else:
             _WORDLIST_CACHE = synthetic_wordlist()
     return _WORDLIST_CACHE
@@ -79,8 +86,22 @@ def _words_broadcast(spark: SparkSession):
     key = sc.applicationId
     if key not in _WORDS_BC:
         while len(_WORDS_BC) >= _WORDS_BC_MAX_APPS:
-            _WORDS_BC.pop(next(iter(_WORDS_BC)))
+            # Best-effort release of the evicted handle's JVM-side blocks:
+            # for a still-live app the 4 MB broadcast would otherwise leak
+            # until app shutdown (and a re-request would ship a duplicate);
+            # for a dead app the unpersist raises into the except (ADVICE
+            # r08).
+            evicted = _WORDS_BC.pop(next(iter(_WORDS_BC)))
+            try:
+                evicted.unpersist()
+            except Exception:
+                pass  # owning JVM already gone
         _WORDS_BC[key] = sc.broadcast(np.array(wordlist(), dtype=object))
+    else:
+        # LRU, not insertion-order FIFO: refresh recency on hit so a hot
+        # app's live broadcast is not the one evicted under concurrent-app
+        # pressure (ADVICE r08).
+        _WORDS_BC[key] = _WORDS_BC.pop(key)
     return _WORDS_BC[key]
 
 

@@ -4,14 +4,87 @@ Same semantics as stateful.py's applyInPandasWithState implementation
 (reference CountWords, StatefulWordCount.java:134-180) on the newer API:
 explicit named ValueState, per-key Arrow-batched processing, Update mode.
 
-Environment gate: transformWithState's Python state-server worker imports
-``google.protobuf``, which is not functional in this container — check
-``tws_available()`` before use (the applyInPandasWithState path in
-stateful.py is the primary, always-available implementation). It also needs
-the RocksDB state store provider conf (set in ``tws_wordcount``).
+Environment gate, HEALED: transformWithState's Python state-server protocol
+imports ``google.protobuf``, which is not installed in this container.
+``_ensure_protobuf_runtime()`` (module level, so it runs in the driver AND
+in every Python worker that unpickles a processor from this module) points
+``sys.path`` at a pure-Python protobuf runtime that IS on the machine — the
+BSD-licensed copy bundled inside the google-cloud-sdk's App Engine platform
+(``/usr/lib/google-cloud-sdk/platform/google_appengine/google/protobuf``,
+v6.32.0). PySpark 4.1's generated ``StateMessage_pb2`` is gencode 6.33.0 —
+one minor version ahead — so we also set protobuf's own documented escape
+hatch ``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK`` (read at gencode
+import time via ``os.getenv``; the 6.32/6.33 gap is within protobuf's
+cross-version wire guarantees for pure-Python runtimes). Check
+``tws_available()`` before use; the applyInPandasWithState path in
+stateful.py remains the primary implementation. transformWithState also
+needs the RocksDB state store provider conf (set in ``tws_wordcount``).
 """
 
 from __future__ import annotations
+
+import os
+import sys
+
+# Known pure-Python protobuf runtimes shipped with the base image (public,
+# BSD-licensed). Probed only when `google.protobuf` is not importable.
+_PROTOBUF_FALLBACK_PATHS = (
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+)
+
+
+def _ensure_protobuf_runtime() -> bool:
+    """Make ``google.protobuf`` importable, returning True on success.
+
+    Module-level call sites matter: Python workers import this module when
+    unpickling ``RunningCountProcessor`` / timer processors, which happens
+    BEFORE pyspark's worker imports ``StateMessage_pb2`` — so both the
+    ``sys.path`` entry and the version-check env var are in place in the
+    worker process even when the JVM (and hence the worker daemon's
+    environment) was launched before this package was imported.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        pass
+    for path in _PROTOBUF_FALLBACK_PATHS:
+        if not os.path.isdir(os.path.join(path, "google", "protobuf")):
+            continue
+        if path not in sys.path:
+            sys.path.append(path)  # append: never shadow real site-packages
+        # Official protobuf escape hatch for a gencode-ahead-of-runtime gap
+        # (pyspark gencode 6.33.0 vs bundled runtime 6.32.0); set BEFORE any
+        # *_pb2 import so the worker-side os.getenv sees it.
+        os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
+        # Python workers have the spark-core JAR on sys.path; its
+        # google/protobuf/ directory (Java classes) imports as an EMPTY
+        # namespace package, and once that is cached in sys.modules the
+        # appended real package can never win ("cannot import name
+        # 'descriptor' from 'google.protobuf' (unknown location)",
+        # reproduced against spark-core_2.13-4.1.2.jar). Purge only
+        # location-less namespace stubs — a real google.* module (has
+        # __file__) is left alone.
+        pb = sys.modules.get("google.protobuf")
+        if pb is not None and getattr(pb, "__file__", None) is None:
+            for name in [
+                k
+                for k in sys.modules
+                if (k == "google" or k.startswith("google."))
+                and getattr(sys.modules[k], "__file__", None) is None
+            ]:
+                del sys.modules[name]
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+
+            return True
+        except ImportError:
+            continue
+    return False
+
+
+_PROTOBUF_OK = _ensure_protobuf_runtime()
 
 from collections.abc import Iterator
 
@@ -21,7 +94,13 @@ from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessor,
     StatefulProcessorHandle,
 )
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 OUTPUT_SCHEMA = StructType(
     [StructField("word", StringType()), StructField("cnt", LongType())]
@@ -47,13 +126,83 @@ class RunningCountProcessor(StatefulProcessor):
 
 
 def tws_available() -> bool:
-    """True iff the protobuf runtime transformWithState depends on imports."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    """True iff the protobuf runtime transformWithState depends on imports
+    (native, or healed via the bundled pure-Python fallback)."""
+    return _ensure_protobuf_runtime()
 
-        return True
-    except ImportError:
-        return False
+
+TIMEOUT_FLUSH_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+class TimeoutFlushProcessor(StatefulProcessor):
+    """Per-key (count, sum) accumulated in a ValueState and emitted ONLY by
+    an expiring EVENT-TIME TIMER — the transformWithState twin of
+    plans/streaming_q.stream_timeout_flush's applyInPandasWithState
+    EventTimeTimeout flush (reference semantics: emit-once session summary
+    after idle gap). One registered timer per key, re-armed on every input
+    batch: the previous timer is deleted, the new one fires at
+    last_event_ms + gap_ms once the watermark passes it; the fired handler
+    emits the rollup and clears the state, so state size tracks the live
+    working set, not history.
+
+    Must live at module level: workers unpickle the processor by reference,
+    importing this module — which is what runs ``_ensure_protobuf_runtime``
+    inside the worker process before pyspark imports ``StateMessage_pb2``.
+    """
+
+    def __init__(self, gap_ms: int = 3_600_000) -> None:
+        self._gap_ms = gap_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._agg = handle.getValueState("agg", "n BIGINT, tot DOUBLE, last_ms BIGINT")
+
+    def handleInputRows(self, key, rows: Iterator[pd.DataFrame], timerValues) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(rows), ignore_index=True)
+        prev_n, prev_tot, prev_last = (
+            self._agg.get() if self._agg.exists() else (0, 0.0, 0)
+        )
+        n = prev_n + len(batch)
+        tot = prev_tot + float(batch["value"].to_numpy("float64").sum())
+        last_ms = max(prev_last, int(batch["ts"].max().value // 1_000_000))
+        self._agg.update((n, tot, last_ms))
+        if prev_last and prev_last != last_ms:
+            self._handle.deleteTimer(prev_last + self._gap_ms)
+        self._handle.registerTimer(last_ms + self._gap_ms)
+        return iter([])
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo) -> Iterator[pd.DataFrame]:
+        if not self._agg.exists():
+            return  # timer raced a key already flushed; nothing to emit
+        n, tot, _ = self._agg.get()
+        self._agg.clear()
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [tot]}
+        ).astype({"user_id": "int64", "n_events": "int64", "total_value": "float64"})
+
+    def close(self) -> None:
+        pass
+
+
+def tws_timeout_flush(stream: DataFrame, gap_ms: int = 3_600_000) -> DataFrame:
+    """(user_id, ts, value) watermarked stream -> timer-flushed per-user
+    rollups via transformWithStateInPandas (EventTime time mode)."""
+    stream.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TimeoutFlushProcessor(gap_ms),
+        outputStructType=TIMEOUT_FLUSH_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
+    )
 
 
 def tws_wordcount(tokens: DataFrame) -> DataFrame:

@@ -209,3 +209,75 @@ def test_compact_line_has_driver_required_fields():
 def test_compact_line_preserves_degenerate_flag():
     c = compact_line(_detail_fixture(degenerate=True))
     assert c["streaming"]["latency_ms"]["degenerate_window"] is True
+
+
+# --- r09: capacity-margin floor guard (VERDICT r08 #8) ---------------------
+
+def test_capacity_margin_floor_flags_low_margin():
+    from bench import capacity_margin_low
+
+    assert capacity_margin_low({"margin_vs_reference_rate": 1.29})
+    assert capacity_margin_low({"margin_vs_reference_rate": 0.9})
+
+
+def test_capacity_margin_floor_passes_healthy_margin():
+    from bench import capacity_margin_low
+
+    # r08's moved-wrong number (1.50x) still clears the 1.3x floor: the
+    # guard is for regressions past it, not for host noise inside it.
+    assert not capacity_margin_low({"margin_vs_reference_rate": 1.50})
+    assert not capacity_margin_low({"margin_vs_reference_rate": 1.71})
+
+
+def test_capacity_margin_floor_flags_unmeasured_margin():
+    from bench import capacity_margin_low
+
+    # a probe that produced no margin must not pass silently
+    assert capacity_margin_low({"margin_vs_reference_rate": None})
+    assert capacity_margin_low({})
+
+
+def test_compact_line_carries_capacity_floor_flag():
+    d = _detail_fixture()
+    d["streaming"]["live_capacity"] = {
+        "margin_vs_reference_rate": 1.1,
+        "margin_below_floor": True,
+    }
+    c = compact_line(d)
+    assert c["streaming"]["capacity_margin"] == 1.1
+    assert c["streaming"]["capacity_margin_below_floor"] is True
+    # ...and the flag is ABSENT (not False) when the floor holds, keeping
+    # the compact line inside the driver capture budget
+    d["streaming"]["live_capacity"] = {"margin_vs_reference_rate": 1.6}
+    assert "capacity_margin_below_floor" not in compact_line(d)["streaming"]
+
+
+# --- r09: median-of-windows headline policy (VERDICT r08 #2) ---------------
+
+def test_median_helper():
+    from bench import _median
+
+    assert _median([3.0, 1.0, 2.0]) == 2.0
+    assert _median([4.0, 1.0, 3.0, 2.0]) == 2.5
+    assert _median([None, 5.0]) == 5.0
+    assert _median([None]) is None
+    assert _median([]) is None
+
+
+def test_window_ledger_median_is_round_scoped(tmp_path):
+    """The ledger tags entries by round (1 + latest BENCH_r*.json) so a new
+    round starts a fresh window pool without any cleanup step."""
+    from bench import _window_ledger_update, _median
+
+    (tmp_path / "BENCH_r01.json").write_text("{}")
+    w1 = _window_ledger_update(20.0, 4_000_000, 0.5, root=tmp_path)
+    w2 = _window_ledger_update(30.0, 5_000_000, 0.5, root=tmp_path)
+    assert [w["suite_seconds"] for w in w2] == [20.0, 30.0]
+    assert _median([w["suite_seconds"] for w in w2]) == 25.0
+    assert all(w["round"] == 2 for w in w2)
+    # the driver records the round artifact -> the next run starts round 3
+    (tmp_path / "BENCH_r02.json").write_text("{}")
+    w3 = _window_ledger_update(40.0, 6_000_000, 0.5, root=tmp_path)
+    assert [w["suite_seconds"] for w in w3] == [40.0]
+    assert all(w["round"] == 3 for w in w3)
+    assert len(w1) == 1

@@ -69,6 +69,43 @@ def test_words_broadcast_keyed_and_bounded_like_io_cache():
     sn._WORDS_BC.clear()
 
 
+def test_words_broadcast_lru_and_unpersist_on_eviction():
+    """ADVICE r08: eviction must approximate LRU (a hot app's live broadcast
+    must not be the one dropped just because it was inserted first), and the
+    evicted handle's JVM-side blocks must be released best-effort."""
+    from flink_wordcount_spark.streaming import sentences as sn
+
+    sn._WORDS_BC.clear()
+
+    def fake(app_id: str):
+        sc = SimpleNamespace(
+            applicationId=app_id,
+            broadcast=MagicMock(side_effect=lambda v: MagicMock(name=f"bc-{app_id}")),
+        )
+        return SimpleNamespace(sparkContext=sc)
+
+    sessions = [fake(f"app-{i}") for i in range(sn._WORDS_BC_MAX_APPS)]
+    handles = [sn._words_broadcast(s) for s in sessions]
+    # app-0 is oldest by insertion — a HIT must refresh its recency...
+    sn._words_broadcast(sessions[0])
+    # ...so the next insertion over capacity evicts app-1, not app-0.
+    sn._words_broadcast(fake("app-new"))
+    assert "app-0" in sn._WORDS_BC
+    assert "app-1" not in sn._WORDS_BC
+    # and the evicted handle was released, the survivors untouched
+    handles[1].unpersist.assert_called_once()
+    handles[0].unpersist.assert_not_called()
+    # a raising unpersist (dead JVM) must not break the cache path
+    sn._WORDS_BC.clear()
+    dead = MagicMock()
+    dead.unpersist.side_effect = RuntimeError("JVM gone")
+    sn._WORDS_BC["dead-app"] = dead
+    for i in range(sn._WORDS_BC_MAX_APPS):
+        sn._words_broadcast(fake(f"fill-{i}"))
+    assert "dead-app" not in sn._WORDS_BC
+    sn._WORDS_BC.clear()
+
+
 def test_tune_memo_is_weak():
     s = _FakeSession("app-weak")
     session.tune(s)

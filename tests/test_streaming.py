@@ -198,15 +198,20 @@ def test_rate_source_liveness(spark):
 
 
 def test_tws_wordcount_or_env_gate(spark, sf_dir):
-    """transformWithStateInPandas parity — runs where the protobuf runtime
-    exists; otherwise asserts the gate reports the limitation honestly."""
+    """transformWithStateInPandas parity. The 8-round protobuf gate is
+    HEALED in this container: tws._ensure_protobuf_runtime points sys.path
+    at the pure-Python protobuf bundled with the image's google-cloud-sdk
+    and purges jar-poisoned google.* namespace stubs, in the driver and in
+    every worker that unpickles the processor. The skip survives only for
+    environments with no protobuf runtime anywhere on disk."""
     from flink_wordcount_spark.streaming.tws import tws_available, tws_wordcount
     from flink_wordcount_spark.streaming.wordcount import stream_dir_for
     from flink_wordcount_spark.operators.text import tokenize, word_counts
 
     if not tws_available():
-        pytest.skip("google.protobuf runtime unavailable: transformWithState "
-                    "gated off; applyInPandasWithState path covers stateful parity")
+        pytest.skip("no google.protobuf runtime on this machine (native or "
+                    "bundled): transformWithState gated off; "
+                    "applyInPandasWithState path covers stateful parity")
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     stream = spark.readStream.schema(schema).parquet(
         stream_dir_for(f"{sf_dir}/documents.parquet")
