@@ -30,6 +30,7 @@ def asof_join(
     schema: StructType | str,
     direction: str = "backward",
     keep_right_on: str | None = None,
+    tolerance=None,
 ) -> DataFrame:
     """For each left row, attach the nearest right row at-or-before
     (direction='backward') its ``on`` value, matched within the ``by`` group.
@@ -42,6 +43,11 @@ def asof_join(
     value is emitted (merge_asof drops the right on-column). Copied inside
     the pandas batch — duplicating it Spark-side as an alias doesn't survive
     Catalyst, which collapses the duplicate attribute out of the cogroup.
+
+    ``tolerance``: optional max distance between left and matched right
+    ``on`` values (e.g. ``pd.Timedelta(hours=1)``); a nearest match farther
+    away than this is dropped (nulls), exactly pandas' merge_asof contract —
+    the trades/quotes "stale quote" cutoff.
     """
 
     # resolve output column names DRIVER-side: schema parsing needs an active
@@ -73,7 +79,15 @@ def asof_join(
         )
         if keep_right_on:
             r = r.assign(**{keep_right_on: r[on]})
-        out = pd.merge_asof(l, r, on=on, by=by, direction=direction, suffixes=("", "_right"))
+        out = pd.merge_asof(
+            l,
+            r,
+            on=on,
+            by=by,
+            direction=direction,
+            suffixes=("", "_right"),
+            tolerance=tolerance,
+        )
         return out[out_cols]
 
     return left.groupBy(by).cogroup(right.groupBy(by)).applyInPandas(merge, schema)

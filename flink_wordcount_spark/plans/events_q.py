@@ -410,6 +410,147 @@ def join_asof_two_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           p.value AS purchase_value,
+           CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR
+                THEN strftime(c.ts, '%Y-%m-%d %H:%M:%S') END AS click_ts,
+           CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR
+                THEN c.value END AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS TOLERANCE: each purchase picks up the
+    user's last click at-or-before it ONLY if that click is within 1 hour —
+    the trades/quotes "stale quote" cutoff (pandas merge_asof's tolerance,
+    kdb wj's window edge). The nearest-but-too-old match becomes NULL, not
+    the next-nearest: tolerance bounds the match, it does not widen the
+    search — which is why DuckDB's oracle is ASOF JOIN + null-out, not a
+    banded range join.
+
+    Scale: identical shape to join_asof_two_table (one hash exchange per
+    side on user_id, per-group Arrow merge); the tolerance is evaluated
+    inside the pandas batch at zero extra shuffle."""
+    import pandas as pd
+
+    from ..operators.asof import asof_join
+
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    # fresh scan for the right side: see join_asof_two_table (Catalyst
+    # collapses shared-lineage attributes out of a self-cogroup)
+    e2 = spark.read.parquet(f"{sf_dir}/events.parquet").transform(normalize_event_ts)
+    clicks = e2.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        by="user_id",
+        on="ts",
+        schema="user_id bigint, ts timestamp, value double, click_ts timestamp, click_value double",
+        keep_right_on="click_ts",
+        tolerance=pd.Timedelta(hours=1),
+    )
+    return out.select(
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+        F.date_format("click_ts", _TS_FMT).alias("click_ts"),
+        "click_value",
+    )
+
+
+@query(
+    "ev_attribution_time_decay",
+    oracle="""
+    WITH touches AS (
+        SELECT p.event_id AS pid, p.value AS pval, t.event_type AS touch_type,
+               1.0 / (1 + floor(epoch(p.ts - t.ts) / 3600.0)) AS w
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type IN ('view', 'click')) t
+          ON p.user_id = t.user_id
+         AND t.ts <= p.ts AND t.ts > p.ts - INTERVAL 24 HOUR
+    ), norm AS (
+        SELECT *, sum(w) OVER (PARTITION BY pid) AS wsum FROM touches
+    )
+    SELECT touch_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           round(sum(w / wsum * pval), 2) AS attributed_value
+    FROM norm GROUP BY touch_type
+    """,
+)
+def ev_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch revenue attribution with time decay: every purchase's
+    value is split across the SAME user's view/click touches in the prior
+    24 h, weighted 1/(1 + whole hours before) and normalized per purchase —
+    the standard marketing-attribution rollup. The decay weight is a
+    RATIONAL function (integer hours), not exp(): division is
+    correctly-rounded IEEE on both engines, so the weights are bit-identical
+    where a pow/exp form could drift by libm ULPs.
+
+    Scale: purchases x touches joins as a plain user_id equi-join (hash
+    exchange on user_id, the 24 h band filters inside the join), so pair
+    count is bounded by per-user 24 h activity, never corpus^2; the
+    per-purchase normalizer is a window over pid (second keyed exchange on
+    purchase id), and the final rollup is a 2-row aggregate."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("p_uid"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("pval"),
+    )
+    t = e.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_uid"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    touches = p.join(
+        t,
+        (F.col("p_uid") == F.col("t_uid"))
+        & (F.col("t_ts") <= F.col("p_ts"))
+        & (F.col("t_ts") > F.col("p_ts") - F.expr("INTERVAL 24 HOURS")),
+    ).select(
+        "pid",
+        "pval",
+        "touch_type",
+        (
+            F.lit(1.0)
+            / (
+                1
+                + F.floor(
+                    (
+                        F.col("p_ts").cast("double") - F.col("t_ts").cast("double")
+                    )
+                    / 3600.0
+                )
+            )
+        ).alias("w"),
+    )
+    wsum = F.sum("w").over(Window.partitionBy("pid"))
+    return (
+        touches.withColumn("wsum", wsum)
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.round(F.sum(F.col("w") / F.col("wsum") * F.col("pval")), 2).alias(
+                "attributed_value"
+            ),
+        )
+    )
+
+
+@query(
     "ev_funnel_conversion",
     oracle="""
     WITH s1 AS (

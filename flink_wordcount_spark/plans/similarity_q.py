@@ -970,3 +970,95 @@ def embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "std_norm", (F.col("std_norm") > 12.0).alias("is_outlier")
         )
     )
+
+
+# nDCG@10 gain/discount as ONE shared SQL string (the _BM25_SCORE_SQL
+# idiom): gains are exact integers via CASE (a pow(2, rel) would round-trip
+# through libm and a double->int CAST truncates on Spark but rounds on
+# DuckDB); the log2 discount is ln-based, and round(6) on the 10-term sums
+# absorbs last-ulp ln() differences between JVM Math.log and libm.
+_DCG_TERM_SQL = (
+    "(CASE rel WHEN 1 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 7 WHEN 4 THEN 15 "
+    "ELSE 0 END) / (ln(rnk + 1.0) / ln(2.0))"
+)
+
+_NDCG_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, {_BM25_TOKS} AS t FROM documents
+    ), per AS (
+        SELECT doc_id, len(t) AS dl,
+               {', '.join(f"len(list_filter(t, x -> x = '{w}')) AS tf{i}" for i, w in enumerate(_BM25_TERMS))}
+        FROM toks
+    ), stats AS (
+        SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) AS sdl,
+               {', '.join(f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}" for i in range(len(_BM25_TERMS)))}
+        FROM per
+    ), matched AS (
+        SELECT doc_id, {_BM25_SCORE_SQL} AS bm25,
+               {' + '.join(f'CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END' for i in range(len(_BM25_TERMS)))} AS rel
+        FROM per CROSS JOIN stats
+        WHERE {' + '.join(f'tf{i}' for i in range(len(_BM25_TERMS)))} > 0
+    ), sys AS (
+        SELECT rel, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rnk
+        FROM matched
+    ), ideal AS (
+        SELECT rel, CAST(row_number() OVER (ORDER BY rel DESC, doc_id) AS BIGINT) AS rnk
+        FROM matched
+    ), dcg AS (
+        SELECT round(sum({_DCG_TERM_SQL}), 6) AS dcg_at10 FROM sys WHERE rnk <= 10
+    ), idcg AS (
+        SELECT round(sum({_DCG_TERM_SQL}), 6) AS idcg_at10 FROM ideal WHERE rnk <= 10
+    )
+    SELECT CAST((SELECT count(*) FROM matched) AS BIGINT) AS n_matched,
+           dcg_at10, idcg_at10, dcg_at10 / idcg_at10 AS ndcg_at10
+    FROM dcg CROSS JOIN idcg
+"""
+
+
+@query("retrieval_eval_ndcg", oracle=_NDCG_ORACLE)
+def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality EVALUATION: nDCG@10 of the BM25 ranking against a
+    graded relevance signal (rel = how many of the query terms the document
+    actually contains, 0-4) — the standard offline gate before swapping a
+    ranking function in a retrieval pipeline. Shares _bm25_per_stats with
+    bm25_keyword_search / retrieval_rrf_fusion so the evaluated ranking IS
+    the shipped ranking, and both the system and ideal orderings run the
+    grid-partitioned global rank (corpus-scaling candidate sets must never
+    sort on one partition — the r07 weak-mark class).
+
+    Scale: candidate scoring is scan-projection arithmetic + one broadcast
+    of the 1-row corpus stats; each ranking costs rankops' bounded prep
+    jobs + one hash exchange; the DCG sums aggregate exactly 10 rows each."""
+    from ..operators.rankops import with_global_rank
+
+    d = table(spark, sf_dir, "documents")
+    per, stats, any_tf = _bm25_per_stats(d)
+    rel = sum(
+        (F.col(f"tf{i}") > 0).cast("int") for i in range(len(_BM25_TERMS))
+    ).alias("rel")
+    matched = (
+        per.crossJoin(F.broadcast(stats))
+        .filter(any_tf > 0)
+        .select("doc_id", F.expr(_BM25_SCORE_SQL).alias("bm25"), rel)
+    )
+    sys_top = with_global_rank(
+        matched, "bm25", "doc_id", descending=True, rank_col="rnk"
+    ).filter(F.col("rnk") <= 10)
+    ideal_top = with_global_rank(
+        matched, "rel", "doc_id", descending=True, rank_col="rnk"
+    ).filter(F.col("rnk") <= 10)
+    dcg = sys_top.agg(F.round(F.sum(F.expr(_DCG_TERM_SQL)), 6).alias("dcg_at10"))
+    idcg = ideal_top.agg(
+        F.round(F.sum(F.expr(_DCG_TERM_SQL)), 6).alias("idcg_at10")
+    )
+    n = matched.agg(F.count(F.lit(1)).alias("n_matched"))
+    return (
+        n.crossJoin(F.broadcast(dcg))
+        .crossJoin(F.broadcast(idcg))
+        .select(
+            "n_matched",
+            "dcg_at10",
+            "idcg_at10",
+            (F.col("dcg_at10") / F.col("idcg_at10")).alias("ndcg_at10"),
+        )
+    )

@@ -1126,3 +1126,55 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(is_hapax).cast("bigint").alias("n_hapax"),
         (F.sum(is_hapax) / F.count(F.lit(1)).cast("double")).alias("hapax_ratio"),
     )
+
+
+@query(
+    "text_hashed_bow",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS}) AS w FROM documents
+    ), tf AS (
+        SELECT doc_id,
+               ('0x' || substring(md5(w), 1, 15))::BIGINT % 64 AS dim,
+               CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS nnz,
+           round(sqrt(sum(tf * tf)), 6) AS l2_norm,
+           arg_max(dim, tf * 64 + (63 - dim)) AS top_dim,
+           max_by(tf, tf * 64 + (63 - dim)) AS top_tf
+    FROM tf GROUP BY doc_id
+    """,
+)
+def text_hashed_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bag-of-words featurization: each document becomes a
+    64-dim term-frequency vector WITHOUT any vocabulary build or broadcast —
+    dim = md5(word) % 64 (the md5-60bit idiom both engines compute
+    bit-identically). Emits the per-doc sparsity (nnz), L2 norm (integer
+    tf's, so the radicand is exact), and the dominant dimension with its tf
+    (ties -> lowest dim, encoded scalar so DuckDB's arg_max and Spark's
+    max_by agree). This is THE scalable text featurizer: at 100 TB a
+    vocabulary table is a build + broadcast + OOV problem, while the hashed
+    space is stateless and embarrassingly parallel.
+
+    Scale: tokenize/explode happens in the scan projection; the (doc, dim)
+    partial aggregate combines map-side before ONE hash exchange keyed by
+    doc_id (<= 64 rows per doc survive); the per-doc fold is the second
+    keyed aggregate on the same key, which AQE plans shuffle-free after the
+    first. No vocabulary state, no joins, no windows."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tokens_arr("text")).alias("w")
+    )
+    dim = (
+        F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long") % 64
+    ).alias("dim")
+    tf = tok.groupBy("doc_id", dim).agg(F.count(F.lit(1)).alias("tf"))
+    key = F.col("tf") * 64 + (63 - F.col("dim"))
+    return tf.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("nnz"),
+        F.round(F.sqrt(F.sum(F.col("tf") * F.col("tf"))), 6).alias("l2_norm"),
+        F.max_by("dim", key).alias("top_dim"),
+        F.max_by("tf", key).alias("top_tf"),
+    )

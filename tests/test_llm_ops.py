@@ -257,6 +257,43 @@ def test_asof_join_matches_window_form(spark, sf_dir):
     assert got == want
 
 
+def test_asof_join_tolerance_bounds_not_widens(spark):
+    """The tolerance contract (pandas merge_asof, kdb wj): a nearest match
+    FARTHER than the tolerance becomes NULL — the join must NOT fall back
+    to the next-nearest row, which is what distinguishes an as-of tolerance
+    from a banded range join picking any in-window row."""
+    import pandas as pd
+
+    from flink_wordcount_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 12:00:00"), (2, "2024-01-01 12:00:00")],
+        "user_id long, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [
+            # user 1: nearest is 10:00 (2h stale) but an 11:30 row EXISTS
+            # within tolerance... order matters: nearest = 11:30, in-window.
+            (1, "2024-01-01 11:30:00", 9.0),
+            (1, "2024-01-01 10:00:00", 1.0),
+            # user 2: NEAREST prior row is 09:00 (3h stale, out of the 1h
+            # tolerance); no fallback to anything else — NULL.
+            (2, "2024-01-01 09:00:00", 5.0),
+        ],
+        "user_id long, ts_s string, v double",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    out = asof_join(
+        left,
+        right,
+        by="user_id",
+        on="ts",
+        schema="user_id long, ts timestamp, v double",
+        tolerance=pd.Timedelta(hours=1),
+    )
+    got = {r.user_id: r.v for r in out.collect()}
+    assert got == {1: 9.0, 2: None}
+
+
 def test_apply_cdc(spark):
     """CDC apply: last change per key wins; deletes remove; inserts add."""
     from flink_wordcount_spark.operators.merge import apply_cdc

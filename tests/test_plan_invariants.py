@@ -66,6 +66,7 @@ BNLJ_OK = {
     "q22_dormant_customers": "single-row average-balance anchor",
     "bm25_keyword_search": "single-row corpus statistics (N, avgdl, df)",
     "retrieval_rrf_fusion": "single-row corpus statistics (BM25 side)",
+    "retrieval_eval_ndcg": "single-row corpus stats + 1-row DCG/IDCG scalars",
     "kmeans_embed_clusters": "broadcast k-centroid table",
     "semdedup_drop_list": "broadcast k-centroid table",
     "decontam_semantic": "broadcast eval-split embeddings (fixed size)",
