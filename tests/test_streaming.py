@@ -443,3 +443,36 @@ def test_left_join_flush_sentinels_contract(spark, sf_dir):
         assert r.user_id is not None and r.user_id < 0
         assert r.event_id < 0
         assert r.ts.year >= 2030
+def test_protobuf_bootstrap_purges_jar_poisoned_namespace(tmp_path):
+    """The worker-process failure mode, reproduced without Spark: the
+    spark-core JAR on sys.path makes `google.protobuf` import as an EMPTY
+    namespace package (Java class dirs, no __init__.py); once cached, the
+    appended real runtime can never win. _ensure_protobuf_runtime must
+    purge the location-less stubs and land a working descriptor import.
+    Runs in a subprocess so the poisoned sys.modules never leaks into the
+    test session."""
+    import glob
+    import subprocess
+    import sys
+
+    jars = glob.glob("/opt/spark*/jars/spark-core_*.jar")
+    if not jars:
+        import pytest
+
+        pytest.skip("no spark-core jar on this machine to reproduce with")
+    child = f"""
+import sys
+sys.path.insert(1, {jars[0]!r})
+import google.protobuf  # caches the jar's empty namespace stub
+assert getattr(google.protobuf, '__file__', None) is None
+from flink_wordcount_spark.streaming.tws import _ensure_protobuf_runtime
+assert _ensure_protobuf_runtime() is True
+from google.protobuf import descriptor
+print('HEALED', descriptor.__name__)
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", child], capture_output=True, text=True, timeout=120,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    assert "HEALED" in proc.stdout
