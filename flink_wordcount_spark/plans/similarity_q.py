@@ -1041,6 +1041,17 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(any_tf > 0)
         .select("doc_id", F.expr(_BM25_SCORE_SQL).alias("bm25"), rel)
     )
+    # The candidate frame is consumed SEVEN times (two rankings x (bounds +
+    # histogram + final window) + the count), and its recomputation is the
+    # full-corpus scan + tokenizer array ops + stats broadcast — persist
+    # the narrow 3-column result instead (A/B at sf0.1: ~2x off the query,
+    # identical output). This is the persist-wins case SCALE.md's
+    # "measured non-wins" note carves out: wide Python-free work repeated
+    # many times, cached frame narrow. LIFETIME (the curation_end_to_end
+    # precedent): the query returns a plan, so there is no scope to
+    # unpersist in — the cache lives until clearCache()/LRU; driver_sim and
+    # the plan sweeps clearCache between queries.
+    matched = matched.persist()
     sys_top = with_global_rank(
         matched, "bm25", "doc_id", descending=True, rank_col="rnk"
     ).filter(F.col("rnk") <= 10)
