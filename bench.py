@@ -1188,7 +1188,7 @@ def bench_sf1(spark) -> dict:
 
 
 def _window_ledger_update(
-    total_sec: float, words_median, load: float, root: Path | None = None
+    total_sec: float, words_median, load: float, root: Path | None = None, sf=None
 ) -> list[dict]:
     """Append this run to BENCH_WINDOWS.jsonl and return the round's windows.
 
@@ -1215,6 +1215,7 @@ def _window_ledger_update(
     )
     entry = {
         "round": tag,
+        "sf": sf,
         "suite_seconds": total_sec,
         "words_per_sec_median": words_median,
         "load_at_start": load,
@@ -1228,7 +1229,16 @@ def _window_ledger_update(
                     row = json.loads(line)
                 except ValueError:
                     continue
-                if isinstance(row, dict) and row.get("round") == tag:
+                # pool only windows of the same round AND scale: an sf0.01
+                # debug run (SPARK_GRAFT_SF_DIR override) must not drag the
+                # published sf0.1 median (review r09). Entries written
+                # before the sf field existed carry sf=None and pool only
+                # with other None-sf runs.
+                if (
+                    isinstance(row, dict)
+                    and row.get("round") == tag
+                    and row.get("sf") == sf
+                ):
                     windows.append(row)
     except OSError:
         pass
@@ -1239,13 +1249,14 @@ def _window_ledger_update(
 
 
 def _median(vals: list) -> float | None:
-    vals = sorted(v for v in vals if v is not None)
+    vals = [v for v in vals if v is not None]
     if not vals:
         return None
-    mid = len(vals) // 2
-    if len(vals) % 2:
-        return vals[mid]
-    return round((vals[mid - 1] + vals[mid]) / 2, 3)
+    import statistics
+
+    # consistent 3-decimal rounding regardless of pool parity (review r09:
+    # odd pools returned a raw element while even pools rounded)
+    return round(statistics.median(vals), 3)
 
 
 def _loadavg1() -> float:
@@ -1375,7 +1386,10 @@ def main() -> int:
     # the median suite time across this round's bench runs; this run's own
     # number and the round's best stay published as secondary fields.
     windows = _window_ledger_update(
-        total, streaming.get("words_per_sec_median"), machine.get("load_at_start")
+        total,
+        streaming.get("words_per_sec_median"),
+        machine.get("load_at_start"),
+        sf=float(sf) if sf.replace(".", "").isdigit() else sf,
     )
     suite_windows = [w.get("suite_seconds") for w in windows]
     wps_windows = [w.get("words_per_sec_median") for w in windows]

@@ -49,13 +49,22 @@ def _members() -> list[Path]:
     )
 
 
+def _manifest(members: list[Path]) -> bytes:
+    """Sorted member-name list — stored as the zip comment so reuse can
+    detect deleted/renamed modules (an mtime check alone cannot: every
+    REMAINING member is still older than the stale zip — review r09)."""
+    names = "\n".join(str(m.relative_to(_PKG_DIR)) for m in members)
+    return names.encode("utf-8")
+
+
 def package_zip(dest_dir: str | None = None) -> str:
     """Build (or reuse) the executor-shippable zip; returns its path.
 
     The zip stores members under ``flink_wordcount_spark/...`` so the zip
-    root itself is the importable ``sys.path`` entry. Reuse is mtime-based:
-    if the existing zip is newer than every member, it is returned as-is
-    (ship_package may be called per-session in long test runs).
+    root itself is the importable ``sys.path`` entry. Reuse requires BOTH
+    the zip to be newer than every member (mtime) AND its embedded member
+    manifest to match the current member list, so renames/deletions (and a
+    different checkout's artifact at the shared /tmp path) invalidate it.
     """
     dest_dir = dest_dir or tempfile.gettempdir()
     out = Path(dest_dir) / f"{_PKG_NAME}-pyfiles.zip"
@@ -63,12 +72,30 @@ def package_zip(dest_dir: str | None = None) -> str:
     if out.exists():
         zip_mtime = out.stat().st_mtime
         if all(m.stat().st_mtime < zip_mtime for m in members):
-            return str(out)
-    tmp = out.with_suffix(".zip.tmp")
-    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
-        for m in members:
-            zf.write(m, arcname=str(Path(_PKG_NAME) / m.relative_to(_PKG_DIR)))
-    os.replace(tmp, out)  # atomic: concurrent sessions never see a torn zip
+            try:
+                with zipfile.ZipFile(out) as zf:
+                    if zf.comment == _manifest(members):
+                        return str(out)
+            except zipfile.BadZipFile:
+                pass  # torn artifact from a crashed writer: rebuild
+    # unique tmp name per writer: a FIXED .tmp path lets two concurrent
+    # sessions interleave writes into one inode and publish a torn zip
+    # (review r09); mkstemp in the same dir keeps os.replace atomic
+    fd, tmp = tempfile.mkstemp(suffix=".zip.tmp", dir=dest_dir)
+    try:
+        with os.fdopen(fd, "wb") as fh, zipfile.ZipFile(
+            fh, "w", zipfile.ZIP_DEFLATED
+        ) as zf:
+            for m in members:
+                zf.write(m, arcname=str(Path(_PKG_NAME) / m.relative_to(_PKG_DIR)))
+            zf.comment = _manifest(members)
+        os.replace(tmp, out)  # atomic publish
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
     return str(out)
 
 

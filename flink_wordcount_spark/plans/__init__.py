@@ -49,6 +49,10 @@ _MODIFIED_THIS_ROUND: list[str] = [
     # (stream_timeout_flush itself is UNCHANGED this round; its new
     # transformWithState twin registers as a never-verified query and takes
     # a budget slot right after the pinned cohort.)
+    "join_asof_two_table",  # r09 review: body extracted into the shared
+                            # _asof_purchase_click topology for the new
+                            # tolerance twin — a refactor is still an edit
+                            # (the r08 dedup_shared_spans precedent)
 ]
 
 # Queries to verify THIS round ahead of the staleness rotation even though

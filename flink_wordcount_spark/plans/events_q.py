@@ -358,6 +358,43 @@ def ev_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _asof_purchase_click(spark: SparkSession, sf_dir: str, tolerance=None) -> DataFrame:
+    """Shared purchases-pick-up-last-click as-of topology (review r09: the
+    tolerance twin hand-copied this whole body; the r08 _bm25_per_stats
+    precedent applies — a fix to the fresh-scan workaround or the tie order
+    must reach both queries)."""
+    from ..operators.asof import asof_join
+
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    # the right side MUST come from a fresh scan: cogrouping two projections
+    # of the same DataFrame collapses the shared-lineage `ts` attribute out
+    # of one side (Catalyst self-join dedup), and the pandas batch then has
+    # no `ts` column to merge on (asof.py docstring)
+    e2 = spark.read.parquet(f"{sf_dir}/events.parquet").transform(normalize_event_ts)
+    clicks = e2.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        by="user_id",
+        on="ts",
+        schema="user_id bigint, ts timestamp, value double, click_ts timestamp, click_value double",
+        keep_right_on="click_ts",
+        tolerance=tolerance,
+    )
+    return out.select(
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+        F.date_format("click_ts", _TS_FMT).alias("click_ts"),
+        "click_value",
+    )
+
+
 @query(
     "join_asof_two_table",
     oracle="""
@@ -380,33 +417,7 @@ def join_asof_two_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle per side on user_id; per-group Arrow batches stay small
     (per-user histories).
     """
-    from ..operators.asof import asof_join
-
-    e = table(spark, sf_dir, "events")
-    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
-    # the right side MUST come from a fresh scan: cogrouping two projections
-    # of the same DataFrame collapses the shared-lineage `ts` attribute out
-    # of one side (Catalyst self-join dedup), and the pandas batch then has
-    # no `ts` column to merge on (asof.py docstring)
-    e2 = spark.read.parquet(f"{sf_dir}/events.parquet").transform(normalize_event_ts)
-    clicks = e2.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("value").alias("click_value")
-    )
-    out = asof_join(
-        purchases,
-        clicks,
-        by="user_id",
-        on="ts",
-        schema="user_id bigint, ts timestamp, value double, click_ts timestamp, click_value double",
-        keep_right_on="click_ts",
-    )
-    return out.select(
-        "user_id",
-        F.date_format("ts", _TS_FMT).alias("purchase_ts"),
-        F.col("value").alias("purchase_value"),
-        F.date_format("click_ts", _TS_FMT).alias("click_ts"),
-        "click_value",
-    )
+    return _asof_purchase_click(spark, sf_dir)
 
 
 @query(
@@ -434,38 +445,12 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded range join.
 
     Scale: identical shape to join_asof_two_table (one hash exchange per
-    side on user_id, per-group Arrow merge); the tolerance is evaluated
-    inside the pandas batch at zero extra shuffle."""
+    side on user_id, per-group Arrow merge — shared _asof_purchase_click
+    topology); the tolerance is evaluated inside the pandas batch at zero
+    extra shuffle."""
     import pandas as pd
 
-    from ..operators.asof import asof_join
-
-    e = table(spark, sf_dir, "events")
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "value"
-    )
-    # fresh scan for the right side: see join_asof_two_table (Catalyst
-    # collapses shared-lineage attributes out of a self-cogroup)
-    e2 = spark.read.parquet(f"{sf_dir}/events.parquet").transform(normalize_event_ts)
-    clicks = e2.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("value").alias("click_value")
-    )
-    out = asof_join(
-        purchases,
-        clicks,
-        by="user_id",
-        on="ts",
-        schema="user_id bigint, ts timestamp, value double, click_ts timestamp, click_value double",
-        keep_right_on="click_ts",
-        tolerance=pd.Timedelta(hours=1),
-    )
-    return out.select(
-        "user_id",
-        F.date_format("ts", _TS_FMT).alias("purchase_ts"),
-        F.col("value").alias("purchase_value"),
-        F.date_format("click_ts", _TS_FMT).alias("click_ts"),
-        "click_value",
-    )
+    return _asof_purchase_click(spark, sf_dir, tolerance=pd.Timedelta(hours=1))
 
 
 @query(
@@ -473,7 +458,7 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH touches AS (
         SELECT p.event_id AS pid, p.value AS pval, t.event_type AS touch_type,
-               1.0 / (1 + floor(epoch(p.ts - t.ts) / 3600.0)) AS w
+               1.0 / (1 + date_diff('microsecond', t.ts, p.ts) // 3600000000) AS w
         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         JOIN (SELECT * FROM events WHERE event_type IN ('view', 'click')) t
           ON p.user_id = t.user_id
@@ -524,16 +509,15 @@ def ev_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pid",
         "pval",
         "touch_type",
+        # whole-hours-before in INTEGER microseconds (unix_micros + integer
+        # floor-div on both engines): a timestamp cast to double carries
+        # ~2.4e-7 s of ulp at 2024 epochs, enough to flip a gap of exactly
+        # 3600s into the wrong bucket on one engine only (review r09)
         (
             F.lit(1.0)
             / (
                 1
-                + F.floor(
-                    (
-                        F.col("p_ts").cast("double") - F.col("t_ts").cast("double")
-                    )
-                    / 3600.0
-                )
+                + F.expr("(unix_micros(p_ts) - unix_micros(t_ts)) div 3600000000")
             )
         ).alias("w"),
     )

@@ -25,12 +25,38 @@ from __future__ import annotations
 
 import os
 import sys
+import tempfile
 
 # Known pure-Python protobuf runtimes shipped with the base image (public,
 # BSD-licensed). Probed only when `google.protobuf` is not importable.
 _PROTOBUF_FALLBACK_PATHS = (
     "/usr/lib/google-cloud-sdk/platform/google_appengine",
 )
+
+
+def _protobuf_shim_dir(platform_root: str) -> str:
+    """A sys.path entry exposing ONLY the platform's ``google/`` package.
+
+    The App Engine platform root also carries importable top-level names
+    (api_server, wrapper_util, dev_appserver, demos, ...) — appending it
+    wholesale would let any unrelated missing import silently resolve to an
+    ancient bundled copy instead of raising ImportError (review r09). The
+    shim is a temp dir holding one symlink, built idempotently; on any OS
+    error we fall back to the wide path rather than lose the heal."""
+    target = os.path.join(platform_root, "google")
+    shim = os.path.join(
+        tempfile.gettempdir(), f"fws_protobuf_shim_{os.getuid()}"
+    )
+    link = os.path.join(shim, "google")
+    try:
+        os.makedirs(shim, exist_ok=True)
+        if not (os.path.islink(link) and os.readlink(link) == target):
+            tmp = f"{link}.tmp{os.getpid()}"
+            os.symlink(target, tmp)
+            os.replace(tmp, link)  # atomic vs concurrent worker bootstraps
+        return shim
+    except OSError:
+        return platform_root
 
 
 def _ensure_protobuf_runtime() -> bool:
@@ -52,6 +78,7 @@ def _ensure_protobuf_runtime() -> bool:
     for path in _PROTOBUF_FALLBACK_PATHS:
         if not os.path.isdir(os.path.join(path, "google", "protobuf")):
             continue
+        path = _protobuf_shim_dir(path)  # expose only google/, not the root
         if path not in sys.path:
             sys.path.append(path)  # append: never shadow real site-packages
         # Official protobuf escape hatch for a gencode-ahead-of-runtime gap

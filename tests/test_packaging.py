@@ -122,3 +122,30 @@ def test_ship_package_force_overrides_local():
     z = ship_package(s, force=True)
     assert z is not None
     s.sparkContext.addPyFile.assert_called_once_with(z)
+
+
+def test_zip_rebuilt_when_member_set_changes(tmp_path, monkeypatch):
+    """mtime alone cannot see a deleted/renamed module (every remaining
+    member is still older than the zip) — the embedded manifest must force
+    a rebuild (review r09)."""
+    import flink_wordcount_spark.packaging as pkg
+
+    z1 = package_zip(str(tmp_path))
+    n_before = len(zipfile.ZipFile(z1).namelist())
+    real_members = pkg._members()
+    monkeypatch.setattr(pkg, "_members", lambda: real_members[:-1])
+    z2 = package_zip(str(tmp_path))
+    assert len(zipfile.ZipFile(z2).namelist()) == n_before - 1
+
+
+def test_torn_zip_is_rebuilt_not_served(tmp_path):
+    """A crashed writer's torn artifact at the final path must trigger a
+    rebuild, not a BadZipFile on every executor."""
+    z = package_zip(str(tmp_path))
+    Path(z).write_bytes(b"PK\x03\x04 torn")
+    import os
+    import time
+
+    os.utime(z, (time.time() + 5, time.time() + 5))  # newer than members
+    z2 = package_zip(str(tmp_path))
+    assert zipfile.ZipFile(z2).testzip() is None  # valid again
