@@ -476,3 +476,80 @@ print('HEALED', descriptor.__name__)
     )
     assert proc.returncode == 0, proc.stderr[-1500:]
     assert "HEALED" in proc.stdout
+
+
+def test_tws_timeout_flush_processor_rearm_contract():
+    """TimeoutFlushProcessor keeps ONE live timer per key: each input batch
+    deletes the previously-registered expiry (when it moved) and registers
+    last_ms + gap; the expired-timer handler emits the rollup once and
+    clears state, and a timer racing an already-flushed key emits nothing.
+    Driven directly with fakes — the end-to-end value check is the driver
+    query; this pins the state/timer bookkeeping the oracle can't see."""
+    import pandas as pd
+
+    from flink_wordcount_spark.streaming.tws import TimeoutFlushProcessor
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+        def clear(self):
+            self.v = None
+
+    class FakeHandle:
+        def __init__(self, state):
+            self._state = state
+            self.registered, self.deleted = [], []
+
+        def getValueState(self, name, schema):
+            return self._state
+
+        def registerTimer(self, ts):
+            self.registered.append(ts)
+
+        def deleteTimer(self, ts):
+            self.deleted.append(ts)
+
+    gap = 3_600_000
+    state, proc = FakeState(), TimeoutFlushProcessor(gap)
+    handle = FakeHandle(state)
+    proc.init(handle)
+
+    def batch(ts_s, values):
+        return pd.DataFrame(
+            {"ts": pd.to_datetime(ts_s), "value": values}
+        )
+
+    # batch 1: two events, last at 12:00 -> timer armed at 12:00 + gap
+    out = list(proc.handleInputRows((7,), iter([batch(
+        ["2024-01-01 11:00:00", "2024-01-01 12:00:00"], [1.0, 2.0])]), None))
+    t_noon = int(pd.Timestamp("2024-01-01 12:00:00").value // 1_000_000)
+    assert out == [] or all(len(p) == 0 for p in out)
+    assert handle.registered == [t_noon + gap] and handle.deleted == []
+    # batch 2 advances last_ms -> OLD timer deleted, new one registered
+    list(proc.handleInputRows((7,), iter([batch(["2024-01-01 13:30:00"], [4.0])]), None))
+    t_1330 = int(pd.Timestamp("2024-01-01 13:30:00").value // 1_000_000)
+    assert handle.deleted == [t_noon + gap]
+    assert handle.registered[-1] == t_1330 + gap
+    # late batch NOT advancing last_ms -> same expiry re-registered, no delete
+    list(proc.handleInputRows((7,), iter([batch(["2024-01-01 13:00:00"], [8.0])]), None))
+    assert handle.deleted == [t_noon + gap]  # unchanged
+    assert handle.registered[-1] == t_1330 + gap
+    assert state.get() == (4, 15.0, t_1330)
+    # fired timer: emits the rollup once and removes the state
+    emitted = pd.concat(list(proc.handleExpiredTimer((7,), None, None)))
+    assert emitted.to_dict("records") == [
+        {"user_id": 7, "n_events": 4, "total_value": 15.0}
+    ]
+    assert not state.exists()
+    # a timer racing the flushed key emits nothing
+    assert list(proc.handleExpiredTimer((7,), None, None)) == []
