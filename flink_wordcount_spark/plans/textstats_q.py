@@ -1158,11 +1158,12 @@ def text_hashed_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary table is a build + broadcast + OOV problem, while the hashed
     space is stateless and embarrassingly parallel.
 
-    Scale: tokenize/explode happens in the scan projection; the (doc, dim)
-    partial aggregate combines map-side before ONE hash exchange keyed by
-    doc_id (<= 64 rows per doc survive); the per-doc fold is the second
-    keyed aggregate on the same key, which AQE plans shuffle-free after the
-    first. No vocabulary state, no joins, no windows."""
+    Scale: tokenize/explode happens in the scan projection; two keyed
+    exchanges, both behind map-side partial aggregates — the first keyed
+    (doc_id, dim) carries at most 64 rows per doc per input partition, the
+    second keyed doc_id carries the <= 64 surviving dims per doc (verified
+    with .explain: HashAggregate/Exchange pairs at both levels). No
+    vocabulary state, no joins, no windows."""
     d = table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(tokens_arr("text")).alias("w")
