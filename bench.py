@@ -1103,9 +1103,11 @@ def bench_sf1(spark) -> dict:
         t0 = time.time()
         materialize(QUERIES[name](spark, "/root/testdata/sf0.1"))
         base[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()  # untimed; see run_suite
         t0 = time.time()
         materialize(QUERIES[name](spark, sf1_dir))
         big[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
     # VERDICT r07 #7: recall at 10x data, not just wall-time — the LSH
     # path's verified pairs vs the exact inverted-index join's on the SAME
     # mutated sf1 corpus.  The exact op is index-based (no pair blowup), so
@@ -1293,6 +1295,10 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.time()
         materialize(QUERIES[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
+        # outside the timed window: until-clearCache persisted frames from
+        # one query must not occupy executor memory during the next
+        # (tests/test_persist_contract.py pins this harness behavior)
+        spark.catalog.clearCache()
     return timings
 
 

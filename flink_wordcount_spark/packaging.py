@@ -30,6 +30,7 @@ stripped from ``sys.path``.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 import zipfile
@@ -50,34 +51,49 @@ def _members() -> list[Path]:
 
 
 def _manifest(members: list[Path]) -> bytes:
-    """Sorted member-name list — stored as the zip comment so reuse can
-    detect deleted/renamed modules (an mtime check alone cannot: every
-    REMAINING member is still older than the stale zip — review r09)."""
-    names = "\n".join(str(m.relative_to(_PKG_DIR)) for m in members)
-    return names.encode("utf-8")
+    """Sorted ``name<TAB>sha256`` lines — stored as the zip comment so reuse
+    is CONTENT-verified, not name/mtime-trusted.  A names-only manifest plus
+    an mtime check let a different checkout with identical member names but
+    older mtimes (mtime-preserving rsync/archive extraction) silently ship
+    the other checkout's code (ADVICE r09); digesting every member closes
+    that — any byte change anywhere invalidates the artifact."""
+    lines = []
+    for m in members:
+        digest = hashlib.sha256(m.read_bytes()).hexdigest()
+        lines.append(f"{m.relative_to(_PKG_DIR)}\t{digest}")
+    return "\n".join(lines).encode("utf-8")
+
+
+def _default_dest_dir() -> str:
+    """Per-uid build dir (ADVICE r09): a fixed shared /tmp path makes
+    ``os.replace`` over ANOTHER user's artifact raise EPERM under the
+    sticky bit, failing session creation on multi-user hosts.  Mirrors
+    the ``_protobuf_shim_dir`` pattern in ``streaming/tws.py``."""
+    d = Path(tempfile.gettempdir()) / f"fws_pyfiles_{os.getuid()}"
+    d.mkdir(mode=0o700, exist_ok=True)
+    return str(d)
 
 
 def package_zip(dest_dir: str | None = None) -> str:
     """Build (or reuse) the executor-shippable zip; returns its path.
 
     The zip stores members under ``flink_wordcount_spark/...`` so the zip
-    root itself is the importable ``sys.path`` entry. Reuse requires BOTH
-    the zip to be newer than every member (mtime) AND its embedded member
-    manifest to match the current member list, so renames/deletions (and a
-    different checkout's artifact at the shared /tmp path) invalidate it.
+    root itself is the importable ``sys.path`` entry. Reuse requires the
+    embedded manifest (member names + sha256 content digests) to match the
+    current member list exactly, so edits, renames, deletions — and a
+    different checkout's artifact at the same path — all invalidate it.
     """
-    dest_dir = dest_dir or tempfile.gettempdir()
+    dest_dir = dest_dir or _default_dest_dir()
     out = Path(dest_dir) / f"{_PKG_NAME}-pyfiles.zip"
     members = _members()
+    manifest = _manifest(members)
     if out.exists():
-        zip_mtime = out.stat().st_mtime
-        if all(m.stat().st_mtime < zip_mtime for m in members):
-            try:
-                with zipfile.ZipFile(out) as zf:
-                    if zf.comment == _manifest(members):
-                        return str(out)
-            except zipfile.BadZipFile:
-                pass  # torn artifact from a crashed writer: rebuild
+        try:
+            with zipfile.ZipFile(out) as zf:
+                if zf.comment == manifest:
+                    return str(out)
+        except zipfile.BadZipFile:
+            pass  # torn artifact from a crashed writer: rebuild
     # unique tmp name per writer: a FIXED .tmp path lets two concurrent
     # sessions interleave writes into one inode and publish a torn zip
     # (review r09); mkstemp in the same dir keeps os.replace atomic
@@ -88,7 +104,7 @@ def package_zip(dest_dir: str | None = None) -> str:
         ) as zf:
             for m in members:
                 zf.write(m, arcname=str(Path(_PKG_NAME) / m.relative_to(_PKG_DIR)))
-            zf.comment = _manifest(members)
+            zf.comment = manifest
         os.replace(tmp, out)  # atomic publish
     except BaseException:
         try:
@@ -101,12 +117,20 @@ def package_zip(dest_dir: str | None = None) -> str:
 
 def ship_package(spark, force: bool = False) -> str | None:
     """addPyFile the package zip for non-local masters; returns the path
-    shipped, or None when skipped (local mode, workers see the repo)."""
+    shipped, or None when skipped (local mode, workers see the repo).
+
+    ``local-cluster[n,c,m]`` counts as NON-local: its executors are real
+    separate JVMs whose Python workers inherit the driver's environment,
+    not its in-process ``sys.path`` — the zip is the only carrier there
+    (pinned by tests/test_packaging.py's local-cluster round-trip)."""
     try:
         master = spark.conf.get("spark.master", "") or ""
     except Exception:
         master = ""
-    if master.startswith("local") and not force:
+    in_process_local = master == "local" or (
+        master.startswith("local[") and not master.startswith("local-cluster")
+    )
+    if in_process_local and not force:
         return None
     z = package_zip()
     spark.sparkContext.addPyFile(z)

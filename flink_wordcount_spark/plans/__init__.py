@@ -43,67 +43,64 @@ from . import catalog as _catalog
 # session-window oracle break shipped unverified precisely because a stale
 # green row pinned it behind the budget).  Reset this list each round.
 _MODIFIED_THIS_ROUND: list[str] = [
-    # r09: the round's theme is VERIFICATION FRESHNESS (VERDICT r08 #1) —
-    # the entire 41-query r04-stale cohort is pinned below and new-operator
-    # additions are capped, so this list stays small by design.
-    # (stream_timeout_flush itself is UNCHANGED this round; its new
-    # transformWithState twin registers as a never-verified query and takes
-    # a budget slot right after the pinned cohort.)
-    "join_asof_two_table",  # r09 review: body extracted into the shared
-                            # _asof_purchase_click topology for the new
-                            # tolerance twin — a refactor is still an edit
-                            # (the r08 dedup_shared_spans precedent)
+    # r10: reset per the r09 verdict (#1).  The round again spends its
+    # budget on cohort rotation: the full 44-query r05-stale cohort is
+    # pinned below and new-operator additions are capped at ~5, so this
+    # list stays empty unless an existing plan or oracle is edited.
 ]
 
 # Queries to verify THIS round ahead of the staleness rotation even though
-# their code is unchanged.  r09 (VERDICT r08 #1): the FULL 41-query cohort
-# whose last driver-green row is r04 — the histogram floor.  Pinning all of
-# them moves the floor to r05 in one round, exactly like r08 retired the
-# r03 cohort.  Budget: 0 modified + 41 pinned + ~5 never-verified new
-# queries (TWS timer twin + the r09 additions) ≈ the ~50-slot budget; the
-# r05 back catalog rotates next round.
+# their code is unchanged.  r10 (VERDICT r09 #1): the FULL 44-query cohort
+# whose last driver-green row is r05 — the histogram floor.  Pinning all of
+# them moves the floor to r06 in one round, exactly like r08 retired the
+# r03 cohort and r09 retired r04.  Budget: 0 modified + 44 pinned + ~5
+# never-verified new queries (second TWS topology + the r10 additions)
+# ≈ the ~50-slot budget; the r06 back catalog rotates next round.
 _PIN_FRONT_THIS_ROUND: list[str] = [
-    "approx_distinct_quantile",
-    "bm25_keyword_search",
-    "curation_quality_gate",
-    "decontam_eval_overlap",
-    "dedup_cluster_representatives",
-    "dedup_containment",
-    "dedup_incremental_shard",
-    "dedup_keep_list",
-    "dedup_ngram_jaccard",
-    "dedup_rate_by_source",
-    "doc_length_histogram",
-    "dq_constraint_report",
-    "embed_quantize_int8",
-    "ev_funnel_conversion",
-    "ev_retention_cohorts",
-    "ev_session_paths",
-    "ev_session_window",
-    "join_inner",
-    "join_left_outer",
-    "kmeans_embed_clusters",
-    "lsh_minhash_candidates",
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q18_large_volume_customers",
-    "sample_shuffle_order",
-    "sample_stratified",
-    "sample_upsample_weighted",
-    "sketch_hll_shard_merge",
-    "source_vocab_overlap",
-    "stream_events_tumbling",
-    "stream_session_window",
-    "stream_sliding_window",
-    "text_chunk_split",
-    "text_ngram_boilerplate",
-    "text_pii_scrub",
+    "agg_basic_stats",
+    "agg_collect_sorted",
+    "agg_corr_covar",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_filtered",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_quantile_disc",
+    "agg_rollup",
+    "agg_salted_two_phase",
+    "distinct_on_subset",
+    "distinct_pairs",
+    "ev_session_dynamic_gap",
+    "join_anti",
+    "join_cross",
+    "join_full_outer",
+    "join_range",
+    "join_right_outer",
+    "join_semi",
+    "join_theta",
+    "merge_upsert",
+    "setop_except",
+    "setop_except_all",
+    "setop_intersect",
+    "setop_union_all",
+    "setop_union_distinct",
+    "sort_multi_key",
+    "sql_q12_priority_lines",
+    "stream_dedup_keys",
+    "stream_session_dynamic_gap",
+    "stream_static_join",
+    "stream_wordcount_file",
+    "stream_wordcount_stateful",
+    "text_char_lm_score",
+    "topk_global",
+    "ts_profile_similarity",
+    "udf_grouped_map",
+    "window_first_last",
+    "window_lag_lead",
+    "window_range_frame",
+    "window_rank_dense_ntile",
+    "window_running_sum",
+    "window_topk_per_group",
 ]
 
 

@@ -1096,22 +1096,16 @@ def stream_timeout_flush_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "ts", "value")
     )
     # tws_timeout_flush pins the RocksDB provider (transformWithState
-    # requires it); restore the session's provider afterwards so later
-    # streaming queries keep their configured store.
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prev_provider = spark.conf.get(provider_key, None)
-    try:
+    # requires it) as a context manager scoped to the query run, so the
+    # session's configured store is restored no matter how this exits
+    # (ADVICE r09: the save/restore lives in tws.py now, not per-caller).
+    with tws_timeout_flush(stream) as tws_df:
         flushed = (
-            tws_timeout_flush(stream)
+            tws_df
             .filter(F.col("user_id") >= 0)  # drop the staging sentinels
             .withColumn("total_value", F.round("total_value", 2))
         )
         return run_to_completion(flushed, output_mode="append")
-    finally:
-        if prev_provider is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev_provider)
 
 
 @query(

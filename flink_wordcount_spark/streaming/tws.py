@@ -18,7 +18,9 @@ import time via ``os.getenv``; the 6.32/6.33 gap is within protobuf's
 cross-version wire guarantees for pure-Python runtimes). Check
 ``tws_available()`` before use; the applyInPandasWithState path in
 stateful.py remains the primary implementation. transformWithState also
-needs the RocksDB state store provider conf (set in ``tws_wordcount``).
+needs the RocksDB state store provider conf — scoped per query via the
+``rocksdb_state_store`` context manager (ADVICE r09: never leaked into
+the session).
 """
 
 from __future__ import annotations
@@ -81,39 +83,44 @@ def _ensure_protobuf_runtime() -> bool:
         path = _protobuf_shim_dir(path)  # expose only google/, not the root
         if path not in sys.path:
             sys.path.append(path)  # append: never shadow real site-packages
-        # Official protobuf escape hatch for a gencode-ahead-of-runtime gap
-        # (pyspark gencode 6.33.0 vs bundled runtime 6.32.0); set BEFORE any
-        # *_pb2 import so the worker-side os.getenv sees it.
-        os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
         # Python workers have the spark-core JAR on sys.path; its
         # google/protobuf/ directory (Java classes) imports as an EMPTY
         # namespace package, and once that is cached in sys.modules the
         # appended real package can never win ("cannot import name
         # 'descriptor' from 'google.protobuf' (unknown location)",
-        # reproduced against spark-core_2.13-4.1.2.jar). Purge only
-        # location-less namespace stubs — a real google.* module (has
-        # __file__) is left alone.
+        # reproduced against spark-core_2.13-4.1.2.jar). Purge ONLY the
+        # jar-poisoned stub itself — 'google', 'google.protobuf' and its
+        # descendants, each only when location-less (no __file__).  A wider
+        # "all location-less google.*" sweep can evict legitimate PEP-420
+        # namespace parents like google.cloud from sys.modules (ADVICE r09).
         pb = sys.modules.get("google.protobuf")
         if pb is not None and getattr(pb, "__file__", None) is None:
             for name in [
                 k
                 for k in sys.modules
-                if (k == "google" or k.startswith("google."))
+                if (k in ("google", "google.protobuf") or k.startswith("google.protobuf."))
                 and getattr(sys.modules[k], "__file__", None) is None
             ]:
                 del sys.modules[name]
         try:
             from google.protobuf import descriptor  # noqa: F401
-
-            return True
         except ImportError:
             continue
+        # Official protobuf escape hatch for a gencode-ahead-of-runtime gap
+        # (pyspark gencode 6.33.0 vs bundled runtime 6.32.0).  Set ONLY once
+        # the fallback runtime actually imports (ADVICE r09: a process-wide
+        # env mutation must not outlive a failed heal) — and still BEFORE
+        # any *_pb2 import, which happens later, at query execution, via
+        # os.getenv in the generated gencode.
+        os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
+        return True
     return False
 
 
 _PROTOBUF_OK = _ensure_protobuf_runtime()
 
 from collections.abc import Iterator
+from contextlib import contextmanager
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -217,30 +224,57 @@ class TimeoutFlushProcessor(StatefulProcessor):
         pass
 
 
-def tws_timeout_flush(stream: DataFrame, gap_ms: int = 3_600_000) -> DataFrame:
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@contextmanager
+def rocksdb_state_store(spark) -> Iterator[None]:
+    """Scoped RocksDB provider override (transformWithState requires it).
+
+    ADVICE r09: a bare ``conf.set`` in the plan builder leaks the RocksDB
+    provider into every LATER streaming query on the session unless each
+    caller remembers to save/restore.  As a context manager the mutation
+    cannot outlive the block regardless of caller — exit restores the
+    previous value, or unsets if there was none."""
+    prev = spark.conf.get(_PROVIDER_KEY, None)
+    spark.conf.set(_PROVIDER_KEY, _ROCKSDB_PROVIDER)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, prev)
+
+
+@contextmanager
+def tws_timeout_flush(stream: DataFrame, gap_ms: int = 3_600_000) -> Iterator[DataFrame]:
     """(user_id, ts, value) watermarked stream -> timer-flushed per-user
-    rollups via transformWithStateInPandas (EventTime time mode)."""
-    stream.sparkSession.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    return stream.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=TimeoutFlushProcessor(gap_ms),
-        outputStructType=TIMEOUT_FLUSH_SCHEMA,
-        outputMode="Append",
-        timeMode="EventTime",
-    )
+    rollups via transformWithStateInPandas (EventTime time mode).
+
+    Context manager: the provider conf is read at query START, so the
+    override must span the caller's ``.start()``/await — run the query
+    inside the ``with`` block; the conf is restored on exit."""
+    with rocksdb_state_store(stream.sparkSession):
+        yield stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=TimeoutFlushProcessor(gap_ms),
+            outputStructType=TIMEOUT_FLUSH_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
 
 
-def tws_wordcount(tokens: DataFrame) -> DataFrame:
-    """tokens(word) stream -> (word, running cnt) via transformWithStateInPandas."""
-    tokens.sparkSession.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    return tokens.groupBy("word").transformWithStateInPandas(
-        statefulProcessor=RunningCountProcessor(),
-        outputStructType=OUTPUT_SCHEMA,
-        outputMode="Update",
-        timeMode="None",
-    )
+@contextmanager
+def tws_wordcount(tokens: DataFrame) -> Iterator[DataFrame]:
+    """tokens(word) stream -> (word, running cnt) via
+    transformWithStateInPandas.  Context manager — see tws_timeout_flush."""
+    with rocksdb_state_store(tokens.sparkSession):
+        yield tokens.groupBy("word").transformWithStateInPandas(
+            statefulProcessor=RunningCountProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )

@@ -13,6 +13,7 @@ the master is non-local.
 
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
 import zipfile
@@ -34,22 +35,63 @@ def test_zip_contains_sources_and_resources(tmp_path):
     assert not any("__pycache__" in n for n in names)
 
 
-def test_zip_reused_until_member_changes(tmp_path):
-    z1 = package_zip(str(tmp_path))
-    mtime1 = Path(z1).stat().st_mtime_ns
-    z2 = package_zip(str(tmp_path))
-    assert z2 == z1 and Path(z2).stat().st_mtime_ns == mtime1  # reused
-    # a touched member forces a rebuild
+def test_zip_reused_on_identical_content_despite_mtime(tmp_path):
+    """Reuse is CONTENT-digest keyed (ADVICE r09): a touched mtime with
+    unchanged bytes must NOT force a rebuild, and an artifact whose embedded
+    digests disagree with the working tree (another checkout's zip at the
+    same path, mtime-preserving rsync) must be rebuilt even though every
+    member looks 'older' than the zip."""
     import os
     import time
 
+    z1 = package_zip(str(tmp_path))
+    mtime1 = Path(z1).stat().st_mtime_ns
     member = Path(REPO_ROOT) / "flink_wordcount_spark" / "packaging.py"
+    orig = member.stat()
     os.utime(member, (time.time() + 2, time.time() + 2))
     try:
-        package_zip(str(tmp_path))
-        assert Path(z1).stat().st_mtime_ns > mtime1  # rebuilt
+        z2 = package_zip(str(tmp_path))
+        assert z2 == z1 and Path(z2).stat().st_mtime_ns == mtime1  # reused
     finally:
-        os.utime(member)  # restore a sane mtime
+        os.utime(member, (orig.st_atime, orig.st_mtime))
+
+
+def test_zip_rebuilt_on_digest_mismatch(tmp_path):
+    """Simulate a different checkout's artifact: same member names, one
+    divergent content digest, zip mtime newer than every member — the
+    names-only+mtime scheme would silently serve it; the digest manifest
+    must rebuild (ADVICE r09)."""
+    import os
+    import time
+    import flink_wordcount_spark.packaging as pkg
+
+    z1 = package_zip(str(tmp_path))
+    with zipfile.ZipFile(z1, "a") as zf:
+        # flip a hex digit in the first member's digest
+        c = bytearray(zf.comment)
+        tab = c.index(b"\t")
+        c[tab + 1] = ord("0") if c[tab + 1] != ord("0") else ord("f")
+        zf.comment = bytes(c)
+    os.utime(z1, (time.time() + 5, time.time() + 5))
+    z2 = package_zip(str(tmp_path))
+    with zipfile.ZipFile(z2) as zf:
+        assert zf.comment == pkg._manifest(pkg._members())  # rebuilt
+
+
+def test_default_dest_dir_is_per_uid(monkeypatch, tmp_path):
+    """The default build dir is uid-scoped (ADVICE r09): under the sticky
+    bit, os.replace over another user's fixed-path /tmp artifact raises
+    EPERM and fails session creation on multi-user hosts."""
+    import os
+    import flink_wordcount_spark.packaging as pkg
+
+    monkeypatch.setattr(pkg.tempfile, "gettempdir", lambda: str(tmp_path))
+    d = Path(pkg._default_dest_dir())
+    assert d.name == f"fws_pyfiles_{os.getuid()}"
+    assert d.parent == tmp_path
+    assert (d.stat().st_mode & 0o777) == 0o700
+    z = pkg.package_zip()
+    assert Path(z).parent == d
 
 
 def test_executor_import_path_from_zip_alone(tmp_path):
@@ -136,6 +178,76 @@ def test_zip_rebuilt_when_member_set_changes(tmp_path, monkeypatch):
     monkeypatch.setattr(pkg, "_members", lambda: real_members[:-1])
     z2 = package_zip(str(tmp_path))
     assert len(zipfile.ZipFile(z2).namelist()) == n_before - 1
+
+
+def test_ship_package_local_cluster_masters_are_not_local():
+    """local-cluster[n,c,m] spawns real separate executor JVMs — the
+    in-process-local skip must not apply to it (VERDICT r09 #3)."""
+    s = _fake_spark("local-cluster[2,2,1024]")
+    z = ship_package(s)
+    assert z is not None
+    s.sparkContext.addPyFile.assert_called_once_with(z)
+
+
+def test_executor_import_via_zip_on_real_local_cluster(tmp_path):
+    """VERDICT r09 #3: the packaging path against a REAL non-local master.
+
+    A local-cluster[2,2,1024] session launches two genuine executor JVMs
+    (standalone scheduler, no daemons); their Python workers inherit the
+    driver's ENVIRONMENT, not its in-process sys.path, so unpickling the
+    sentence DataSource reader by reference on an executor exercises the
+    actual cluster import path. The reader's shared-filesystem fast path
+    (_PKG_ROOT re-insert) is pointed at a bogus dir so the addPyFile'd zip
+    is the ONLY way the package can resolve — then the rows must be
+    bit-identical to the in-process generator. Reference analog: the
+    fat-jar submit (run_job.sh:70-74). Runs in a subprocess: a second
+    SparkSession with a different master cannot share the test JVM."""
+    child = f"""
+import sys
+sys.path.insert(0, {REPO_ROOT!r})
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local-cluster[2,2,1024]")
+         .appName("pkg-lc-roundtrip")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+from flink_wordcount_spark.packaging import ship_package
+from flink_wordcount_spark.sources.sentence_source import register_sentence_source
+import flink_wordcount_spark.sources.sentence_source as ss
+ss._PKG_ROOT = "/nonexistent-for-test"  # kill the shared-fs fast path
+z = ship_package(spark)
+assert z is not None and z.endswith(".zip"), z
+register_sentence_source(spark)
+rows = (spark.read.format("sentences")
+        .option("n", 200).option("size", 10).option("seed", 42)
+        .option("numPartitions", 4).load().collect())
+spark.stop()
+assert len(rows) == 200, len(rows)
+for r in sorted(rows)[:3]:
+    print(r.seq, r.sentence, sep="\\t")
+"""
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    proc = subprocess.run(
+        [sys.executable, "-c", child],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),
+        timeout=420,
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    got = [ln.split("\t") for ln in proc.stdout.strip().splitlines()[-3:]]
+    # bit-identical to the in-process generator at the same (seed, size)
+    import numpy as np
+
+    from flink_wordcount_spark.streaming.sentences import (
+        sentences_for_ids,
+        wordlist,
+    )
+
+    words = np.array(wordlist(), dtype=object)
+    expect = sentences_for_ids(np.arange(3, dtype=np.uint64), 10, 42, 0, words)
+    assert got == [[str(i), expect[i]] for i in range(3)]
 
 
 def test_torn_zip_is_rebuilt_not_served(tmp_path):

@@ -217,7 +217,12 @@ def test_tws_wordcount_or_env_gate(spark, sf_dir):
         stream_dir_for(f"{sf_dir}/documents.parquet")
     )
     tokens = tokenize(stream.select(F.col("text").alias("sentence")), "sentence").select("word")
-    out = run_to_completion(tws_wordcount(tokens), output_mode="update")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    with tws_wordcount(tokens) as counted:
+        out = run_to_completion(counted, output_mode="update")
+    # ADVICE r09: the RocksDB override must not outlive the query
+    assert spark.conf.get(provider_key, None) == prev_provider
     got = {r.word: r.cnt for r in out.collect()}
     want = {
         r.word: r.cnt
@@ -476,6 +481,73 @@ print('HEALED', descriptor.__name__)
     )
     assert proc.returncode == 0, proc.stderr[-1500:]
     assert "HEALED" in proc.stdout
+
+
+def test_protobuf_heal_scoping(tmp_path):
+    """ADVICE r09 scoping contract, reproduced in subprocesses:
+    (a) a FAILED heal leaves no process-wide residue — the version-check
+    escape hatch env var is set only once the fallback runtime actually
+    lands a working descriptor import; (b) the namespace purge touches only
+    'google'/'google.protobuf*' stubs, never an unrelated location-less
+    PEP-420 parent like google.cloud."""
+    import glob
+    import subprocess
+    import sys
+
+    # (a) failure path: block every google.* import -> heal returns False
+    # and the env var stays unset.
+    child_fail = """
+import importlib.abc
+import os
+import sys
+
+class Block(importlib.abc.MetaPathFinder):
+    def find_spec(self, name, path=None, target=None):
+        if name == 'google' or name.startswith('google.'):
+            raise ImportError('blocked for test')
+
+sys.meta_path.insert(0, Block())
+os.environ.pop('TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK', None)
+import flink_wordcount_spark.streaming.tws as tws
+assert tws._PROTOBUF_OK is False
+assert 'TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK' not in os.environ
+print('FAIL-PATH-CLEAN')
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", child_fail],
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    assert "FAIL-PATH-CLEAN" in proc.stdout
+
+    # (b) purge narrowness: with the jar-poisoned stub cached AND a fake
+    # location-less google.cloud namespace parent in sys.modules, the heal
+    # must succeed without evicting google.cloud.
+    jars = glob.glob("/opt/spark*/jars/spark-core_*.jar")
+    if not jars:
+        import pytest
+
+        pytest.skip("no spark-core jar on this machine to reproduce with")
+    child_purge = f"""
+import sys
+import types
+sys.path.insert(1, {jars[0]!r})
+import google.protobuf  # caches the jar's empty namespace stub
+assert getattr(google.protobuf, '__file__', None) is None
+fake_cloud = types.ModuleType('google.cloud')  # location-less, like PEP-420
+sys.modules['google.cloud'] = fake_cloud
+from flink_wordcount_spark.streaming.tws import _ensure_protobuf_runtime
+assert _ensure_protobuf_runtime() is True
+assert sys.modules.get('google.cloud') is fake_cloud, 'purge evicted google.cloud'
+from google.protobuf import descriptor
+print('PURGE-NARROW')
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", child_purge],
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    assert "PURGE-NARROW" in proc.stdout
 
 
 def test_tws_timeout_flush_processor_rearm_contract():
