@@ -224,6 +224,90 @@ class TimeoutFlushProcessor(StatefulProcessor):
         pass
 
 
+WINDOWED_COUNT_SCHEMA = StructType(
+    [
+        StructField("win_start_ms", LongType()),
+        StructField("event_type", StringType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+class WindowedCountProcessor(StatefulProcessor):
+    """Per-event-type hourly window counts in a named MAP state — the
+    named-state surface applyInPandasWithState cannot express (VERDICT r09
+    #4): one MapState entry per open window bucket under the key, plus a
+    ValueState for the last-seen event time, plus one re-armable event-time
+    timer that emits the WHOLE map once and clears it (emit-once append
+    semantics, same staging as TimeoutFlushProcessor).
+
+    With the old API this map would be a single serialized blob rewritten
+    wholesale every batch; MapState gives per-bucket point updates — the
+    state-store win that matters when a key holds many open windows.
+
+    Must live at module level: workers unpickle the processor by reference,
+    which runs ``_ensure_protobuf_runtime`` in the worker process."""
+
+    def __init__(self, window_ms: int = 3_600_000, gap_ms: int = 3_600_000) -> None:
+        self._window_ms = window_ms
+        self._gap_ms = gap_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._wins = handle.getMapState("wins", "win_ms BIGINT", "cnt BIGINT")
+        self._last = handle.getValueState("last", "last_ms BIGINT")
+
+    def handleInputRows(self, key, rows: Iterator[pd.DataFrame], timerValues) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(rows), ignore_index=True)
+        ms = batch["ts"].to_numpy("datetime64[ns]").astype("int64") // 1_000_000
+        buckets = (ms // self._window_ms) * self._window_ms
+        for w, c in pd.Series(buckets).value_counts().items():
+            k = (int(w),)
+            prev = self._wins.getValue(k)[0] if self._wins.containsKey(k) else 0
+            self._wins.updateValue(k, (prev + int(c),))
+        prev_last = self._last.get()[0] if self._last.exists() else 0
+        new_last = max(prev_last, int(ms.max()))
+        self._last.update((new_last,))
+        # single live timer per key: re-arm on movement (TimeoutFlush's
+        # bookkeeping — delete the old expiry first, duplicates otherwise)
+        if prev_last and prev_last != new_last:
+            self._handle.deleteTimer(prev_last + self._gap_ms)
+        self._handle.registerTimer(new_last + self._gap_ms)
+        return iter([])
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo) -> Iterator[pd.DataFrame]:
+        entries = sorted((k[0], v[0]) for k, v in self._wins.iterator())
+        self._wins.clear()
+        self._last.clear()
+        if not entries:
+            return  # timer raced a key already flushed; nothing to emit
+        yield pd.DataFrame(
+            {
+                "win_start_ms": [w for w, _ in entries],
+                "event_type": [key[0]] * len(entries),
+                "n": [c for _, c in entries],
+            }
+        ).astype({"win_start_ms": "int64", "n": "int64"})
+
+    def close(self) -> None:
+        pass
+
+
+@contextmanager
+def tws_windowed_counts(
+    stream: DataFrame, window_ms: int = 3_600_000, gap_ms: int = 3_600_000
+) -> Iterator[DataFrame]:
+    """(event_type, ts) watermarked stream -> timer-flushed per-type hourly
+    window counts via MapState.  Context manager — see tws_timeout_flush."""
+    with rocksdb_state_store(stream.sparkSession):
+        yield stream.groupBy("event_type").transformWithStateInPandas(
+            statefulProcessor=WindowedCountProcessor(window_ms, gap_ms),
+            outputStructType=WINDOWED_COUNT_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+
+
 _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
 _ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"

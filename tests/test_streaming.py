@@ -625,3 +625,106 @@ def test_tws_timeout_flush_processor_rearm_contract():
     assert not state.exists()
     # a timer racing the flushed key emits nothing
     assert list(proc.handleExpiredTimer((7,), None, None)) == []
+
+
+def test_tws_windowed_count_processor_mapstate_contract():
+    """WindowedCountProcessor point-updates one MapState entry PER open
+    hourly bucket (never rewrites the whole map), re-arms its single timer
+    like TimeoutFlush, and the fired timer emits every (bucket, count)
+    entry once then clears both states.  Driven with fakes — the
+    end-to-end value check is the driver query (stream_windowed_topk_tws);
+    this pins the named-state bookkeeping the oracle can't see."""
+    import pandas as pd
+
+    from flink_wordcount_spark.streaming.tws import WindowedCountProcessor
+
+    class FakeValueState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+        def clear(self):
+            self.v = None
+
+    class FakeMapState:
+        def __init__(self):
+            self.m = {}
+            self.updates = 0
+
+        def containsKey(self, k):
+            return k in self.m
+
+        def getValue(self, k):
+            return self.m[k]
+
+        def updateValue(self, k, v):
+            self.m[k] = v
+            self.updates += 1
+
+        def iterator(self):
+            return iter(self.m.items())
+
+        def clear(self):
+            self.m = {}
+
+    class FakeHandle:
+        def __init__(self, wins, last):
+            self._wins, self._last = wins, last
+            self.registered, self.deleted = [], []
+
+        def getMapState(self, name, key_schema, value_schema):
+            return self._wins
+
+        def getValueState(self, name, schema):
+            return self._last
+
+        def registerTimer(self, ts):
+            self.registered.append(ts)
+
+        def deleteTimer(self, ts):
+            self.deleted.append(ts)
+
+    hour = 3_600_000
+    wins, last = FakeMapState(), FakeValueState()
+    handle = FakeHandle(wins, last)
+    proc = WindowedCountProcessor(window_ms=hour, gap_ms=hour)
+    proc.init(handle)
+
+    def batch(ts_s):
+        return pd.DataFrame({"ts": pd.to_datetime(ts_s)})
+
+    ms = lambda s: int(pd.Timestamp(s).value // 1_000_000)  # noqa: E731
+
+    # batch 1: 3 events across two hourly buckets
+    out = list(proc.handleInputRows((("view",)), iter([batch(
+        ["2024-01-01 11:10:00", "2024-01-01 11:40:00", "2024-01-01 12:05:00"]
+    )]), None))
+    assert out == [] or all(len(p) == 0 for p in out)
+    h11, h12 = ms("2024-01-01 11:00:00"), ms("2024-01-01 12:00:00")
+    assert wins.m == {(h11,): (2,), (h12,): (1,)}
+    assert wins.updates == 2  # one point update per touched bucket
+    t_1205 = ms("2024-01-01 12:05:00")
+    assert handle.registered == [t_1205 + hour] and handle.deleted == []
+    # batch 2: increments an EXISTING bucket (point update, not rewrite)
+    # and advances last -> old timer deleted, new armed
+    list(proc.handleInputRows(("view",), iter([batch(["2024-01-01 12:30:00"])]), None))
+    assert wins.m == {(h11,): (2,), (h12,): (2,)}
+    assert handle.deleted == [t_1205 + hour]
+    assert handle.registered[-1] == ms("2024-01-01 12:30:00") + hour
+    # fired timer: emits every bucket once (sorted), clears both states
+    emitted = pd.concat(list(proc.handleExpiredTimer(("view",), None, None)))
+    assert emitted.to_dict("records") == [
+        {"win_start_ms": h11, "event_type": "view", "n": 2},
+        {"win_start_ms": h12, "event_type": "view", "n": 2},
+    ]
+    assert wins.m == {} and not last.exists()
+    # a timer racing a flushed key emits nothing
+    assert list(proc.handleExpiredTimer(("view",), None, None)) == []
