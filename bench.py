@@ -384,6 +384,15 @@ def bench_streaming_latency(spark) -> dict:
             ):
                 capacity = retry
             capacity["margin_below_floor"] = capacity_margin_low(capacity)
+        # Knee probe (r10, VERDICT r09 #7): the 25k window drains ~19k
+        # rows/s — but a probe ceiling of 25k caps the measurable margin at
+        # 2.0x, so it can't distinguish "saturated at 19k" from "pacing
+        # artifact of the offered rate". One more window at 40k offered
+        # resolves it: if drained stays flat the knee IS the 25k window's
+        # drain rate; if it rises, capacity was above the old probe ceiling
+        # and the higher figure is the knee candidate.
+        capacity["knee"] = bench_capacity_knee(spark, capacity)
+        _unload_state_stores(spark)
         # recovery last within this JVM: restart-to-first-commit is a small
         # timing-sensitive measurement and the unloads keep the JVM sane
         recovery = bench_recovery(spark, path)
@@ -564,6 +573,50 @@ def bench_capacity(spark, probe_rate: int = 25000, run_sec: int = 40) -> dict:
             round(drained / 12500, 2) if drained else None
         ),
         "n_batches": batches.get("n"),
+    }
+
+
+def bench_capacity_knee(
+    spark, base_capacity: dict, high_rate: int = 40000, run_sec: int = 40
+) -> dict:
+    """Locate the live path's saturation KNEE (VERDICT r09 #7).
+
+    The standing capacity probe offers 2x the reference rate (25k rows/s)
+    and reports what drains — but that offered rate is also a ceiling on
+    the measurable margin (25k/12.5k = 2.0x). This runs ONE more saturated
+    window at ``high_rate`` and compares drain rates: flat (within 10%)
+    means the pipeline was already drain-limited and the knee is the
+    measured drain; a rise means the old probe was pacing-limited and the
+    higher drain is the knee candidate (capacity >= it). The base 25k point
+    is reused from the probe that already ran — no duplicate window."""
+    high = bench_capacity(spark, probe_rate=high_rate, run_sec=run_sec)
+    base_drained = base_capacity.get("drained_rows_per_exec_sec")
+    high_drained = high.get("drained_rows_per_exec_sec")
+    points = [
+        {
+            "offered_rows_per_sec": base_capacity.get("probe_rows_per_sec"),
+            "drained_rows_per_exec_sec": base_drained,
+        },
+        {
+            "offered_rows_per_sec": high_rate,
+            "drained_rows_per_exec_sec": high_drained,
+        },
+    ]
+    if not (base_drained and high_drained):
+        return {"points": points, "knee_rows_per_exec_sec": None, "flat": None}
+    flat = high_drained <= 1.10 * base_drained
+    knee = max(base_drained, high_drained)
+    return {
+        "points": points,
+        # flat=True: drain didn't follow the offer -> the knee is real
+        # saturation. flat=False: the 25k window was pacing-limited; the
+        # knee is AT LEAST the 40k window's drain (a higher probe would be
+        # needed to bound it, noted for the artifact reader).
+        "flat": flat,
+        "knee_rows_per_exec_sec": knee,
+        "knee_words_per_sec": knee * SENTENCE_SIZE,
+        "knee_margin_vs_reference_rate": round(knee / 12500, 2),
+        "bounded": flat,
     }
 
 
@@ -1001,6 +1054,15 @@ SF1_QUERIES = [
     "text_skipgram_cooccurrence",
     "ev_rolling_active_users",
     "qa_equi_depth_histogram",
+    # r10 (VERDICT r09 #5): the r09 operators join the probe — the
+    # attribution self-join (pair fan-out bounded by per-user 24 h
+    # activity, which key-shifted replication keeps per-replica), the
+    # hashed bag-of-words featurizer (the claimed 100 TB design point:
+    # no vocabulary state, should be ~linear), and the nDCG eval (its
+    # until-clearCache persisted candidate frame at 10x).
+    "ev_attribution_time_decay",
+    "text_hashed_bow",
+    "retrieval_eval_ndcg",
 ]
 
 #: Per-replica key offset for the synthetic sf1 (far above any sf0.1 key).
