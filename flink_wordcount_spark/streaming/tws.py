@@ -308,6 +308,127 @@ def tws_windowed_counts(
         )
 
 
+SESSION_PATH_SCHEMA = StructType(
+    [StructField("user_id", LongType()), StructField("path", StringType())]
+)
+
+
+class SessionPathProcessor(StatefulProcessor):
+    """Per-user session-path assembly in a named LIST state — the event
+    buffer the old API would have to serialize as one blob. Each input
+    batch merges the buffered events with the new ones, splits the sorted
+    sequence at >= gap idle boundaries (the same gaps-and-islands rule as
+    the ev_session_paths batch twin), EMITS every CLOSED session's path
+    eagerly (Append mode), and keeps only the trailing still-open session
+    in the ListState — so state tracks the live tail, not user history.
+    The re-armed event-time timer flushes that tail once the watermark
+    passes last_event + gap.
+
+    Path semantics match the oracle's string_agg(event_type, '>' ORDER BY
+    ts, event_id): NULL types are skipped, an all-NULL session has a NULL
+    path, and the (ts, event_id) sort treats NULL event_id as LAST
+    (DuckDB's default, which the batch twin also matches).
+
+    Must live at module level: workers unpickle the processor by
+    reference, which runs ``_ensure_protobuf_runtime`` in the worker."""
+
+    def __init__(self, gap_ms: int = 1_800_000) -> None:
+        self._gap_ms = gap_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._buf = handle.getListState(
+            "events", "ts_us BIGINT, event_id BIGINT, event_type STRING"
+        )
+        self._last = handle.getValueState("last", "last_ms BIGINT")
+
+    @staticmethod
+    def _sort_key(ev):
+        ts_us, event_id, _ = ev
+        return (ts_us, event_id is None, event_id if event_id is not None else 0)
+
+    def _sessions(self, events: list) -> list[list]:
+        """Split the sorted event list at >= gap boundaries."""
+        out, cur = [], []
+        gap_us = self._gap_ms * 1000
+        prev = None
+        for ev in sorted(events, key=self._sort_key):
+            if prev is not None and ev[0] - prev >= gap_us:
+                out.append(cur)
+                cur = []
+            cur.append(ev)
+            prev = ev[0]
+        if cur:
+            out.append(cur)
+        return out
+
+    @staticmethod
+    def _path(session: list):
+        types = [t for _, _, t in session if t is not None]
+        return ">".join(types) if types else None
+
+    def _emit(self, key, sessions: list) -> Iterator[pd.DataFrame]:
+        if sessions:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(sessions),
+                    "path": [self._path(s) for s in sessions],
+                }
+            )
+
+    def handleInputRows(self, key, rows: Iterator[pd.DataFrame], timerValues) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(rows), ignore_index=True)
+        ts_us = batch["ts"].to_numpy("datetime64[ns]").astype("int64") // 1_000
+        ids = batch["event_id"]
+        new = [
+            (
+                int(ts_us[i]),
+                int(ids.iloc[i]) if pd.notna(ids.iloc[i]) else None,
+                batch["event_type"].iloc[i]
+                if pd.notna(batch["event_type"].iloc[i])
+                else None,
+            )
+            for i in range(len(batch))
+        ]
+        merged = [tuple(ev) for ev in self._buf.get()] + new
+        sessions = self._sessions(merged)
+        closed, tail = sessions[:-1], sessions[-1]
+        self._buf.clear()
+        self._buf.put([tuple(ev) for ev in tail])
+        prev_last = self._last.get()[0] if self._last.exists() else 0
+        new_last = max(prev_last, int(ts_us.max()) // 1_000)
+        self._last.update((new_last,))
+        if prev_last and prev_last != new_last:
+            self._handle.deleteTimer(prev_last + self._gap_ms)
+        self._handle.registerTimer(new_last + self._gap_ms)
+        yield from self._emit(key, closed)
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo) -> Iterator[pd.DataFrame]:
+        tail = [tuple(ev) for ev in self._buf.get()]
+        self._buf.clear()
+        self._last.clear()
+        # the tail is one open session by construction, but re-split
+        # defensively (a timer raced between batches costs nothing)
+        yield from self._emit(key, self._sessions(tail))
+
+    def close(self) -> None:
+        pass
+
+
+@contextmanager
+def tws_session_paths(stream: DataFrame, gap_ms: int = 1_800_000) -> Iterator[DataFrame]:
+    """(user_id, ts, event_id, event_type) watermarked stream -> closed
+    per-user session path strings via ListState.  Context manager — see
+    tws_timeout_flush."""
+    with rocksdb_state_store(stream.sparkSession):
+        yield stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=SessionPathProcessor(gap_ms),
+            outputStructType=SESSION_PATH_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+
+
 _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
 _ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"

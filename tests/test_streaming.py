@@ -728,3 +728,107 @@ def test_tws_windowed_count_processor_mapstate_contract():
     assert wins.m == {} and not last.exists()
     # a timer racing a flushed key emits nothing
     assert list(proc.handleExpiredTimer(("view",), None, None)) == []
+
+
+def test_tws_session_path_processor_liststate_contract():
+    """SessionPathProcessor emits CLOSED sessions eagerly and keeps only
+    the open tail in the ListState (state tracks the live session, not
+    user history); the fired timer flushes the tail once and clears.
+    NULL event types are skipped in the path; an all-NULL session yields a
+    NULL path.  Driven with fakes — the end-to-end value check is the
+    driver query (stream_session_paths_tws)."""
+    import pandas as pd
+
+    from flink_wordcount_spark.streaming.tws import SessionPathProcessor
+
+    class FakeValueState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+        def clear(self):
+            self.v = None
+
+    class FakeListState:
+        def __init__(self):
+            self.items = []
+
+        def get(self):
+            return iter(self.items)
+
+        def put(self, new):
+            self.items = list(new)
+
+        def clear(self):
+            self.items = []
+
+    class FakeHandle:
+        def __init__(self, buf, last):
+            self._buf, self._last = buf, last
+            self.registered, self.deleted = [], []
+
+        def getListState(self, name, schema):
+            return self._buf
+
+        def getValueState(self, name, schema):
+            return self._last
+
+        def registerTimer(self, ts):
+            self.registered.append(ts)
+
+        def deleteTimer(self, ts):
+            self.deleted.append(ts)
+
+    buf, last = FakeListState(), FakeValueState()
+    handle = FakeHandle(buf, last)
+    proc = SessionPathProcessor(gap_ms=1_800_000)
+    proc.init(handle)
+
+    def batch(rows):
+        return pd.DataFrame(
+            {
+                "ts": pd.to_datetime([r[0] for r in rows]),
+                "event_id": [r[1] for r in rows],
+                "event_type": [r[2] for r in rows],
+            }
+        )
+
+    # batch 1: two sessions separated by a 2 h gap -> first closes NOW,
+    # second stays buffered as the open tail
+    out = list(proc.handleInputRows((7,), iter([batch([
+        ("2024-01-01 10:00:00", 1, "view"),
+        ("2024-01-01 10:10:00", 2, "purchase"),
+        ("2024-01-01 12:30:00", 3, "view"),
+    ])]), None))
+    emitted = pd.concat(out)
+    assert emitted.to_dict("records") == [
+        {"user_id": 7, "path": "view>purchase"}
+    ]
+    assert [e[2] for e in buf.items] == ["view"]  # only the open tail
+    ms = lambda s: int(pd.Timestamp(s).value // 1_000_000)  # noqa: E731
+    assert handle.registered == [ms("2024-01-01 12:30:00") + 1_800_000]
+    # batch 2: extends the open session (within gap), including a NULL
+    # type and an out-of-order event that sorts before the tail's head
+    out = list(proc.handleInputRows((7,), iter([batch([
+        ("2024-01-01 12:45:00", 5, None),
+        ("2024-01-01 12:20:00", 4, "click"),
+    ])]), None))
+    assert out == [] or all(len(p) == 0 for p in out)  # nothing closed
+    assert len(buf.items) == 3
+    assert handle.deleted == [ms("2024-01-01 12:30:00") + 1_800_000]
+    assert handle.registered[-1] == ms("2024-01-01 12:45:00") + 1_800_000
+    # fired timer: flushes the tail once (NULL type skipped), clears state
+    flushed = pd.concat(list(proc.handleExpiredTimer((7,), None, None)))
+    assert flushed.to_dict("records") == [
+        {"user_id": 7, "path": "click>view"}
+    ]
+    assert buf.items == [] and not last.exists()
+    assert list(proc.handleExpiredTimer((7,), None, None)) == []
