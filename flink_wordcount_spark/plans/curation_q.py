@@ -1252,3 +1252,65 @@ def sample_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("stage", "shuffle_key", "doc_id")
         .limit(100)
     )
+
+
+#: Target-encoding constants: the "high quality" label threshold (chars)
+#: and the additive-smoothing pseudo-count m (encoded rate shrinks toward
+#: the corpus rate for thin categories).
+_TENC_MIN_CHARS = 300
+_TENC_M = 25.0
+
+
+@query(
+    "feat_target_encode",
+    oracle=f"""
+    WITH t AS (
+        SELECT source,
+               CASE WHEN n_chars >= {_TENC_MIN_CHARS} THEN 1.0 ELSE 0.0 END AS y
+        FROM documents
+    ), g AS (
+        SELECT sum(y) AS sy, count(*) AS n FROM t
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(sum(y) / count(*), 6) AS raw_rate,
+           round((sum(y) + {_TENC_M} * (SELECT sy / n FROM g))
+                 / (count(*) + {_TENC_M}), 6) AS encoded
+    FROM t GROUP BY source
+    """,
+)
+def feat_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding of a categorical feature: each ``source``
+    becomes the additively-smoothed rate of a binary target (here the
+    high-quality indicator n_chars >= _TENC_MIN_CHARS) — the standard
+    leakage-safe categorical featurizer for training a quality/routing
+    classifier over corpus metadata, where thin categories must shrink
+    toward the corpus prior instead of memorizing noise:
+    encoded = (sum_y + m * prior) / (n + m).
+
+    Parity: the target is an exact 0/1 double (CASE on an integer column;
+    NULL n_chars falls to the ELSE like the oracle), so every sum is an
+    exact small integer in IEEE doubles and the two divisions are
+    bit-identical; only the final rates are rounded.
+
+    Scale: one map-side-combined aggregate per source (category
+    cardinality, not corpus rows) plus a single-row broadcast prior — the
+    same build-small-then-broadcast shape as BM25's corpus stats.  NULL
+    sources form their own category in both engines."""
+    d = table(spark, sf_dir, "documents")
+    y = F.when(F.col("n_chars") >= _TENC_MIN_CHARS, 1.0).otherwise(0.0)
+    t = d.select("source", y.alias("y"))
+    prior = t.agg((F.sum("y") / F.count(F.lit(1))).alias("prior"))
+    per = t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("y").alias("sy")
+    )
+    return per.crossJoin(F.broadcast(prior)).select(  # prior: single row
+        "source",
+        "n_docs",
+        F.round(F.col("sy") / F.col("n_docs"), 6).alias("raw_rate"),
+        F.round(
+            (F.col("sy") + _TENC_M * F.col("prior"))
+            / (F.col("n_docs") + _TENC_M),
+            6,
+        ).alias("encoded"),
+    )

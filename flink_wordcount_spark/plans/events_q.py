@@ -1790,3 +1790,65 @@ def ev_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dt).cast("bigint").alias("covered_us"),
         F.round(F.sum(F.col("value") * dt) / F.sum(dt), 4).alias("twa_value"),
     )
+
+
+#: k-anonymity threshold: a quasi-identifier group smaller than this is a
+#: re-identification risk (the conventional k=5 release floor).
+_K_ANON = 5
+
+
+@query(
+    "qa_k_anonymity",
+    oracle=f"""
+    WITH q AS (
+        SELECT event_type,
+               CAST(ts AS DATE) AS d,
+               CAST(floor(value / 100.0) AS BIGINT) AS vb,
+               CAST(count(*) AS BIGINT) AS grp_n
+        FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN grp_n < {_K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_small_groups,
+           CAST(sum(CASE WHEN grp_n < {_K_ANON} THEN grp_n ELSE 0 END) AS BIGINT)
+               AS rows_at_risk,
+           CAST(min(grp_n) AS BIGINT) AS k_anonymity
+    FROM q GROUP BY event_type
+    """,
+)
+def qa_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy release audit: k-anonymity of the quasi-identifier tuple
+    (event_type, event date, value bucket) — the check a training-data
+    pipeline runs before shipping behavioral logs, because a group of
+    fewer than k rows sharing a quasi-identifier combination re-identifies
+    its members even after dropping direct IDs.  Per event_type: group
+    count, groups below k (``_K_ANON`` = 5), rows inside those groups, and
+    the table's k-anonymity (the smallest group).
+
+    Parity: the date truncation and the floor(value/100) bucket are exact
+    in both engines (explicit floor — DuckDB's double->int CAST rounds);
+    NULL quasi-identifier components form their own groups identically
+    under GROUP BY in both.
+
+    Scale: two map-side-combined aggregates — quasi-id grid (bounded by
+    types x days x value buckets, not event volume), then a per-type fold
+    over that grid.  The fact table never leaves the first aggregate; no
+    row-level data is ever shuffled beyond it."""
+    e = table(spark, sf_dir, "events")
+    grp = (
+        e.select(
+            "event_type",
+            F.to_date("ts").alias("d"),
+            F.floor(F.col("value") / 100.0).cast("bigint").alias("vb"),
+        )
+        .groupBy("event_type", "d", "vb")
+        .agg(F.count(F.lit(1)).alias("grp_n"))
+    )
+    small = F.col("grp_n") < _K_ANON
+    return grp.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(small.cast("bigint")).alias("n_small_groups"),
+        F.sum(F.when(small, F.col("grp_n")).otherwise(0)).alias("rows_at_risk"),
+        F.min("grp_n").alias("k_anonymity"),
+    )

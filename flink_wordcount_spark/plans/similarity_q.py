@@ -1073,3 +1073,125 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dcg_at10") / F.col("idcg_at10")).alias("ndcg_at10"),
         )
     )
+
+
+# Hard-negative mining reuses dedup_embed_cosine's RHP-LSH candidate stage
+# (same plane constants, same hot-bucket cap) — the oracle mirrors the full
+# pipeline in SQL so bucketing, symmetrization, the cross-label filter and
+# the per-anchor argmax are ALL value-checked, exactly like _EMBED_LSH_ORACLE.
+_HARDNEG_ORACLE = f"""
+WITH e AS (SELECT vec_id AS id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE embedding IS NOT NULL),
+pl AS (SELECT CAST(i AS INTEGER) AS plane_idx,
+              ({_PLANES_SQL})[CAST(i AS INTEGER)+1] AS p
+       FROM range(0, {_N_TABLES * _BITS}) t(i)),
+bits AS (
+    SELECT id, CAST(plane_idx // {_BITS} AS INTEGER) AS table_idx,
+           (CASE WHEN list_dot_product(v, p) > 0 THEN 1 ELSE 0 END
+            << (plane_idx % {_BITS})) AS bitval
+    FROM e CROSS JOIN pl
+),
+buckets AS (
+    SELECT id, table_idx, CAST(sum(bitval) AS BIGINT) AS bucket
+    FROM bits GROUP BY 1, 2
+),
+ok_buckets AS (
+    SELECT table_idx, bucket FROM buckets
+    GROUP BY 1, 2 HAVING count(*) <= {_MAX_BUCKET}
+),
+cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM buckets a
+    JOIN buckets b USING (table_idx, bucket)
+    JOIN ok_buckets USING (table_idx, bucket)
+    WHERE a.id < b.id
+),
+sym AS (
+    SELECT id_a AS anchor, id_b AS neg FROM cand
+    UNION ALL
+    SELECT id_b AS anchor, id_a AS neg FROM cand
+),
+scored AS (
+    SELECT s.anchor, s.neg,
+           x.label AS anchor_label, y.label AS negative_label,
+           round(list_cosine_similarity(x.v, y.v), 6) AS cos_sim
+    FROM sym s JOIN e x ON x.id = s.anchor JOIN e y ON y.id = s.neg
+    WHERE x.label <> y.label
+)
+SELECT anchor AS vec_id, anchor_label, neg AS negative_id,
+       negative_label, cos_sim
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY anchor
+                                 ORDER BY cos_sim DESC, neg) AS rn
+    FROM scored
+) WHERE rn = 1
+"""
+
+
+@query("embed_hard_negatives", oracle=_HARDNEG_ORACLE)
+def embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for every
+    vector, its most cosine-similar neighbor with a DIFFERENT label — the
+    candidate pair that teaches a metric model the most, mined corpus-wide
+    before building triplet/contrastive batches.
+
+    Approximate by design at the same place production miners are: the
+    neighbor comes from the RHP-LSH candidate stage shared with
+    dedup_embed_cosine (same plane constants, same hot-bucket cap), never
+    an all-pairs scan, and the DuckDB oracle reproduces the identical
+    pipeline so the approximation itself is value-checked.  Vectors whose
+    every candidate shares their label (or with NULL labels — excluded by
+    <> on both sides) emit no row.
+
+    Scale: candidate generation is the banded-bucket shape (no corpus x
+    corpus join); the per-anchor argmax is a window over each anchor's
+    candidate list (bounded by bucket caps), keyed by the anchor — one
+    hash exchange."""
+    emb = _emb_nn(spark, sf_dir)
+    cands = rhp_candidate_pairs(
+        rhp_buckets(emb, _N_TABLES, _BITS), max_bucket_size=_MAX_BUCKET
+    )
+    sym = cands.select(
+        F.col("id_a").alias("anchor"), F.col("id_b").alias("neg")
+    ).unionAll(
+        cands.select(F.col("id_b").alias("anchor"), F.col("id_a").alias("neg"))
+    )
+    e = emb.select(
+        F.col("vec_id").alias("id"),
+        "label",
+        as_double(F.col("embedding")).alias("v"),
+    ).withColumn("n", norm(F.col("v")))
+    xa = e.withColumnsRenamed(
+        {"id": "anchor", "label": "anchor_label", "v": "va", "n": "na"}
+    )
+    xb = e.withColumnsRenamed(
+        {"id": "neg", "label": "negative_label", "v": "vb", "n": "nb"}
+    )
+    scored = (
+        sym.join(maybe_broadcast(xa), "anchor")
+        .join(maybe_broadcast(xb), "neg")
+        .filter(F.col("anchor_label") != F.col("negative_label"))
+        .select(
+            "anchor",
+            "anchor_label",
+            F.col("neg").alias("negative_id"),
+            "negative_label",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("anchor").orderBy(
+        F.desc("cos_sim"), F.asc("negative_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("anchor").alias("vec_id"),
+            "anchor_label",
+            "negative_id",
+            "negative_label",
+            "cos_sim",
+        )
+    )

@@ -84,6 +84,7 @@ BNLJ_OK = {
     "qa_preflight_report": "single-row panel scalars",
     "source_python_datasource": "2000-row golden-contract generator frame",
     "embed_standardize": "broadcast 1-row per-dim mu/sd stats grid",
+    "feat_target_encode": "single-row corpus-prior anchor",
 }
 
 
