@@ -577,7 +577,7 @@ def bench_capacity(spark, probe_rate: int = 25000, run_sec: int = 40) -> dict:
 
 
 def bench_capacity_knee(
-    spark, base_capacity: dict, ladder=(40000, 64000), run_sec: int = 40
+    spark, base_capacity: dict, ladder=(40000, 64000, 104000, 168000), run_sec: int = 40
 ) -> dict:
     """Locate the live path's saturation KNEE (VERDICT r09 #7).
 
@@ -585,13 +585,15 @@ def bench_capacity_knee(
     and reports what drains — but that offered rate is also a ceiling on
     the measurable margin (25k/12.5k = 2.0x), and the first 40k window
     proved the 25k drain (18.1k) was PACING-limited, not saturation (drain
-    rose to ~30k). This climbs a short offered-rate ladder, one saturated
-    window per rung, stopping at the first rung whose drain is within 10%
-    of the previous rung's — that flattening IS the knee. ``bounded`` is
-    False when even the top rung still climbed (capacity >= the best
-    drain; the artifact says so rather than faking a knee). The base 25k
-    point is reused from the probe that already ran — no duplicate
-    window."""
+    rose to ~30k at 40k offered and ~51k at 64k — drain tracks ~75-80% of
+    the offer until the state-store wall). This climbs a geometric
+    offered-rate ladder, one saturated window per rung, stopping at the
+    first rung whose drain is within 10% of the previous rung's — that
+    flattening IS the knee (expected near the throughput phase's sustained
+    words/s: ~4.6M words/s ~ 46k rows/s). ``bounded`` is False when even
+    the top rung still climbed (capacity >= the best drain; the artifact
+    says so rather than faking a knee). The base 25k point is reused from
+    the probe that already ran — no duplicate window."""
     points = [
         {
             "offered_rows_per_sec": base_capacity.get("probe_rows_per_sec"),
