@@ -281,3 +281,71 @@ def test_window_ledger_median_is_round_scoped(tmp_path):
     assert [w["suite_seconds"] for w in w3] == [40.0]
     assert all(w["round"] == 3 for w in w3)
     assert len(w1) == 1
+
+
+def test_capacity_knee_ladder_stops_at_flattening(monkeypatch):
+    """The knee ladder climbs until a rung's drain is within 10% of the
+    previous rung's, records the peak as the knee and marks it bounded;
+    rungs past the flattening never run (VERDICT r09 #7)."""
+    import bench
+
+    drains = {40000: 28000, 64000: 42000, 104000: 51000, 168000: 33000}
+    ran = []
+
+    def fake_capacity(spark, probe_rate, run_sec):
+        ran.append(probe_rate)
+        return {
+            "probe_rows_per_sec": probe_rate,
+            "drained_rows_per_exec_sec": drains[probe_rate],
+        }
+
+    monkeypatch.setattr(bench, "bench_capacity", fake_capacity)
+    monkeypatch.setattr(bench, "_unload_state_stores", lambda s: None)
+    base = {"probe_rows_per_sec": 25000, "drained_rows_per_exec_sec": 19000}
+    out = bench.bench_capacity_knee(None, base)
+    assert ran == [40000, 64000, 104000, 168000]  # climbed to the flat rung
+    assert out["flat"] is True and out["bounded"] is True
+    assert out["knee_rows_per_exec_sec"] == 51000  # the PEAK, not the last
+    assert out["knee_words_per_sec"] == 51000 * bench.SENTENCE_SIZE
+    assert len(out["points"]) == 5  # base + 4 rungs
+
+
+def test_capacity_knee_early_stop_skips_higher_rungs(monkeypatch):
+    """A rung within 10% of its predecessor ends the climb immediately."""
+    import bench
+
+    drains = {40000: 20500}  # within 10% of the 19k base: knee at once
+    ran = []
+
+    def fake_capacity(spark, probe_rate, run_sec):
+        ran.append(probe_rate)
+        return {
+            "probe_rows_per_sec": probe_rate,
+            "drained_rows_per_exec_sec": drains[probe_rate],
+        }
+
+    monkeypatch.setattr(bench, "bench_capacity", fake_capacity)
+    monkeypatch.setattr(bench, "_unload_state_stores", lambda s: None)
+    base = {"probe_rows_per_sec": 25000, "drained_rows_per_exec_sec": 19000}
+    out = bench.bench_capacity_knee(None, base)
+    assert ran == [40000]  # 64k/104k/168k never ran
+    assert out["flat"] is True and out["knee_rows_per_exec_sec"] == 20500
+
+
+def test_capacity_knee_unbounded_when_still_climbing(monkeypatch):
+    """If even the top rung climbs >10%, the artifact must say the knee is
+    unbounded (capacity >= best drain) instead of faking a knee."""
+    import bench
+
+    def fake_capacity(spark, probe_rate, run_sec):
+        return {
+            "probe_rows_per_sec": probe_rate,
+            "drained_rows_per_exec_sec": probe_rate * 3 // 4,  # tracks offer
+        }
+
+    monkeypatch.setattr(bench, "bench_capacity", fake_capacity)
+    monkeypatch.setattr(bench, "_unload_state_stores", lambda s: None)
+    base = {"probe_rows_per_sec": 25000, "drained_rows_per_exec_sec": 19000}
+    out = bench.bench_capacity_knee(None, base)
+    assert out["flat"] is False and out["bounded"] is False
+    assert out["knee_rows_per_exec_sec"] == 168000 * 3 // 4
