@@ -603,6 +603,7 @@ def bench_capacity_knee(
         }
     ]
     flat = None
+    measurement_failed = False
     for rate in ladder:
         cap = bench_capacity(spark, probe_rate=rate, run_sec=run_sec)
         _unload_state_stores(spark)
@@ -612,24 +613,32 @@ def bench_capacity_knee(
         )
         prev = points[-2]["drained_rows_per_exec_sec"]
         if not (prev and drained):
+            # a degenerate rung is a MEASUREMENT failure, not evidence of
+            # climbing (review r10): flag it rather than let bounded=False
+            # read as "capacity >= best drain" off rungs that never ran
             flat = None
+            measurement_failed = True
             break
         flat = drained <= 1.10 * prev
         if flat:
             break  # drain stopped following the offer: knee found
     drains = [p["drained_rows_per_exec_sec"] for p in points]
     knee = max((d for d in drains if d), default=None)
-    if knee is None:
-        return {"points": points, "knee_rows_per_exec_sec": None, "flat": flat}
+    # uniform shape regardless of outcome (review r10): consumers read
+    # knee.bounded without KeyError even when every rung degenerated
     return {
         "points": points,
         # flat=True: the last rung's drain matched the previous rung ->
         # the knee is real saturation. flat=False: still climbing at the
-        # top rung; the knee is AT LEAST the best drain.
+        # top rung; the knee is AT LEAST the best drain. flat=None: a rung
+        # failed to measure; see measurement_failed.
         "flat": flat,
+        "measurement_failed": measurement_failed,
         "knee_rows_per_exec_sec": knee,
-        "knee_words_per_sec": knee * SENTENCE_SIZE,
-        "knee_margin_vs_reference_rate": round(knee / 12500, 2),
+        "knee_words_per_sec": knee * SENTENCE_SIZE if knee else None,
+        "knee_margin_vs_reference_rate": (
+            round(knee / 12500, 2) if knee else None
+        ),
         "bounded": bool(flat),
     }
 

@@ -68,9 +68,26 @@ def _default_dest_dir() -> str:
     """Per-uid build dir (ADVICE r09): a fixed shared /tmp path makes
     ``os.replace`` over ANOTHER user's artifact raise EPERM under the
     sticky bit, failing session creation on multi-user hosts.  Mirrors
-    the ``_protobuf_shim_dir`` pattern in ``streaming/tws.py``."""
+    the ``_protobuf_shim_dir`` pattern in ``streaming/tws.py``.
+
+    The predictable name is also a squat target (review r10):
+    ``mkdir(exist_ok=True)`` accepts a PRE-EXISTING directory without
+    applying the mode, so a directory planted by another user would let
+    them swap the zip between digest verification and the executor fetch.
+    Ownership and symlinkness are therefore verified after the mkdir, and
+    the mode is re-applied; a squatted path fails loudly instead of
+    shipping attacker-writable artifacts."""
     d = Path(tempfile.gettempdir()) / f"fws_pyfiles_{os.getuid()}"
     d.mkdir(mode=0o700, exist_ok=True)
+    st = os.lstat(d)
+    import stat as _stat
+
+    if not _stat.S_ISDIR(st.st_mode) or st.st_uid != os.getuid():
+        raise RuntimeError(
+            f"refusing unsafe package build dir {d}: not a directory owned "
+            "by this uid (symlink/squat?)"
+        )
+    os.chmod(d, 0o700)  # enforce even when the dir pre-existed
     return str(d)
 
 
@@ -127,9 +144,9 @@ def ship_package(spark, force: bool = False) -> str | None:
         master = spark.conf.get("spark.master", "") or ""
     except Exception:
         master = ""
-    in_process_local = master == "local" or (
-        master.startswith("local[") and not master.startswith("local-cluster")
-    )
+    # "local" / "local[n]" / "local[*]" are in-process; "local-cluster[...]"
+    # never matches the "local[" prefix, so no extra exclusion is needed
+    in_process_local = master == "local" or master.startswith("local[")
     if in_process_local and not force:
         return None
     z = package_zip()

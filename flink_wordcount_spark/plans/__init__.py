@@ -46,16 +46,21 @@ _MODIFIED_THIS_ROUND: list[str] = [
     # r10: reset per the r09 verdict (#1).  The round again spends its
     # budget on cohort rotation: the full 44-query r05-stale cohort is
     # pinned below and new-operator additions are capped at ~5, so this
-    # list stays empty unless an existing plan or oracle is edited.
+    # list carries only genuinely edited existing queries.
+    "stream_timeout_flush_tws",  # r10: plan body rewritten onto the
+                                 # tws_timeout_flush context manager
+                                 # (ADVICE r09 provider scoping) — a
+                                 # refactor is still an edit (the r08
+                                 # dedup_shared_spans precedent)
 ]
 
 # Queries to verify THIS round ahead of the staleness rotation even though
 # their code is unchanged.  r10 (VERDICT r09 #1): the FULL 44-query cohort
 # whose last driver-green row is r05 — the histogram floor.  Pinning all of
 # them moves the floor to r06 in one round, exactly like r08 retired the
-# r03 cohort and r09 retired r04.  Budget: 0 modified + 44 pinned + ~5
-# never-verified new queries (second TWS topology + the r10 additions)
-# ≈ the ~50-slot budget; the r06 back catalog rotates next round.
+# r03 cohort and r09 retired r04.  Budget: 1 modified + 44 pinned + 5
+# never-verified new queries (two TWS topologies + the r10 additions)
+# = the 50-slot budget exactly; the r06 back catalog rotates next round.
 _PIN_FRONT_THIS_ROUND: list[str] = [
     "agg_basic_stats",
     "agg_collect_sorted",

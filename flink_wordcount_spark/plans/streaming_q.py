@@ -1232,7 +1232,10 @@ def stream_session_paths_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         final.groupBy("path")
         .agg(F.count(F.lit(1)).alias("n_sessions"))
-        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        # asc_nulls_last: a NULL path (all-NULL-type session) must sort
+        # after real paths at the LIMIT boundary like DuckDB's ASC default
+        # (Spark asc is NULLS FIRST — review r10)
+        .orderBy(F.desc("n_sessions"), F.asc_nulls_last("path"))
         .limit(20)
     )
 
@@ -1296,7 +1299,11 @@ def stream_windowed_topk_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     with tws_windowed_counts(stream) as counts:
-        emitted = counts.filter(F.col("event_type") != "__sentinel").select(
+        # NULL event_type is a legal group the oracle ranks; a bare
+        # != '__sentinel' would NULL out and drop it (review r10)
+        emitted = counts.filter(
+            F.col("event_type").isNull() | (F.col("event_type") != "__sentinel")
+        ).select(
             F.date_format(
                 F.timestamp_millis("win_start_ms"), "yyyy-MM-dd HH:mm:ss"
             ).alias("win_start"),

@@ -379,17 +379,23 @@ class SessionPathProcessor(StatefulProcessor):
     def handleInputRows(self, key, rows: Iterator[pd.DataFrame], timerValues) -> Iterator[pd.DataFrame]:
         batch = pd.concat(list(rows), ignore_index=True)
         ts_us = batch["ts"].to_numpy("datetime64[ns]").astype("int64") // 1_000
-        ids = batch["event_id"]
-        new = [
-            (
-                int(ts_us[i]),
-                int(ids.iloc[i]) if pd.notna(ids.iloc[i]) else None,
-                batch["event_type"].iloc[i]
-                if pd.notna(batch["event_type"].iloc[i])
-                else None,
+        # vectorized column->list conversion (review r10): the staged
+        # replay delivers a whole file per micro-batch, so a hot user's
+        # entire history passes through here — per-row .iloc lookups were
+        # O(n) interpreted pandas indexing on the measured live path
+        ids = batch["event_id"].astype(object).where(batch["event_id"].notna(), None)
+        types = (
+            batch["event_type"]
+            .astype(object)
+            .where(batch["event_type"].notna(), None)
+        )
+        new = list(
+            zip(
+                (int(t) for t in ts_us.tolist()),
+                (int(i) if i is not None else None for i in ids.tolist()),
+                types.tolist(),
             )
-            for i in range(len(batch))
-        ]
+        )
         merged = [tuple(ev) for ev in self._buf.get()] + new
         sessions = self._sessions(merged)
         closed, tail = sessions[:-1], sessions[-1]
