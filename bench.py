@@ -577,7 +577,10 @@ def bench_capacity(spark, probe_rate: int = 25000, run_sec: int = 40) -> dict:
 
 
 def bench_capacity_knee(
-    spark, base_capacity: dict, ladder=(40000, 64000, 104000, 168000), run_sec: int = 40
+    spark,
+    base_capacity: dict,
+    ladder=(40000, 64000, 104000, 168000, 256000, 416000),
+    run_sec: int = 40,
 ) -> dict:
     """Locate the live path's saturation KNEE (VERDICT r09 #7).
 
@@ -639,7 +642,10 @@ def bench_capacity_knee(
         "knee_margin_vs_reference_rate": (
             round(knee / 12500, 2) if knee else None
         ),
-        "bounded": bool(flat),
+        # None (not False) when a rung failed to measure (ADVICE r10): a
+        # consumer reading only the scalar must not mistake a measurement
+        # failure for "still climbing = headroom".
+        "bounded": None if measurement_failed else bool(flat),
     }
 
 

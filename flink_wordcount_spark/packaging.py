@@ -79,15 +79,24 @@ def _default_dest_dir() -> str:
     shipping attacker-writable artifacts."""
     d = Path(tempfile.gettempdir()) / f"fws_pyfiles_{os.getuid()}"
     d.mkdir(mode=0o700, exist_ok=True)
-    st = os.lstat(d)
     import stat as _stat
 
-    if not _stat.S_ISDIR(st.st_mode) or st.st_uid != os.getuid():
-        raise RuntimeError(
-            f"refusing unsafe package build dir {d}: not a directory owned "
-            "by this uid (symlink/squat?)"
-        )
-    os.chmod(d, 0o700)  # enforce even when the dir pre-existed
+    # Verify AND chmod through one fd (ADVICE r10): lstat-then-chmod left a
+    # TOCTOU window where the dir could be swapped for a symlink between
+    # the two calls and os.chmod (which follows symlinks) would hit an
+    # attacker-chosen target.  O_NOFOLLOW|O_DIRECTORY refuses a symlink at
+    # open, and fstat/fchmod on the held fd cannot be redirected.
+    fd = os.open(d, os.O_RDONLY | os.O_DIRECTORY | os.O_NOFOLLOW)
+    try:
+        st = os.fstat(fd)
+        if not _stat.S_ISDIR(st.st_mode) or st.st_uid != os.getuid():
+            raise RuntimeError(
+                f"refusing unsafe package build dir {d}: not a directory "
+                "owned by this uid (symlink/squat?)"
+            )
+        os.fchmod(fd, 0o700)  # enforce even when the dir pre-existed
+    finally:
+        os.close(fd)
     return str(d)
 
 

@@ -43,69 +43,71 @@ from . import catalog as _catalog
 # session-window oracle break shipped unverified precisely because a stale
 # green row pinned it behind the budget).  Reset this list each round.
 _MODIFIED_THIS_ROUND: list[str] = [
-    # r10: reset per the r09 verdict (#1).  The round again spends its
-    # budget on cohort rotation: the full 44-query r05-stale cohort is
-    # pinned below and new-operator additions are capped at ~5, so this
-    # list carries only genuinely edited existing queries.
-    "stream_timeout_flush_tws",  # r10: plan body rewritten onto the
-                                 # tws_timeout_flush context manager
-                                 # (ADVICE r09 provider scoping) — a
-                                 # refactor is still an edit (the r08
-                                 # dedup_shared_spans precedent)
+    # r11: reset per the r10 verdict (#1).  Budget again goes to cohort
+    # rotation (the full 43-query r06-stale cohort pinned below) plus the
+    # queries whose code actually changed this round:
+    "stream_windowed_topk_tws",  # r11: read side re-aggregates before
+                                 # ranking (ADVICE r10 tws.py:278 —
+                                 # duplicate-window robustness under
+                                 # multi-batch replays)
+    "stream_session_paths_tws",  # r11: processor now closes sessions on
+                                 # the WATERMARK, not eagerly per input
+                                 # batch (ADVICE r10 tws.py:401)
 ]
 
 # Queries to verify THIS round ahead of the staleness rotation even though
-# their code is unchanged.  r10 (VERDICT r09 #1): the FULL 44-query cohort
-# whose last driver-green row is r05 — the histogram floor.  Pinning all of
-# them moves the floor to r06 in one round, exactly like r08 retired the
-# r03 cohort and r09 retired r04.  Budget: 1 modified + 44 pinned + 5
-# never-verified new queries (two TWS topologies + the r10 additions)
-# = the 50-slot budget exactly; the r06 back catalog rotates next round.
+# their code is unchanged.  r11 (VERDICT r10 #1): the FULL 43-query cohort
+# whose last driver-green row is r06 — the histogram floor.  Pinning all of
+# them moves the floor to r07 in one round, exactly like r08 retired r03,
+# r09 retired r04 and r10 retired r05.  Budget: 2 modified + 43 pinned +
+# ~5 never-verified new queries = the 50-slot budget; the r07 back catalog
+# rotates next round.  (Cohort recomputed from the artifacts at round
+# start with the same logic as _last_verified_round(): 43 names, matching
+# the r10 verdict's count.)
 _PIN_FRONT_THIS_ROUND: list[str] = [
-    "agg_basic_stats",
-    "agg_collect_sorted",
-    "agg_corr_covar",
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_filtered",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_quantile_disc",
-    "agg_rollup",
-    "agg_salted_two_phase",
-    "distinct_on_subset",
-    "distinct_pairs",
-    "ev_session_dynamic_gap",
-    "join_anti",
-    "join_cross",
-    "join_full_outer",
-    "join_range",
-    "join_right_outer",
-    "join_semi",
-    "join_theta",
-    "merge_upsert",
-    "setop_except",
-    "setop_except_all",
-    "setop_intersect",
-    "setop_union_all",
-    "setop_union_distinct",
-    "sort_multi_key",
-    "sql_q12_priority_lines",
-    "stream_dedup_keys",
-    "stream_session_dynamic_gap",
-    "stream_static_join",
-    "stream_wordcount_file",
-    "stream_wordcount_stateful",
-    "text_char_lm_score",
-    "topk_global",
-    "ts_profile_similarity",
-    "udf_grouped_map",
-    "window_first_last",
-    "window_lag_lead",
-    "window_range_frame",
-    "window_rank_dense_ntile",
-    "window_running_sum",
-    "window_topk_per_group",
+    "dedup_embed_cosine",
+    "dedup_exact",
+    "dedup_exact_hash",
+    "embed_cosine_topk",
+    "embed_norm_stats",
+    "ev_asof_last_purchase",
+    "ev_funnel",
+    "ev_gap_fill",
+    "ev_multires_rollup",
+    "ev_pivot_types",
+    "ev_sliding_window",
+    "ev_tumbling_hour",
+    "ev_user_rollup",
+    "fn_array",
+    "fn_bitwise",
+    "fn_date",
+    "fn_json",
+    "fn_map",
+    "fn_math",
+    "fn_nulls",
+    "fn_regex",
+    "fn_string",
+    "fn_variant",
+    "lsh_cosine_candidates",
+    "lsh_ivf_topk",
+    "lsh_ivf_topk_checked",
+    "sql_cte_top_supplier",
+    "sql_exists_correlated",
+    "sql_in_subquery",
+    "sql_scalar_subquery",
+    "sql_unpivot",
+    "stream_sentences_golden",
+    "text_bigrams_top",
+    "text_langid",
+    "text_token_counts",
+    "udf_grouped_agg",
+    "udf_pandas_scalar",
+    "udf_rowwise",
+    "udf_sql_registered",
+    "udtf_token_positions",
+    "wordcount_per_doc_topk",
+    "wordcount_stats",
+    "wordcount_top100",
 ]
 
 

@@ -1192,12 +1192,15 @@ def stream_session_paths_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ev_session_paths assembled ON THE LIVE STREAM via a named LIST state
     (VERDICT r09 #4's other half: ListState, after stream_windowed_topk_tws
     exercised MapState).  The processor buffers each user's open-session
-    events in a ListState, eagerly emits every session CLOSED by a >= 30 min
-    idle gap (Append mode), keeps only the open tail in state, and flushes
-    that tail through a re-armed event-time timer once the watermark passes
-    last_event + gap — the Flink-style session assembly the old API would
-    serialize as one monolithic blob per key.  Same gaps-and-islands oracle
-    as the batch twin; the read side just counts paths.
+    events in a ListState, emits a session closed by a >= 30 min idle gap
+    (Append mode) only once the WATERMARK passes its gap boundary — so an
+    out-of-order event in a later micro-batch can never belong to an
+    already-emitted session (ADVICE r10) — keeps the not-yet-finalized
+    remainder in state, and flushes it through a re-armed event-time timer
+    once the watermark passes last_event + gap — the Flink-style session
+    assembly the old API would serialize as one monolithic blob per key.
+    Same gaps-and-islands oracle as the batch twin; the read side just
+    counts paths.
 
     Sentinel staging: the watermark-flush rows carry negative user_ids, so
     under user_id keying they are their own keys — real users' tails flush
@@ -1311,6 +1314,12 @@ def stream_windowed_topk_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
         final = run_to_completion(emitted, output_mode="append")
+    # Re-aggregate before ranking (ADVICE r10): a key that receives input
+    # AFTER its idle timer fired restarts its map from zero and flushes the
+    # same (win_start, event_type) again; under the one-real-batch staging
+    # this cannot happen, but a multi-batch replay would hand the ranker
+    # duplicate rows and corrupt the top-3 without this sum.
+    final = final.groupBy("win_start", "event_type").agg(F.sum("n").alias("n"))
     w = Window.partitionBy("win_start").orderBy(F.desc("n"), F.asc("event_type"))
     return final.withColumn("rnk", F.row_number().over(w).cast("bigint")).filter(
         F.col("rnk") <= 3

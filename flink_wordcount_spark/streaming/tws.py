@@ -318,11 +318,16 @@ class SessionPathProcessor(StatefulProcessor):
     buffer the old API would have to serialize as one blob. Each input
     batch merges the buffered events with the new ones, splits the sorted
     sequence at >= gap idle boundaries (the same gaps-and-islands rule as
-    the ev_session_paths batch twin), EMITS every CLOSED session's path
-    eagerly (Append mode), and keeps only the trailing still-open session
-    in the ListState — so state tracks the live tail, not user history.
-    The re-armed event-time timer flushes that tail once the watermark
-    passes last_event + gap.
+    the ev_session_paths batch twin), and emits a closed session's path
+    (Append mode) ONLY once the WATERMARK has passed its gap boundary
+    (session_end + gap): an out-of-order event arriving in a later
+    micro-batch could otherwise belong to an already-emitted session
+    (ADVICE r10).  Spark drops input below the watermark before it reaches
+    the processor, so a watermark-finalized session can never be extended
+    or merged.  Not-yet-finalized sessions stay in the ListState — state
+    per user is bounded by the gap + watermark-delay horizon, not user
+    history.  The re-armed event-time timer flushes the remainder once the
+    watermark passes last_event + gap.
 
     Path semantics match the oracle's string_agg(event_type, '>' ORDER BY
     ts, event_id): NULL types are skipped, an all-NULL session has a NULL
@@ -398,7 +403,20 @@ class SessionPathProcessor(StatefulProcessor):
         )
         merged = [tuple(ev) for ev in self._buf.get()] + new
         sessions = self._sessions(merged)
-        closed, tail = sessions[:-1], sessions[-1]
+        # Close only sessions the WATERMARK has finalized (ADVICE r10):
+        # wm >= session_end + gap means no admissible future event can
+        # extend or merge the session (later input below wm is dropped by
+        # Spark).  Sessions are time-ordered, so the safe set is a prefix.
+        wm_us = timerValues.getCurrentWatermarkInMs() * 1000
+        gap_us = self._gap_ms * 1000
+        n_safe = 0
+        for s in sessions[:-1]:
+            if s[-1][0] + gap_us <= wm_us:
+                n_safe += 1
+            else:
+                break
+        closed = sessions[:n_safe]
+        tail = [ev for s in sessions[n_safe:] for ev in s]
         self._buf.clear()
         self._buf.put([tuple(ev) for ev in tail])
         prev_last = self._last.get()[0] if self._last.exists() else 0
@@ -413,8 +431,10 @@ class SessionPathProcessor(StatefulProcessor):
         tail = [tuple(ev) for ev in self._buf.get()]
         self._buf.clear()
         self._last.clear()
-        # the tail is one open session by construction, but re-split
-        # defensively (a timer raced between batches costs nothing)
+        # the buffer may hold several not-yet-finalized sessions (closing
+        # is watermark-gated); the timer fires only once the watermark has
+        # passed last_event + gap, which finalizes every one — re-split
+        # and emit them all
         yield from self._emit(key, self._sessions(tail))
 
     def close(self) -> None:
