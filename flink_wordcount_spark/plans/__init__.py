@@ -53,6 +53,9 @@ _MODIFIED_THIS_ROUND: list[str] = [
     "stream_session_paths_tws",  # r11: processor now closes sessions on
                                  # the WATERMARK, not eagerly per input
                                  # batch (ADVICE r10 tws.py:401)
+    "ev_user_value_deciles",     # r11: persist -> localCheckpoint
+    "ev_rfm_segmentation",       # (VERDICT r10 #5) — a materialization
+    "qa_equi_depth_histogram",   # change is still a plan edit
 ]
 
 # Queries to verify THIS round ahead of the staleness rotation even though

@@ -1099,13 +1099,17 @@ def ev_user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.rankops import global_ntile
 
     e = table(spark, sf_dir, "events")
-    # Persisted: the rank's two prep jobs (bounds, range counts) and the
-    # final job would each re-run the per-user aggregate otherwise
-    # (rankops' prescribed pattern; clearCache-between-queries lifetime).
+    # localCheckpoint (VERDICT r10 #5, retiring the persist-allowlist
+    # entry): the rank's two prep jobs and the final job all read the
+    # materialized rollup, and the ContextCleaner reclaims it when the
+    # plan is GC'd — no reliance on harness clearCache.  Trade documented
+    # in rankops' module docstring: local checkpoints don't survive
+    # executor loss; a 1000-executor deployment would use persist +
+    # scoped unpersist or a reliable checkpoint for multi-hour jobs.
     per_user = (
         e.groupBy("user_id")
         .agg(F.round(F.sum("value"), 2).alias("total"))
-        .persist()
+        .localCheckpoint()
     )
     return (
         global_ntile(per_user, "total", 10, "user_id", descending=True, out="decile")
@@ -1471,7 +1475,11 @@ def ev_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary",
         )
-        .persist()
+        # localCheckpoint (VERDICT r10 #5): three chained ntiles = six rank
+        # prep jobs re-reading this user-cardinality rollup; materializing
+        # it once is the same win the old persist bought, with GC-scoped
+        # cleanup instead of until-clearCache (see ev_user_value_deciles).
+        .localCheckpoint()
     )
     scored = global_ntile(
         rfm, "recency_us", 5, "user_id", descending=True, out="r_score"
@@ -1669,15 +1677,17 @@ def qa_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs DuckDB's NULLS-LAST ASC default (NULL-vintage sweep, r08)."""
     from ..operators.rankops import global_ntile
 
-    # Persisting the 2-column projection spares the rank's two prep jobs a
-    # re-scan (r08 review).  At 100 TB CACHING the fact table is the wrong
-    # trade — there you let the two prep scans re-read the column-pruned
-    # parquet (value only) instead; at bench scale the cache wins.
+    # localCheckpoint of the 2-column projection spares the rank's two prep
+    # jobs a re-scan (r08 review), with GC-scoped cleanup instead of the
+    # retired until-clearCache persist (VERDICT r10 #5).  At 100 TB
+    # materializing the fact table is the wrong trade either way — there
+    # you let the two prep scans re-read the column-pruned parquet (value
+    # only) instead; at bench scale the one-shot materialization wins.
     e = (
         table(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
         .select("event_id", "value")
-        .persist()
+        .localCheckpoint()
     )
     return (
         global_ntile(e, "value", 10, "event_id", out="bucket")

@@ -1324,3 +1324,152 @@ def stream_windowed_topk_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.withColumn("rnk", F.row_number().over(w).cast("bigint")).filter(
         F.col("rnk") <= 3
     )
+
+
+def _stream_dedup_minhash_oracle() -> str:
+    """Batch-replay oracle for stream_dedup_minhash: identical signature +
+    banding math to dedup_q's md5 pipeline (same _MD5_PERMS constants), with
+    bucket OWNERSHIP (min doc_id ever to claim a bucket) standing in for
+    first-arrival — exact under the doc_id-ordered replay contract."""
+    from .dedup_q import _MD5_BANDS, _MD5_K, _MD5_PERMS, _P31, _SHINGLE_N
+
+    r = _MD5_K // _MD5_BANDS
+    mins = ",\n               ".join(
+        f"min(({a} * hm + {b}) % {_P31}) AS m{i}"
+        for i, (a, b) in enumerate(_MD5_PERMS)
+    )
+    band_cases = "\n                 ".join(
+        "WHEN {bi} THEN ".format(bi=bi)
+        + " || ':' || ".join(f"CAST(m{bi * r + j} AS VARCHAR)" for j in range(r))
+        for bi in range(_MD5_BANDS)
+    )
+    band_vals = ", ".join(f"({bi})" for bi in range(_MD5_BANDS))
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(text, '\\W+'), x -> length(x) > 0) AS t
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+{_SHINGLE_N - 1}], ' ') AS s
+        FROM toks, unnest(range(1, len(t) - {_SHINGLE_N - 2})) AS u(i)
+    ), hm AS (
+        SELECT doc_id, ('0x' || substring(md5(s), 1, 15))::BIGINT % {_P31} AS hm
+        FROM sh
+    ), sig AS (
+        SELECT doc_id,
+               {mins}
+        FROM hm GROUP BY doc_id
+    ), bands AS (
+        SELECT doc_id, band_idx,
+               CASE band_idx
+                 {band_cases}
+               END AS band_key
+        FROM sig CROSS JOIN (VALUES {band_vals}) AS bb(band_idx)
+    ), owners AS (
+        SELECT band_idx, band_key, min(doc_id) AS owner
+        FROM bands GROUP BY band_idx, band_key
+    )
+    SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_blocked_bands
+    FROM bands b JOIN owners o USING (band_idx, band_key)
+    WHERE o.owner < b.doc_id
+    GROUP BY b.doc_id
+    """
+
+
+@query("stream_dedup_minhash", oracle=_stream_dedup_minhash_oracle())
+def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup admission ON THE INGEST STREAM (VERDICT r10 #6):
+    the one LLM-pipeline shape that had a batch twin (dedup_incremental_shard)
+    but no live twin.  Each arriving document computes its 32-perm MinHash
+    signature ROW-WISE (higher-order functions over the token array — md5
+    shingle hashes, affine permutations mod 2^31-1, identical constants to
+    dedup_q's value-checked md5 pipeline — so the signature stage is
+    stateless and shuffle-free on the stream), explodes into 8 band-bucket
+    claims, and resolves admission in a transformWithStateInPandas registry
+    keyed by (band_idx, band_key): the first claimant owns the bucket
+    forever (ValueState, 8 bytes/bucket), later claimants are emitted as
+    blocked.  A doc is DROPPED iff any of its 8 buckets was already owned —
+    the reference's stateful keyed pipeline (StatefulWordCount.java:85-89)
+    applied to near-dup admission.  The result is the dropped set with its
+    per-doc blocked-band count.
+
+    Oracle-parity contract: within a micro-batch, claims resolve in doc_id
+    order; across batches first arrival wins.  The batch-replay oracle
+    adjudicates GLOBAL doc_id order, which the staged single-file replay
+    delivers (and any doc_id-ordered multi-batch replay preserves); on an
+    arbitrary-order live stream the semantics stay well-defined
+    (first-arrival-wins) but the tie-break differs from the oracle's —
+    the same honesty note as the reference's own run-order dependence.
+
+    Scale: state is one 8-byte owner per OCCUPIED bucket (<= 8 x corpus
+    docs, sharded by the bucket-key exchange — the only shuffle); no pair
+    join, no membership lists, emitted rows bounded by 8 x dup count.
+    At 100 TB this is the standing admission index a training-data ingest
+    keeps warm, with dedup decided per arriving doc instead of re-running
+    batch LSH over the corpus."""
+    from .dedup_q import _MD5_BANDS, _MD5_K, _MD5_PERMS, _P31, _SHINGLE_N
+    from ..streaming.tws import tws_bucket_claims
+
+    schema = _raw_schema(spark, f"{sf_dir}/documents.parquet")
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir_for(f"{sf_dir}/documents.parquet"))
+        .select("doc_id", "text")
+    )
+    toks = F.filter(
+        F.split(F.col("text"), r"\W+"), lambda x: F.length(x) > 0
+    )
+    n_sh = F.size(toks) - (_SHINGLE_N - 1)
+    sh = F.when(
+        n_sh >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.array_join(F.slice(toks, i, _SHINGLE_N), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # hm materialized in its OWN projection: 32 downstream array_min's
+    # reference it, and CollapseProject keeps non-cheap multi-referenced
+    # producers un-inlined, so the md5 pass runs once per doc
+    hm = F.transform(
+        sh,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % _P31,
+    )
+    sig = stream.withColumn("hm", hm).select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform(F.col("hm"), lambda x: (F.lit(a) * x + F.lit(b)) % _P31)
+            ).alias(f"m{i}")
+            for i, (a, b) in enumerate(_MD5_PERMS)
+        ],
+    )
+    r = _MD5_K // _MD5_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_idx"),
+                        F.concat_ws(
+                            ":",
+                            *[F.col(f"m{bi * r + j}").cast("string") for j in range(r)],
+                        ).alias("band_key"),
+                    )
+                    for bi in range(_MD5_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select(
+        "doc_id", "b.band_idx", "b.band_key"
+    )
+    # docs with no shingles (NULL/short text) band to NULL keys via the
+    # empty array's array_min -> they must not claim a shared bucket; the
+    # oracle's sig CTE simply has no row for them (no shingle rows), so
+    # drop them before the registry exactly like the oracle does
+    bands = bands.filter(F.col("band_key").isNotNull() & (F.col("band_key") != ""))
+    with tws_bucket_claims(bands) as blocked:
+        final = run_to_completion(blocked, output_mode="append")
+    return final.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_blocked_bands")
+    )

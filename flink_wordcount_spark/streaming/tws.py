@@ -455,6 +455,66 @@ def tws_session_paths(stream: DataFrame, gap_ms: int = 1_800_000) -> Iterator[Da
         )
 
 
+BLOCKED_SCHEMA = StructType([StructField("doc_id", LongType())])
+
+
+class BucketClaimProcessor(StatefulProcessor):
+    """First-claimant-wins registry for one MinHash-LSH band bucket — the
+    stateful core of streaming near-dup admission (VERDICT r10 #6).
+
+    Keyed by (band_idx, band_key).  State is a single BIGINT ValueState:
+    the smallest doc_id that has ever claimed this bucket.  Every arriving
+    doc registers its claim regardless of its own admission outcome
+    (a dropped doc's buckets still block later look-alikes, matching the
+    batch oracle's min-over-ALL-docs ownership); a doc is emitted as
+    BLOCKED in this bucket iff an earlier claimant with a smaller doc_id
+    exists.  Within a micro-batch "earlier" is doc_id order (the batch is
+    sorted before claims resolve); across micro-batches first-arrival
+    wins — identical to global doc_id order whenever the replay delivers
+    docs in doc_id order (the staged single-file replay trivially does),
+    which is the oracle-parity contract documented on the query.
+
+    Scale: O(1) state (8 bytes) per OCCUPIED bucket, sharded across
+    executors by the bucket key exchange; no pair materialization, no
+    per-bucket membership lists — the emitted traffic is one row per
+    blocked (doc, band), bounded by the dup rate.  No timers: admission
+    is decided the moment a claim arrives (timeMode None).
+
+    Must live at module level: workers unpickle the processor by
+    reference, which runs ``_ensure_protobuf_runtime`` in the worker."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._owner = handle.getValueState("owner", "owner BIGINT")
+
+    def handleInputRows(self, key, rows: Iterator[pd.DataFrame], timerValues) -> Iterator[pd.DataFrame]:
+        ids = sorted(
+            int(x) for p in rows for x in p["doc_id"].tolist()
+        )
+        owner = self._owner.get()[0] if self._owner.exists() else None
+        eff = ids[0] if owner is None else min(owner, ids[0])
+        self._owner.update((eff,))
+        blocked = [i for i in ids if i > eff]
+        if blocked:
+            yield pd.DataFrame({"doc_id": pd.Series(blocked, dtype="int64")})
+
+    def close(self) -> None:
+        pass
+
+
+@contextmanager
+def tws_bucket_claims(bands: DataFrame) -> Iterator[DataFrame]:
+    """(doc_id, band_idx, band_key) stream -> one row per BLOCKED claim
+    (a doc whose bucket was already owned by a smaller/earlier doc_id).
+    Context manager — see tws_timeout_flush."""
+    with rocksdb_state_store(bands.sparkSession):
+        yield bands.groupBy("band_idx", "band_key").transformWithStateInPandas(
+            statefulProcessor=BucketClaimProcessor(),
+            outputStructType=BLOCKED_SCHEMA,
+            outputMode="Append",
+            timeMode="None",
+        )
+
+
 _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
 _ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"

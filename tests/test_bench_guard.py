@@ -348,4 +348,49 @@ def test_capacity_knee_unbounded_when_still_climbing(monkeypatch):
     base = {"probe_rows_per_sec": 25000, "drained_rows_per_exec_sec": 19000}
     out = bench.bench_capacity_knee(None, base)
     assert out["flat"] is False and out["bounded"] is False
-    assert out["knee_rows_per_exec_sec"] == 168000 * 3 // 4
+    # top rung of the r11-extended ladder (VERDICT r10 #4)
+    assert out["knee_rows_per_exec_sec"] == 416000 * 3 // 4
+
+
+def test_capacity_knee_bounded_none_on_measurement_failure(monkeypatch):
+    """A rung that fails to measure must yield bounded=None, not False —
+    a consumer reading only the scalar must not mistake a measurement
+    failure for 'still climbing = headroom' (ADVICE r10)."""
+    import bench
+
+    def fake_capacity(spark, probe_rate, run_sec):
+        return {
+            "probe_rows_per_sec": probe_rate,
+            "drained_rows_per_exec_sec": None,  # degenerate rung
+        }
+
+    monkeypatch.setattr(bench, "bench_capacity", fake_capacity)
+    monkeypatch.setattr(bench, "_unload_state_stores", lambda s: None)
+    base = {"probe_rows_per_sec": 25000, "drained_rows_per_exec_sec": 19000}
+    out = bench.bench_capacity_knee(None, base)
+    assert out["measurement_failed"] is True
+    assert out["bounded"] is None and out["flat"] is None
+
+
+def test_window_ledger_sf1_ratio_median(tmp_path):
+    """sf1 scale ratios pool across the round's windows exactly like the
+    suite headline (VERDICT r10 #2): the published ratio is the median,
+    and windows without an sf1 leg don't contribute."""
+    from bench import _median, _window_ledger_update
+
+    (tmp_path / "BENCH_r01.json").write_text("{}")
+    _window_ledger_update(
+        20.0, 4e6, 0.5, root=tmp_path, sf1_ratios={"a": 4.1, "b": 2.0}
+    )
+    _window_ledger_update(21.0, 4e6, 0.5, root=tmp_path, sf1_ratios=None)
+    windows = _window_ledger_update(
+        22.0, 4e6, 0.5, root=tmp_path, sf1_ratios={"a": 2.9, "b": 2.4}
+    )
+    pools = [
+        w["sf1_scaleup_ratio"]
+        for w in windows
+        if isinstance(w.get("sf1_scaleup_ratio"), dict)
+    ]
+    assert len(pools) == 2  # the no-sf1 window contributed nothing
+    assert _median([p.get("a") for p in pools]) == 3.5
+    assert _median([p.get("b") for p in pools]) == 2.2

@@ -38,10 +38,12 @@ ALLOWED_PERSIST_SITES: dict[tuple[str, str], str] = {
     ("plans/curation_q.py", "sample_quality_curriculum"): "until-clearCache",
     # (user, hour) profile rollup feeding reference + probe branches
     ("plans/events_q.py", "ts_profile_similarity"): "until-clearCache",
-    # rankops' prescribed pattern: rank prep jobs re-read the aggregate
-    ("plans/events_q.py", "ev_user_value_deciles"): "until-clearCache",
-    ("plans/events_q.py", "ev_rfm_segmentation"): "until-clearCache",
-    ("plans/events_q.py", "qa_equi_depth_histogram"): "until-clearCache",
+    # r11 (VERDICT r10 #5): the three rankops-prescribed sites
+    # (ev_user_value_deciles, ev_rfm_segmentation, qa_equi_depth_histogram)
+    # were retired to eager .localCheckpoint() — same one-shot
+    # materialization win for the rank prep jobs, but the ContextCleaner
+    # reclaims the blocks when the plan is GC'd instead of waiting for a
+    # harness clearCache.  They now appear in the gc-scoped inventory below.
     # BM25 scored frame consumed by two global rankings
     ("plans/similarity_q.py", "retrieval_rrf_fusion"): "until-clearCache",
     # candidate frame consumed 7x (VERDICT r09 what's-wrong #3 — the site
@@ -56,9 +58,25 @@ ALLOWED_PERSIST_SITES: dict[tuple[str, str], str] = {
 }
 
 
-def _persist_sites() -> dict[tuple[str, str], dict]:
-    """(relpath, function) -> {count, has_unpersist} for every
-    .persist()/.cache() attribute call in the package."""
+# .localCheckpoint() sites: GC-scoped materialization (the ContextCleaner
+# frees the blocks once the plan is unreachable), so they don't need a
+# clearCache contract — but they still occupy executor storage while live,
+# so the inventory is pinned the same strict-both-ways way (VERDICT r10 #5:
+# retiring a persist site must not make the materialization invisible).
+ALLOWED_LOCAL_CHECKPOINT_SITES: set[tuple[str, str]] = {
+    ("plans/events_q.py", "ev_user_value_deciles"),
+    ("plans/events_q.py", "ev_rfm_segmentation"),
+    ("plans/events_q.py", "qa_equi_depth_histogram"),
+    # pre-existing (surfaced by this very sweep on its first run): the
+    # label-propagation loop truncates per-iteration lineage — without it
+    # iteration i's plan contains i copies of the join tree
+    ("operators/dedup.py", "connected_components"),
+}
+
+
+def _call_sites(attrs: tuple[str, ...]) -> dict[tuple[str, str], dict]:
+    """(relpath, function) -> {count, has_unpersist} for every attribute
+    call named in ``attrs`` in the package."""
     sites: dict[tuple[str, str], dict] = {}
     for path in sorted(PKG.rglob("*.py")):
         rel = path.relative_to(PKG).as_posix()
@@ -76,7 +94,7 @@ def _persist_sites() -> dict[tuple[str, str], dict]:
 
             def visit_Call(self, node):
                 f = node.func
-                if isinstance(f, ast.Attribute) and f.attr in ("persist", "cache"):
+                if isinstance(f, ast.Attribute) and f.attr in attrs:
                     fn = stack[-1].name if stack else "<module>"
                     key = (rel, fn)
                     entry = sites.setdefault(
@@ -93,6 +111,10 @@ def _persist_sites() -> dict[tuple[str, str], dict]:
 
         V().visit(tree)
     return sites
+
+
+def _persist_sites() -> dict[tuple[str, str], dict]:
+    return _call_sites(("persist", "cache"))
 
 
 def test_every_persist_site_is_allowlisted_with_a_lifetime():
@@ -123,6 +145,19 @@ def test_scoped_unpersist_entries_actually_unpersist():
                 f"{key}: declared scoped-unpersist but the function body "
                 "has no .unpersist( call"
             )
+
+
+def test_local_checkpoint_sites_are_inventoried_both_ways():
+    sites = set(_call_sites(("localCheckpoint",)))
+    rogue = sorted(sites - ALLOWED_LOCAL_CHECKPOINT_SITES)
+    assert not rogue, (
+        "localCheckpoint sites without an inventory entry (add to "
+        f"ALLOWED_LOCAL_CHECKPOINT_SITES with a rationale): {rogue}"
+    )
+    stale = sorted(ALLOWED_LOCAL_CHECKPOINT_SITES - sites)
+    assert not stale, (
+        f"inventory entries whose localCheckpoint site no longer exists: {stale}"
+    )
 
 
 def test_until_clearcache_sites_are_cleared_by_the_harnesses():

@@ -61,7 +61,10 @@ SINGLE_PARTITION_OK = {
 #: (c) queries allowed BroadcastNestedLoopJoin nodes, with the broadcast
 #: side that justifies them.  CartesianProduct is never allowed.
 BNLJ_OK = {
-    "ev_rfm_segmentation": "single-row corpus-max recency anchor",
+    # ev_rfm_segmentation's single-row corpus-max BNLJ anchor left this list
+    # in r11: the rollup is now eagerly localCheckpoint'ed (VERDICT r10 #5),
+    # so the swept plan starts at the checkpointed RDD scan — the broadcast
+    # crossJoin still runs, but inside the build-time materialization job.
     "q11_important_stock": "single-row national stock-value threshold",
     "q22_dormant_customers": "single-row average-balance anchor",
     "bm25_keyword_search": "single-row corpus statistics (N, avgdl, df)",

@@ -731,15 +731,23 @@ def test_tws_windowed_count_processor_mapstate_contract():
 
 
 def test_tws_session_path_processor_liststate_contract():
-    """SessionPathProcessor emits CLOSED sessions eagerly and keeps only
-    the open tail in the ListState (state tracks the live session, not
-    user history); the fired timer flushes the tail once and clears.
-    NULL event types are skipped in the path; an all-NULL session yields a
-    NULL path.  Driven with fakes — the end-to-end value check is the
-    driver query (stream_session_paths_tws)."""
+    """SessionPathProcessor emits a closed session only once the WATERMARK
+    passes its gap boundary (ADVICE r10: eager per-batch closing let an
+    out-of-order event in a later micro-batch belong to an already-emitted
+    session); not-yet-finalized sessions stay in the ListState and the
+    fired timer flushes the remainder once and clears.  NULL event types
+    are skipped in the path.  Driven with fakes — the end-to-end value
+    check is the driver query (stream_session_paths_tws)."""
     import pandas as pd
 
     from flink_wordcount_spark.streaming.tws import SessionPathProcessor
+
+    class FakeTimerValues:
+        def __init__(self, wm_ms):
+            self._wm = wm_ms
+
+        def getCurrentWatermarkInMs(self):
+            return self._wm
 
     class FakeValueState:
         def __init__(self):
@@ -801,34 +809,56 @@ def test_tws_session_path_processor_liststate_contract():
             }
         )
 
-    # batch 1: two sessions separated by a 2 h gap -> first closes NOW,
-    # second stays buffered as the open tail
+    ms = lambda s: int(pd.Timestamp(s).value // 1_000_000)  # noqa: E731
+    # batch 1 (start-of-stream watermark 0): two sessions split by a 2 h
+    # gap, but NEITHER is watermark-finalized -> nothing emits, ALL events
+    # stay buffered (the eager pre-r11 contract emitted the first here)
     out = list(proc.handleInputRows((7,), iter([batch([
         ("2024-01-01 10:00:00", 1, "view"),
         ("2024-01-01 10:10:00", 2, "purchase"),
         ("2024-01-01 12:30:00", 3, "view"),
-    ])]), None))
+    ])]), FakeTimerValues(0)))
+    assert out == [] or all(len(p) == 0 for p in out)
+    assert len(buf.items) == 3
+    assert handle.registered == [ms("2024-01-01 12:30:00") + 1_800_000]
+    # batch 2 (watermark now past the first session's 10:40 gap boundary):
+    # the first session emits, the rest — including a NULL type and an
+    # out-of-order event that sorts before the tail's head — stays
+    out = list(proc.handleInputRows((7,), iter([batch([
+        ("2024-01-01 12:45:00", 5, None),
+        ("2024-01-01 12:20:00", 4, "click"),
+    ])]), FakeTimerValues(ms("2024-01-01 12:00:00"))))
     emitted = pd.concat(out)
     assert emitted.to_dict("records") == [
         {"user_id": 7, "path": "view>purchase"}
     ]
-    assert [e[2] for e in buf.items] == ["view"]  # only the open tail
-    ms = lambda s: int(pd.Timestamp(s).value // 1_000_000)  # noqa: E731
-    assert handle.registered == [ms("2024-01-01 12:30:00") + 1_800_000]
-    # batch 2: extends the open session (within gap), including a NULL
-    # type and an out-of-order event that sorts before the tail's head
-    out = list(proc.handleInputRows((7,), iter([batch([
-        ("2024-01-01 12:45:00", 5, None),
-        ("2024-01-01 12:20:00", 4, "click"),
-    ])]), None))
-    assert out == [] or all(len(p) == 0 for p in out)  # nothing closed
-    assert len(buf.items) == 3
+    assert [e[2] for e in buf.items] == ["click", "view", None]
     assert handle.deleted == [ms("2024-01-01 12:30:00") + 1_800_000]
     assert handle.registered[-1] == ms("2024-01-01 12:45:00") + 1_800_000
-    # fired timer: flushes the tail once (NULL type skipped), clears state
+    # fired timer: flushes the remainder once (NULL type skipped), clears
     flushed = pd.concat(list(proc.handleExpiredTimer((7,), None, None)))
     assert flushed.to_dict("records") == [
         {"user_id": 7, "path": "click>view"}
     ]
     assert buf.items == [] and not last.exists()
     assert list(proc.handleExpiredTimer((7,), None, None)) == []
+
+    # the ADVICE r10 divergence case: an out-of-order event in a LATER
+    # micro-batch MERGES two sessions the eager contract would already
+    # have split-and-emitted.  10:00 / 10:45 split (45 min > 30 min gap);
+    # 10:25 arrives next batch, above the watermark, and bridges them.
+    buf2, last2 = FakeListState(), FakeValueState()
+    proc2 = SessionPathProcessor(gap_ms=1_800_000)
+    proc2.init(FakeHandle(buf2, last2))
+    out = list(proc2.handleInputRows((8,), iter([batch([
+        ("2024-01-01 10:00:00", 1, "a"),
+        ("2024-01-01 10:45:00", 2, "b"),
+    ])]), FakeTimerValues(0)))
+    assert out == [] or all(len(p) == 0 for p in out)
+    out = list(proc2.handleInputRows((8,), iter([batch([
+        ("2024-01-01 10:25:00", 3, "c"),
+    ])]), FakeTimerValues(ms("2024-01-01 10:20:00"))))
+    assert out == [] or all(len(p) == 0 for p in out)
+    merged = pd.concat(list(proc2.handleExpiredTimer((8,), None, None)))
+    # ONE merged session a>c>b — the eager contract emitted 'a' and 'c>b'
+    assert merged.to_dict("records") == [{"user_id": 8, "path": "a>c>b"}]
