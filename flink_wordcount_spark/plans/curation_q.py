@@ -23,7 +23,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..hints import maybe_broadcast
@@ -1313,4 +1313,75 @@ def feat_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_docs") + _TENC_M),
             6,
         ).alias("encoded"),
+    )
+
+
+#: Observed-metrics gate: minimum characters for a document to pass the
+#: single-pass curation filter whose scan the metrics piggyback on.
+_OBS_GATE_MIN_CHARS = 200
+
+
+@query(
+    "qa_observed_metrics",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN text IS NULL OR length(text) = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(sum(CASE WHEN n_chars >= {_OBS_GATE_MIN_CHARS}
+                          AND lang IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+    FROM documents
+    """,
+)
+def qa_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass observed QA metrics (``pyspark.sql.Observation``):
+    full-input ingest statistics collected by a ``CollectMetrics`` node
+    riding the SAME scan that executes the curation gate, plus the gate's
+    survivor count from that one action.  This is how a production
+    pipeline gets its data-quality dashboard at 100 TB: the metrics are
+    computed as rows stream through the already-running filter job — no
+    second scan, no extra shuffle, and the only driver-side data is one
+    metrics row.
+
+    The observe node sits ABOVE the scan but BELOW the gate, so n_docs /
+    n_empty / char stats describe the full input while ``n_pass`` counts
+    gate survivors — the before/after pair a curation report needs from a
+    single job.
+
+    Parity: all six metrics are exact integer aggregates (count / integer
+    sum / min / max), so the DuckDB mirror is bit-identical; the internal
+    action is a survivor ``count()`` (bounded driver data by
+    construction).  Non-SQL surface under test: ``DataFrame.observe`` +
+    ``Observation.get`` — the one Spark API where an aggregate costs zero
+    extra passes because it evaluates en route.
+
+    Scale: exactly one scan of documents; CollectMetrics folds map-side
+    per task and merges one tiny row per task on the driver (same traffic
+    as any scalar agg's final step).  The returned DataFrame is a local
+    one-row relation."""
+    d = table(spark, sf_dir, "documents")
+    obs = Observation("qa_observed_metrics")
+    empty = F.col("text").isNull() | (F.length("text") == 0)
+    watched = d.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(empty, 1).otherwise(0)).alias("n_empty"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    n_pass = watched.where(
+        (F.col("n_chars") >= _OBS_GATE_MIN_CHARS) & F.col("lang").isNotNull()
+    ).count()
+    m = obs.get
+    fields = ["n_docs", "n_empty", "total_chars", "min_chars", "max_chars"]
+    return spark.createDataFrame(
+        [tuple(int(m[f]) for f in fields) + (int(n_pass),)],
+        schema=(
+            "n_docs bigint, n_empty bigint, total_chars bigint, "
+            "min_chars bigint, max_chars bigint, n_pass bigint"
+        ),
     )

@@ -68,3 +68,44 @@ def test_shared_spans_fraction_bounds(spark, sf_dir):
     for r in rows:
         assert 1 <= r.n_shared <= r.n_spans, r
         assert 0.0 < r.shared_frac <= 1.0, r
+
+
+def test_observed_metrics_single_pass_contract(spark, sf_dir):
+    """qa_observed_metrics: values equal an independent two-pass recompute,
+    n_pass counts gate survivors only, and the observe branch really rides
+    ONE scan (a CollectMetrics node is in the gate plan — the no-second-
+    pass property that is the operator's entire point at 100 TB)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from flink_wordcount_spark.io import table
+    from flink_wordcount_spark.plans.curation_q import _OBS_GATE_MIN_CHARS
+
+    row = QUERIES["qa_observed_metrics"](spark, sf_dir).collect()[0]
+
+    d = table(spark, sf_dir, "documents")
+    ref = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(
+                F.col("text").isNull() | (F.length("text") == 0), 1
+            ).otherwise(0)
+        ).alias("n_empty"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    ).collect()[0]
+    n_pass_ref = d.where(
+        (F.col("n_chars") >= _OBS_GATE_MIN_CHARS) & F.col("lang").isNotNull()
+    ).count()
+
+    assert row.asDict() == {**ref.asDict(), "n_pass": n_pass_ref}
+    assert 0 < row.n_pass < row.n_docs  # the gate discriminates
+
+    # Single-pass property: the gate action's plan carries the metrics node.
+    obs = Observation("probe")
+    gated = d.observe(obs, F.count(F.lit(1)).alias("n")).where(
+        F.col("n_chars") >= _OBS_GATE_MIN_CHARS
+    )
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "CollectMetrics" in plan
