@@ -502,6 +502,23 @@ def bench_streaming_throughput(spark) -> dict:
         # attempts instead, the cliff moved and the discard is free).
         warm_words, warm_dt = one_run(ROCKSDB_PROVIDER)
         _unload_state_stores(spark)
+        # Adaptive prepay (r11): one discarded run is NOT always enough —
+        # window 3 of r11 showed prepay at 4.78 M then measured attempts at
+        # 9.0-9.96 M (the cliff was crossed during the prepay, so the jump
+        # landed inside the measured set in earlier windows that stayed at
+        # ~4.6-5.0 M).  Keep discarding while the rate is still climbing
+        # >20% run-over-run (cap: 3 discarded runs total), so measurement
+        # starts only once consecutive discarded runs agree.  All discarded
+        # rates are published for audit.
+        warm_rates = [round(warm_words / warm_dt)]
+        for _ in range(2):
+            w2, d2 = one_run(ROCKSDB_PROVIDER)
+            _unload_state_stores(spark)
+            rate = round(w2 / d2)
+            still_climbing = rate > warm_rates[-1] * 1.2
+            warm_rates.append(rate)
+            if not still_climbing:
+                break
         attempts = []
         for _ in range(n_attempts):
             attempts.append(one_run(ROCKSDB_PROVIDER))
@@ -532,8 +549,11 @@ def bench_streaming_throughput(spark) -> dict:
         # (descending) — r6's verdict read the sorted list as decay with no
         # way to tell.  Order is load-bearing for diagnosing the median.
         "words_per_sec_attempts_chrono": [round(w / d) for w, d in attempts],
-        # the discarded JIT pre-pay run (VERDICT r10 #7) — expected COLD
-        "words_per_sec_jit_warmup_run": round(warm_words / warm_dt),
+        # the discarded JIT pre-pay runs (VERDICT r10 #7; adaptive r11) —
+        # first is expected COLD; the list ends once two consecutive
+        # discarded runs agree within 20%
+        "words_per_sec_jit_warmup_run": warm_rates[0],
+        "words_per_sec_jit_warmup_runs": warm_rates,
         "words_per_sec_default_store": round(total_words / dt_default),
         "sentences_per_sec": round(STREAM_SENTENCES / dt),
     }
