@@ -417,6 +417,29 @@ def bench_streaming_latency(spark) -> dict:
     }
 
 
+def adaptive_warmup_rates(
+    run_once, max_runs: int = 3, climb_ratio: float = 1.2
+) -> list[int]:
+    """Discarded JIT pre-pay schedule (VERDICT r10 #7; adaptive r11).
+
+    One discarded run is NOT always enough: r11 window 3 crossed the
+    HotSpot cliff DURING the prepay (4.78M discarded, then 9.0-9.96M
+    measured), while windows 1-2 measured straight off the cold side.
+    Call ``run_once()`` (runs one full-size throughput job, returns its
+    words/s) until the rate stops climbing more than ``climb_ratio``
+    run-over-run, capped at ``max_runs`` total discarded runs, so
+    measurement starts only once consecutive discarded runs agree.  Every
+    discarded rate is returned (and published) for per-window audit."""
+    rates = [run_once()]
+    while len(rates) < max_runs:
+        rate = run_once()
+        still_climbing = rate > rates[-1] * climb_ratio
+        rates.append(rate)
+        if not still_climbing:
+            break
+    return rates
+
+
 def bench_streaming_throughput(spark) -> dict:
     """Words/s through generator -> tokenizer -> stateful running count.
 
@@ -500,25 +523,12 @@ def bench_streaming_throughput(spark) -> dict:
         # start on the warm side; its rate is published for audit (it
         # should sit at the cold ~4 M level — if it matches the measured
         # attempts instead, the cliff moved and the discard is free).
-        warm_words, warm_dt = one_run(ROCKSDB_PROVIDER)
-        _unload_state_stores(spark)
-        # Adaptive prepay (r11): one discarded run is NOT always enough —
-        # window 3 of r11 showed prepay at 4.78 M then measured attempts at
-        # 9.0-9.96 M (the cliff was crossed during the prepay, so the jump
-        # landed inside the measured set in earlier windows that stayed at
-        # ~4.6-5.0 M).  Keep discarding while the rate is still climbing
-        # >20% run-over-run (cap: 3 discarded runs total), so measurement
-        # starts only once consecutive discarded runs agree.  All discarded
-        # rates are published for audit.
-        warm_rates = [round(warm_words / warm_dt)]
-        for _ in range(2):
-            w2, d2 = one_run(ROCKSDB_PROVIDER)
+        def _prepay_once() -> int:
+            w, d = one_run(ROCKSDB_PROVIDER)
             _unload_state_stores(spark)
-            rate = round(w2 / d2)
-            still_climbing = rate > warm_rates[-1] * 1.2
-            warm_rates.append(rate)
-            if not still_climbing:
-                break
+            return round(w / d)
+
+        warm_rates = adaptive_warmup_rates(_prepay_once)
         attempts = []
         for _ in range(n_attempts):
             attempts.append(one_run(ROCKSDB_PROVIDER))

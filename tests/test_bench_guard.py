@@ -394,3 +394,32 @@ def test_window_ledger_sf1_ratio_median(tmp_path):
     assert len(pools) == 2  # the no-sf1 window contributed nothing
     assert _median([p.get("a") for p in pools]) == 3.5
     assert _median([p.get("b") for p in pools]) == 2.2
+
+
+def test_adaptive_warmup_stops_when_flat():
+    """Prepay discards runs only while the rate keeps climbing >20%."""
+    from bench import adaptive_warmup_rates
+
+    feed = iter([4_000_000, 4_100_000])  # cold -> flat: stop at 2
+    assert adaptive_warmup_rates(lambda: next(feed)) == [4_000_000, 4_100_000]
+
+
+def test_adaptive_warmup_follows_the_cliff():
+    """A mid-prepay JIT jump (the r11 window-3 shape) earns a third run."""
+    from bench import adaptive_warmup_rates
+
+    feed = iter([4_000_000, 9_000_000, 9_200_000])
+    assert adaptive_warmup_rates(lambda: next(feed)) == [
+        4_000_000,
+        9_000_000,
+        9_200_000,
+    ]
+
+
+def test_adaptive_warmup_caps_total_runs():
+    """A pathologically always-climbing sequence still stops at the cap —
+    the prepay can never consume unbounded bench time."""
+    from bench import adaptive_warmup_rates
+
+    feed = iter([1, 10, 100, 1000, 10000])
+    assert adaptive_warmup_rates(lambda: next(feed)) == [1, 10, 100]
