@@ -469,10 +469,15 @@ class BucketClaimProcessor(StatefulProcessor):
     batch oracle's min-over-ALL-docs ownership); a doc is emitted as
     BLOCKED in this bucket iff an earlier claimant with a smaller doc_id
     exists.  Within a micro-batch "earlier" is doc_id order (the batch is
-    sorted before claims resolve); across micro-batches first-arrival
-    wins — identical to global doc_id order whenever the replay delivers
-    docs in doc_id order (the staged single-file replay trivially does),
-    which is the oracle-parity contract documented on the query.
+    sorted before claims resolve); across micro-batches the owner is the
+    MINIMUM doc_id seen so far (a later-arriving smaller id takes
+    ownership for future comparisons but cannot retro-block the earlier
+    claimant, so the blocked set only grows) — identical to the oracle's
+    global-min ownership whenever the replay delivers docs in doc_id
+    order (the staged single-file replay trivially does; any doc_id-
+    ordered multi-batch replay too — pinned by
+    tests/test_stream_dedup.py), which is the oracle-parity contract
+    documented on the query.
 
     Scale: O(1) state (8 bytes) per OCCUPIED bucket, sharded across
     executors by the bucket key exchange; no pair materialization, no
