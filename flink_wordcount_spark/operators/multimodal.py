@@ -4,11 +4,14 @@ Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; decode/feature-extraction run as Arrow-batched Pandas UDFs
 over ``mapInPandas`` so each batch crosses the JVM<->Python boundary once.
 
-The decode step itself is a STUB in this environment (no image/audio codecs
-in the container — SURVEY/driver contract): ``decode_image`` raises
-``NotImplementedError`` unless given the deterministic fake codec, which is
-what tests and the declared queries use. Everything around it — schema,
-partitioning, UDF signature, Arrow batch shape — is real and tested.
+Decode status (r12): binary Netpbm (P6 RGB / P5 grayscale) decodes FOR REAL
+via the pure-Python ``decode_ppm`` parser (full header grammar: comments,
+exactly-one-whitespace raster boundary) — no codec library needed, and the
+``mm_decode_ppm`` query value-checks an encode->decode round trip against
+an arithmetic DuckDB oracle.  Compressed formats (JPEG/PNG/audio/video)
+remain an honest ``NotImplementedError`` in ``decode_image`` (no codecs in
+the container); everything around them — schema, partitioning, UDF
+signature, Arrow batch shape — is real and tested.
 """
 
 from __future__ import annotations
@@ -66,19 +69,92 @@ def attach_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("payload", payload).withColumn("media_meta", meta)
 
 
-def decode_image(payload: bytes, codec: str = "real"):
-    """STUB: real image decode needs PIL/libvips — not in this container.
+def encode_ppm(width: int, height: int, samples: bytes, channels: int = 3) -> bytes:
+    """Encode raw 8-bit samples as a binary Netpbm file (P6 RGB / P5 gray).
 
-    ``codec='fake'`` returns a deterministic pseudo-decode (byte stats) used
-    by tests; anything else raises, by design.
+    The one image format a pure-Python engine can produce for real: magic +
+    ASCII header + raw sample bytes, no compression, no codec library.
+    ``samples`` must hold exactly width*height*channels bytes.
     """
-    if codec != "fake":
-        raise NotImplementedError(
-            "image decode requires an image codec library (not in this environment); "
-            "use codec='fake' for the deterministic stand-in"
+    if channels not in (1, 3):
+        raise ValueError(f"channels must be 1 (P5) or 3 (P6), got {channels}")
+    if len(samples) != width * height * channels:
+        raise ValueError(
+            f"expected {width * height * channels} sample bytes, got {len(samples)}"
         )
-    arr = bytearray(payload)
-    return {"n": len(arr), "sum": int(sum(arr))}
+    magic = b"P6" if channels == 3 else b"P5"
+    return magic + f"\n{width} {height}\n255\n".encode("ascii") + bytes(samples)
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """REAL decode of binary Netpbm images (P6 RGB, P5 grayscale).
+
+    Full header grammar per the Netpbm spec: magic, then three
+    whitespace-separated ASCII integers (width, height, maxval) where ``#``
+    starts a comment running to end-of-line, then EXACTLY one whitespace
+    byte, then width*height*channels raw sample bytes (maxval <= 255).
+    Returns {format, width, height, maxval, samples(np.uint8 array)}.
+    """
+    import numpy as np
+
+    buf = bytes(payload)
+    if buf[:2] not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary PPM/PGM payload (magic {buf[:2]!r})")
+    channels = 3 if buf[:2] == b"P6" else 1
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":  # comment to end-of-line
+            nl = buf.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("unterminated header comment")
+            pos = nl + 1
+            continue
+        start = pos
+        while pos < len(buf) and buf[pos : pos + 1].isdigit():
+            pos += 1
+        if start == pos:
+            raise ValueError(f"malformed header near byte {pos}")
+        fields.append(int(buf[start:pos]))
+    if not buf[pos : pos + 1].isspace():
+        raise ValueError("missing single whitespace after maxval")
+    pos += 1  # spec: EXACTLY one whitespace byte before the raster
+    width, height, maxval = fields
+    if not 0 < maxval <= 255:
+        raise ValueError(f"only 1-byte samples supported (maxval {maxval})")
+    n = width * height * channels
+    raster = buf[pos : pos + n]
+    if len(raster) != n:
+        raise ValueError(f"truncated raster: expected {n} bytes, got {len(raster)}")
+    return {
+        "format": "P6" if channels == 3 else "P5",
+        "width": width,
+        "height": height,
+        "maxval": maxval,
+        "samples": np.frombuffer(raster, dtype=np.uint8),
+    }
+
+
+def decode_image(payload: bytes, codec: str = "real"):
+    """Image decode: REAL for binary Netpbm (P6/P5 — decode_ppm, pure
+    Python, r12), honestly unimplemented for compressed formats (JPEG/PNG
+    need a codec library this container doesn't have).
+
+    ``codec='fake'`` returns the deterministic pseudo-decode (byte stats)
+    the early plumbing tests used; it predates the PPM path and stays for
+    compatibility.
+    """
+    if codec == "fake":
+        arr = bytearray(payload)
+        return {"n": len(arr), "sum": int(sum(arr))}
+    if bytes(payload[:2]) in (b"P5", b"P6"):
+        return decode_ppm(payload)
+    raise NotImplementedError(
+        "compressed image decode (JPEG/PNG/...) requires a codec library "
+        "(not in this environment); binary Netpbm (P5/P6) decodes for real "
+        "via decode_ppm, or use codec='fake' for the byte-stat stand-in"
+    )
 
 
 def featurize(df: DataFrame) -> DataFrame:
@@ -112,6 +188,61 @@ def featurize(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
     return df.select("doc_id", "payload").mapInPandas(extract, FEATURE_SCHEMA)
+
+
+PPM_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("px_sum", LongType()),
+        StructField("px_min", LongType()),
+        StructField("px_max", LongType()),
+    ]
+)
+
+
+def decode_ppm_stats(ids: DataFrame) -> DataFrame:
+    """Encode->decode round trip of REAL binary PPM files per doc_id
+    (mapInPandas, Arrow-batched): render a deterministic P6 image for each
+    id (width 4+id%5, height 3+id%3, sample i = (id*7 + i*13) % 256),
+    serialize it with encode_ppm, parse it back with decode_ppm, and emit
+    raster stats.  The decode path is the same parser a user would point
+    at actual Netpbm files; determinism exists only so the stats are
+    closed-form oracle-checkable.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 4 + i % 5, 3 + i % 3
+                n = w * h * 3
+                raster = ((i * 7 + 13 * np.arange(n, dtype=np.int64)) % 256).astype(
+                    np.uint8
+                )
+                img = decode_ppm(encode_ppm(w, h, raster.tobytes()))
+                s = img["samples"].astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "width": img["width"],
+                        "height": img["height"],
+                        "n_samples": int(s.size),
+                        "px_sum": int(s.sum()),
+                        "px_min": int(s.min()),
+                        "px_max": int(s.max()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PPM_DECODE_SCHEMA.fields]
+            )
+
+    return ids.select("doc_id").mapInPandas(run, PPM_DECODE_SCHEMA)
 
 
 RESIZE_SCHEMA = StructType(

@@ -43,74 +43,70 @@ from . import catalog as _catalog
 # session-window oracle break shipped unverified precisely because a stale
 # green row pinned it behind the budget).  Reset this list each round.
 _MODIFIED_THIS_ROUND: list[str] = [
-    # r11: reset per the r10 verdict (#1).  Budget again goes to cohort
-    # rotation (the full 43-query r06-stale cohort pinned below) plus the
-    # queries whose code actually changed this round:
-    "stream_windowed_topk_tws",  # r11: read side re-aggregates before
-                                 # ranking (ADVICE r10 tws.py:278 —
-                                 # duplicate-window robustness under
-                                 # multi-batch replays)
-    "stream_session_paths_tws",  # r11: processor now closes sessions on
-                                 # the WATERMARK, not eagerly per input
-                                 # batch (ADVICE r10 tws.py:401)
-    "ev_user_value_deciles",     # r11: persist -> localCheckpoint
-    "ev_rfm_segmentation",       # (VERDICT r10 #5) — a materialization
-    "qa_equi_depth_histogram",   # change is still a plan edit
+    # r12: reset per the r11 verdict (#2).  Budget goes to the full
+    # 42-query r07-stale cohort pinned below plus the queries whose code
+    # actually changes this round (appended as the edits land):
+    "qa_observed_metrics",       # r12: None-metric guard on empty input
+                                 # (ADVICE r11 curation_q.py:1381)
+    "stream_dedup_minhash",      # r12: pipeline factored into the shared
+                                 # _stream_dedup_blocked_counts builder
+                                 # (same plan; stream_dedup_admitted reuses
+                                 # it — VERDICT r11 #5)
 ]
 
 # Queries to verify THIS round ahead of the staleness rotation even though
-# their code is unchanged.  r11 (VERDICT r10 #1): the FULL 43-query cohort
-# whose last driver-green row is r06 — the histogram floor.  Pinning all of
-# them moves the floor to r07 in one round, exactly like r08 retired r03,
-# r09 retired r04 and r10 retired r05.  Budget: 2 modified + 43 pinned +
-# ~5 never-verified new queries = the 50-slot budget; the r07 back catalog
-# rotates next round.  (Cohort recomputed from the artifacts at round
-# start with the same logic as _last_verified_round(): 43 names, matching
-# the r10 verdict's count.)
+# their code is unchanged.  r12 (VERDICT r11 #2): the FULL 42-query cohort
+# whose last driver-green row is r07 — the histogram floor.  Pinning all of
+# them moves the floor to r08 in one round, exactly like r08 retired r03,
+# r09 retired r04, r10 retired r05 and r11 retired r06.  Budget: 42 pinned
+# + modified + never-verified new queries must stay <= the 50-slot budget
+# (new operators capped at ~6 this round per the verdict); the r08 back
+# catalog rotates next round.  (Cohort recomputed from the artifacts at
+# round start with the same logic as _last_verified_round(): 42 names,
+# matching the r11 verdict's count.)
 _PIN_FRONT_THIS_ROUND: list[str] = [
-    "dedup_embed_cosine",
-    "dedup_exact",
-    "dedup_exact_hash",
-    "embed_cosine_topk",
-    "embed_norm_stats",
-    "ev_asof_last_purchase",
-    "ev_funnel",
-    "ev_gap_fill",
-    "ev_multires_rollup",
-    "ev_pivot_types",
-    "ev_sliding_window",
-    "ev_tumbling_hour",
-    "ev_user_rollup",
-    "fn_array",
-    "fn_bitwise",
-    "fn_date",
-    "fn_json",
-    "fn_map",
-    "fn_math",
-    "fn_nulls",
-    "fn_regex",
-    "fn_string",
-    "fn_variant",
-    "lsh_cosine_candidates",
-    "lsh_ivf_topk",
-    "lsh_ivf_topk_checked",
-    "sql_cte_top_supplier",
-    "sql_exists_correlated",
-    "sql_in_subquery",
-    "sql_scalar_subquery",
-    "sql_unpivot",
-    "stream_sentences_golden",
-    "text_bigrams_top",
-    "text_langid",
-    "text_token_counts",
-    "udf_grouped_agg",
-    "udf_pandas_scalar",
-    "udf_rowwise",
-    "udf_sql_registered",
-    "udtf_token_positions",
-    "wordcount_per_doc_topk",
-    "wordcount_stats",
-    "wordcount_top100",
+    "curation_end_to_end",
+    "curation_filter_funnel",
+    "decontam_semantic",
+    "dedup_prefix_truncation",
+    "embed_dim_variance",
+    "ev_cdc_latest_state",
+    "ev_day_over_day",
+    "ev_markov_transitions",
+    "ev_moving_window_1h",
+    "ev_pattern_strict_sequence",
+    "ev_scd2_history",
+    "ev_value_percentiles",
+    "join_time_band_bucketed",
+    "lsh_simhash64",
+    "pack_length_buckets",
+    "pack_sequences",
+    "qa_column_entropy",
+    "qa_drift_psi",
+    "qa_key_skew",
+    "qa_partition_checksums",
+    "qa_preflight_report",
+    "qa_referential_events",
+    "qa_schema_profile",
+    "quality_cutoff_per_lang",
+    "sample_domain_mixture",
+    "sample_reservoir_per_source",
+    "sample_temperature_mixture",
+    "sample_train_test_split",
+    "semdedup_drop_list",
+    "shard_by_token_budget",
+    "source_python_datasource",
+    "stream_cdc_latest_state",
+    "stream_curation_gate",
+    "stream_drift_psi",
+    "stream_python_datasource",
+    "text_fingerprint",
+    "text_ngram_novelty",
+    "text_quality",
+    "text_repetition_ratio",
+    "text_tfidf_top_terms",
+    "text_vocab_build",
+    "udf_pandas_scalar_iter",
 ]
 
 

@@ -1321,18 +1321,45 @@ def feat_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 _OBS_GATE_MIN_CHARS = 200
 
 
+def _observed_gate_plan(spark: SparkSession, sf_dir: str):
+    """The REAL scan->observe->gate plan qa_observed_metrics executes,
+    returned lazily (no action) so the catalog plan-invariant sweep can
+    assert on it: the query function itself runs the job eagerly and
+    returns a LocalTableScan, which would otherwise exempt the gate plan
+    from the CartesianProduct/SinglePartition/window invariants
+    (ADVICE r11).  Returns (watched_and_gated_df, observation)."""
+    d = table(spark, sf_dir, "documents")
+    obs = Observation("qa_observed_metrics")
+    empty = F.col("text").isNull() | (F.length("text") == 0)
+    watched = d.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        # count(when(...)) not sum(when/otherwise): count over zero rows is
+        # 0, matching the oracle's count(*) FILTER on an empty corpus
+        # (ADVICE r11: the old sum came back None and int(None) crashed)
+        F.count(F.when(empty, F.lit(1))).alias("n_empty"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    gated = watched.where(
+        (F.col("n_chars") >= _OBS_GATE_MIN_CHARS) & F.col("lang").isNotNull()
+    )
+    return gated, obs
+
+
 @query(
     "qa_observed_metrics",
     oracle=f"""
     SELECT CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(CASE WHEN text IS NULL OR length(text) = 0
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+           CAST(count(*) FILTER (WHERE text IS NULL OR length(text) = 0)
+                AS BIGINT) AS n_empty,
            CAST(sum(n_chars) AS BIGINT) AS total_chars,
            CAST(min(n_chars) AS BIGINT) AS min_chars,
            CAST(max(n_chars) AS BIGINT) AS max_chars,
-           CAST(sum(CASE WHEN n_chars >= {_OBS_GATE_MIN_CHARS}
-                          AND lang IS NOT NULL
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+           CAST(count(*) FILTER (WHERE n_chars >= {_OBS_GATE_MIN_CHARS}
+                                  AND lang IS NOT NULL)
+                AS BIGINT) AS n_pass
     FROM documents
     """,
 )
@@ -1361,25 +1388,20 @@ def qa_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: exactly one scan of documents; CollectMetrics folds map-side
     per task and merges one tiny row per task on the driver (same traffic
     as any scalar agg's final step).  The returned DataFrame is a local
-    one-row relation."""
-    d = table(spark, sf_dir, "documents")
-    obs = Observation("qa_observed_metrics")
-    empty = F.col("text").isNull() | (F.length("text") == 0)
-    watched = d.observe(
-        obs,
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.when(empty, 1).otherwise(0)).alias("n_empty"),
-        F.sum("n_chars").alias("total_chars"),
-        F.min("n_chars").alias("min_chars"),
-        F.max("n_chars").alias("max_chars"),
-    )
-    n_pass = watched.where(
-        (F.col("n_chars") >= _OBS_GATE_MIN_CHARS) & F.col("lang").isNotNull()
-    ).count()
+    one-row relation.
+
+    Empty-input parity (ADVICE r11): counts come back 0 and the sum/min/
+    max metrics come back None -> emitted as NULLs, exactly the oracle's
+    aggregates over zero rows (count(*) FILTER = 0, sum/min/max = NULL)."""
+    gated, obs = _observed_gate_plan(spark, sf_dir)
+    n_pass = gated.count()
     m = obs.get
     fields = ["n_docs", "n_empty", "total_chars", "min_chars", "max_chars"]
+    row = tuple(
+        int(m[f]) if m[f] is not None else None for f in fields
+    ) + (int(n_pass),)
     return spark.createDataFrame(
-        [tuple(int(m[f]) for f in fields) + (int(n_pass),)],
+        [row],
         schema=(
             "n_docs bigint, n_empty bigint, total_chars bigint, "
             "min_chars bigint, max_chars bigint, n_pass bigint"

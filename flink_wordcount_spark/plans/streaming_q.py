@@ -1326,11 +1326,13 @@ def stream_windowed_topk_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _stream_dedup_minhash_oracle() -> str:
-    """Batch-replay oracle for stream_dedup_minhash: identical signature +
-    banding math to dedup_q's md5 pipeline (same _MD5_PERMS constants), with
-    bucket OWNERSHIP (min doc_id ever to claim a bucket) standing in for
-    first-arrival — exact under the doc_id-ordered replay contract."""
+def _stream_dedup_ctes() -> str:
+    """The shared CTE chain of the streaming-dedup oracles: tokenize ->
+    shingle -> md5 hash -> 32-perm MinHash signature -> 8 band keys ->
+    per-bucket owners (min doc_id ever to claim the bucket, standing in
+    for first-arrival under the doc_id-ordered replay contract).
+    Identical signature + banding math to dedup_q's value-checked md5
+    pipeline (same _MD5_PERMS constants)."""
     from .dedup_q import _MD5_BANDS, _MD5_K, _MD5_PERMS, _P31, _SHINGLE_N
 
     r = _MD5_K // _MD5_BANDS
@@ -1367,12 +1369,39 @@ def _stream_dedup_minhash_oracle() -> str:
     ), owners AS (
         SELECT band_idx, band_key, min(doc_id) AS owner
         FROM bands GROUP BY band_idx, band_key
-    )
-    SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_blocked_bands
-    FROM bands b JOIN owners o USING (band_idx, band_key)
-    WHERE o.owner < b.doc_id
-    GROUP BY b.doc_id
+    ), blocked AS (
+        SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_blocked_bands
+        FROM bands b JOIN owners o USING (band_idx, band_key)
+        WHERE o.owner < b.doc_id
+        GROUP BY b.doc_id
+    )"""
+
+
+def _stream_dedup_minhash_oracle() -> str:
+    """Batch-replay oracle for stream_dedup_minhash: the blocked set with
+    per-doc blocked-band counts (shared CTEs: _stream_dedup_ctes)."""
+    return (
+        _stream_dedup_ctes()
+        + """
+    SELECT doc_id, n_blocked_bands FROM blocked
     """
+    )
+
+
+def _stream_dedup_admitted_oracle() -> str:
+    """Batch-replay oracle for stream_dedup_admitted: EVERY document with
+    its admission verdict — the complement of the blocked set over the
+    full corpus (docs with no shingles claim no buckets, so nothing can
+    block them: admitted)."""
+    return (
+        _stream_dedup_ctes()
+        + """
+    SELECT d.doc_id,
+           CAST(coalesce(b.n_blocked_bands, 0) AS BIGINT) AS n_blocked_bands,
+           b.doc_id IS NULL AS is_admitted
+    FROM documents d LEFT JOIN blocked b USING (doc_id)
+    """
+    )
 
 
 @query("stream_dedup_minhash", oracle=_stream_dedup_minhash_oracle())
@@ -1406,6 +1435,15 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is the standing admission index a training-data ingest
     keeps warm, with dedup decided per arriving doc instead of re-running
     batch LSH over the corpus."""
+    return _stream_dedup_blocked_counts(spark, sf_dir)
+
+
+def _stream_dedup_blocked_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the streaming MinHash-LSH admission pipeline and return the
+    BLOCKED side as per-doc blocked-band counts (doc_id, n_blocked_bands).
+    Shared by stream_dedup_minhash (which returns it directly) and
+    stream_dedup_admitted (which complements it over the corpus) — one
+    pipeline, one set of registry constants, two read-side shapes."""
     from .dedup_q import _MD5_BANDS, _MD5_K, _MD5_PERMS, _P31, _SHINGLE_N
     from ..streaming.tws import tws_bucket_claims
 
@@ -1472,4 +1510,40 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         final = run_to_completion(blocked, output_mode="append")
     return final.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_blocked_bands")
+    )
+
+
+@query("stream_dedup_admitted", oracle=_stream_dedup_admitted_oracle())
+def stream_dedup_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ADMITTED side of the streaming MinHash-LSH dedup gate (VERDICT
+    r11 #5): a production ingest needs the surviving corpus — or a per-doc
+    ``is_admitted`` verdict — from the same pass that emits the blocked
+    set, not just the drop list.  Same pipeline, same registry constants,
+    same oracle-parity contract as stream_dedup_minhash (the shared
+    ``_stream_dedup_blocked_counts`` builder): the registry emits one row
+    per blocked (doc, band); this query complements those counts over the
+    full corpus, so every document carries its verdict — ``is_admitted``
+    true with 0 blocked bands, or false with the count.  Docs with no
+    shingles (NULL/short text) claim no buckets, so nothing can block
+    them: admitted, exactly like the oracle's LEFT JOIN.
+
+    The complement join reads the corpus BATCH-side: at 100 TB the live
+    equivalent is tagging each arriving doc with the registry's verdict in
+    the same micro-batch (the blocked rows ARE that verdict, keyed by
+    doc_id); replaying the corpus through a left join against the
+    registry output is the deterministic stand-in that keeps the result
+    value-checkable.
+
+    Scale: the streaming leg is stream_dedup_minhash's (8-byte owner per
+    occupied bucket, bucket-key exchange, no pair join); the complement is
+    one shuffle join of (doc_id -> n_blocked_bands) — bounded by the dup
+    rate — against a doc_id projection of the corpus scan."""
+    blocked = _stream_dedup_blocked_counts(spark, sf_dir)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    )
+    return docs.join(blocked, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_blocked_bands"), F.lit(0)).alias("n_blocked_bands"),
+        F.col("n_blocked_bands").isNull().alias("is_admitted"),
     )

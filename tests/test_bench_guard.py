@@ -283,6 +283,34 @@ def test_window_ledger_median_is_round_scoped(tmp_path):
     assert len(w1) == 1
 
 
+def test_window_ledger_carries_capacity_margin(tmp_path):
+    """VERDICT r11 #1: the 1.3x capacity floor must be ledger-auditable —
+    every window row records its margin, Nones (pre-r12 rows, skipped
+    probes) don't drag the median, and the median is what the floor is
+    adjudicated on."""
+    from bench import _median, _window_ledger_update
+
+    (tmp_path / "BENCH_r11.json").write_text("{}")
+    _window_ledger_update(20.0, 4e6, 0.5, root=tmp_path, capacity_margin=1.52)
+    _window_ledger_update(21.0, 4e6, 0.5, root=tmp_path, capacity_margin=None)
+    w = _window_ledger_update(22.0, 4e6, 0.5, root=tmp_path, capacity_margin=1.18)
+    assert [x["capacity_margin"] for x in w] == [1.52, None, 1.18]
+    assert _median([x.get("capacity_margin") for x in w]) == 1.35
+
+
+def test_compact_line_carries_capacity_median_floor_flag():
+    d = _detail_fixture()
+    d["streaming"]["capacity_margin_median"] = 1.21
+    d["streaming"]["capacity_margin_median_below_floor"] = True
+    c = compact_line(d)["streaming"]
+    assert c["capacity_margin_median"] == 1.21
+    assert c["capacity_margin_median_below_floor"] is True
+    d["streaming"]["capacity_margin_median"] = 1.45
+    d["streaming"]["capacity_margin_median_below_floor"] = False
+    c = compact_line(d)["streaming"]
+    assert "capacity_margin_median_below_floor" not in c
+
+
 def test_capacity_knee_ladder_stops_at_flattening(monkeypatch):
     """The knee ladder climbs until a rung's drain is within 10% of the
     previous rung's, records the peak as the knee and marks it bounded;

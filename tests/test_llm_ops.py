@@ -82,10 +82,68 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
 
 
 def test_decode_stub_contract():
+    # compressed formats stay honestly unimplemented (no codec libs here)
     with pytest.raises(NotImplementedError):
         decode_image(b"\x00\x01", codec="real")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n....", codec="real")
     fake = decode_image(b"\x00\x01\x02", codec="fake")
     assert fake == {"n": 3, "sum": 3}
+
+
+def test_ppm_round_trip_and_header_grammar():
+    """r12: binary Netpbm decodes for REAL — round trip, comment handling,
+    and the malformed-input contract."""
+    from flink_wordcount_spark.operators.multimodal import decode_ppm, encode_ppm
+
+    raster = bytes(range(2 * 2 * 3))
+    img = decode_ppm(encode_ppm(2, 2, raster))
+    assert (img["format"], img["width"], img["height"], img["maxval"]) == (
+        "P6", 2, 2, 255,
+    )
+    assert img["samples"].tobytes() == raster
+
+    # decode_image routes Netpbm magics to the real parser
+    routed = decode_image(encode_ppm(2, 2, raster), codec="real")
+    assert routed["width"] == 2 and routed["samples"].tobytes() == raster
+
+    # hand-built header with comments + multi-whitespace (spec grammar);
+    # raster starts after EXACTLY one whitespace following maxval
+    buf = b"P5 # magic comment\n# full-line comment\n 3\n#c\n2 255\n" + bytes(6)
+    gray = decode_ppm(buf)
+    assert (gray["format"], gray["width"], gray["height"]) == ("P5", 3, 2)
+
+    with pytest.raises(ValueError):  # truncated raster
+        decode_ppm(b"P6\n2 2\n255\n" + bytes(5))
+    with pytest.raises(ValueError):  # 2-byte samples unsupported
+        decode_ppm(b"P6\n1 1\n65535\n" + bytes(6))
+    with pytest.raises(ValueError):  # not a Netpbm payload
+        decode_ppm(b"JFIF....")
+    with pytest.raises(ValueError):  # encode validates sample count
+        encode_ppm(2, 2, bytes(5))
+
+
+def test_ppm_decode_stats_distributed(spark, sf_dir):
+    """mm_decode_ppm's mapInPandas stage agrees with a local re-decode."""
+    import numpy as np
+
+    from flink_wordcount_spark.operators.multimodal import (
+        decode_ppm_stats,
+        encode_ppm,
+        decode_ppm,
+    )
+
+    ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id").limit(25)
+    rows = {r.doc_id: r for r in decode_ppm_stats(ids).collect()}
+    assert len(rows) == 25
+    for i, r in rows.items():
+        w, h = 4 + i % 5, 3 + i % 3
+        n = w * h * 3
+        raster = ((i * 7 + 13 * np.arange(n)) % 256).astype(np.uint8)
+        img = decode_ppm(encode_ppm(w, h, raster.tobytes()))
+        s = img["samples"].astype(np.int64)
+        assert (r.width, r.height, r.n_samples) == (w, h, n)
+        assert (r.px_sum, r.px_min, r.px_max) == (s.sum(), s.min(), s.max())
 
 
 def test_featurize_matches_python(spark, sf_dir):

@@ -145,8 +145,29 @@ def _bad_single_partitions(plan: str) -> list[str]:
     return bad
 
 
+def _observed_gate_internal(spark, sf_dir):
+    """qa_observed_metrics' REAL scan->observe->gate plan.  The query
+    function executes its job eagerly and returns a LocalTableScan, which
+    would silently exempt the real plan from this sweep (ADVICE r11)."""
+    from flink_wordcount_spark.plans.curation_q import _observed_gate_plan
+
+    gated, _ = _observed_gate_plan(spark, sf_dir)
+    return gated
+
+
+#: Queries whose registered function runs its job eagerly and returns a
+#: local relation: the sweep additionally walks the INTERNAL lazy plan the
+#: job actually executes, under the name "<query>[internal]".
+INTERNAL_PLANS = {
+    "qa_observed_metrics": _observed_gate_internal,
+}
+
+
 def test_catalog_plan_invariants(spark, sf_dir):
     batch = {n: fn for n, fn in QUERIES.items() if not n.startswith("stream_")}
+    for q, builder in INTERNAL_PLANS.items():
+        assert q in batch, f"INTERNAL_PLANS entry {q} is not a batch query"
+        batch[f"{q}[internal]"] = builder
     violations: list[str] = []
     fired = {"win": set(), "sp": set(), "bnlj": set()}
     for name, fn in batch.items():

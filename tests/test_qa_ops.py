@@ -109,3 +109,23 @@ def test_observed_metrics_single_pass_contract(spark, sf_dir):
     )
     plan = gated._jdf.queryExecution().executedPlan().toString()
     assert "CollectMetrics" in plan
+
+
+def test_observed_metrics_empty_input_emits_nulls(spark, sf_dir, tmp_path):
+    """ADVICE r11 curation_q.py:1381: on an EMPTY documents table the
+    sum/min/max observed metrics come back None — the query must emit the
+    oracle's zero-row aggregates (counts 0, sum/min/max NULL), not crash
+    on int(None)."""
+    import shutil
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    empty_dir = tmp_path / "empty_sf"
+    empty_dir.mkdir()
+    d.limit(0).write.parquet(str(empty_dir / "documents.parquet"))
+    try:
+        row = QUERIES["qa_observed_metrics"](spark, str(empty_dir)).collect()[0]
+    finally:
+        shutil.rmtree(empty_dir, ignore_errors=True)
+    assert row.n_docs == 0 and row.n_empty == 0 and row.n_pass == 0
+    assert row.total_chars is None
+    assert row.min_chars is None and row.max_chars is None
