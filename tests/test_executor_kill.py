@@ -2,136 +2,25 @@
 
 VERDICT r10 #3 (the last reference behavior without a faithful twin): the
 reference's failure experiment is ``kill -9`` of a LIVE TaskManager while
-the job runs (kill_worker.sh:8-18 — a spare TaskManager is pre-started,
-the active one is killed mid-job, the job must recover and keep exactly-
-once counts).  The repo's standing recovery evidence (bench_recovery) is a
-graceful stop/restart from checkpoint; this test is the hard-kill analog:
+the job runs (kill_worker.sh:8-18).  The drill itself lives in
+``flink_wordcount_spark.streaming.killdrill`` (full setup documented
+there); this gate runs it ONCE and asserts the exactly-once contract.
 
-- a REAL ``local-cluster[2,2,1024]`` session (two genuine executor JVMs
-  under a standalone master — the spare-worker setup, since the surviving
-  executor plus the master's relaunch stand in for Flink's spare
-  TaskManager),
-- a checkpointed streaming word count over a 40-file replay,
-- ``kill -9`` of one executor JVM after >= 3 committed micro-batches,
-- assertions that the query drains to completion and the final counts are
-  IDENTICAL to the batch word count over the same files (exactly-once
-  under process death, not graceful stop),
-- the kill-to-next-commit time is printed and persisted to
-  ``EXECUTOR_KILL_r11.json`` at the repo root so the round artifact
-  carries the measured recovery seconds.
-
-Runs in a subprocess: a second SparkSession with a different master cannot
-share the test JVM (same isolation as test_packaging's local-cluster test).
+Publication policy (VERDICT r11 #3): the recovery SECONDS are noisy
+(3.3-7.4 s across committed single runs), so this test deliberately does
+NOT write the round artifact — quoting whichever single run last touched
+the file is how the r11 docs drifted to the best of four measurements.
+The quoted number comes from ``scripts/run_executor_kill.py``, which runs
+the drill N >= 3 times in one session and publishes the MEDIAN (+ the
+full run list) to ``EXECUTOR_KILL_r12.json``.
 """
 
 from __future__ import annotations
 
-import json
-import os
-import subprocess
-import sys
-from pathlib import Path
-
-REPO_ROOT = str(Path(__file__).resolve().parents[1])
-
-_CHILD = """
-import json, os, subprocess, sys, time
-sys.path.insert(0, {repo!r})
-from pyspark.sql import SparkSession, functions as F
-
-spark = (SparkSession.builder.master("local-cluster[2,2,1024]")
-         .appName("executor-kill-recovery")
-         .config("spark.sql.shuffle.partitions", "4")
-         .config("spark.ui.enabled", "false")
-         .getOrCreate())
-spark.sparkContext.setLogLevel("ERROR")
-
-data_dir = os.path.join({tmp!r}, "sentences")
-ckpt = os.path.join({tmp!r}, "ckpt")
-# deterministic corpus, 40 files -> ~20 micro-batches at 2 files/trigger
-(spark.range(0, 20000)
- .select(F.format_string("alpha b%d c%d d%d", F.col("id") % 101,
-                         F.col("id") % 13, F.col("id") % 7).alias("sentence"))
- .repartition(40)
- .write.mode("overwrite").parquet(data_dir))
-
-from flink_wordcount_spark.operators.text import tokenize
-schema = spark.read.parquet(data_dir).schema
-stream = (spark.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "2").parquet(data_dir))
-counts = (tokenize(stream, text_col="sentence", out_col="word")
-          .groupBy("word").agg(F.count(F.lit(1)).alias("cnt")))
-q = (counts.writeStream.outputMode("complete").format("memory")
-     .queryName("killtest").option("checkpointLocation", ckpt).start())
-
-def committed_batches():
-    return [p["batchId"] for p in q.recentProgress if p["numInputRows"] > 0]
-
-deadline = time.time() + 180
-while time.time() < deadline and len(committed_batches()) < 3:
-    time.sleep(0.2)
-assert len(committed_batches()) >= 3, "never reached 3 committed batches"
-
-app_id = spark.sparkContext.applicationId
-out = subprocess.run(["pgrep", "-af", "ExecutorBackend"],
-                     capture_output=True, text=True)
-victims = [int(l.split()[0]) for l in out.stdout.splitlines() if app_id in l]
-assert len(victims) >= 2, f"expected 2 live executor JVMs, saw {{victims}}"
-last_before = max(committed_batches())
-t_kill = time.time()
-os.kill(victims[0], 9)  # SIGKILL: no shutdown hooks, the hard death
-
-# kill-to-recovery: first batch COMMITTED after the kill
-recovered_batch = None
-deadline = time.time() + 240
-while time.time() < deadline:
-    newer = [b for b in committed_batches() if b > last_before]
-    if newer:
-        recovered_batch = min(newer)
-        break
-    time.sleep(0.2)
-t_rec = time.time() - t_kill
-assert recovered_batch is not None, "no batch committed after the kill"
-
-q.processAllAvailable()
-streamed = {{r["word"]: r["cnt"] for r in spark.table("killtest").collect()}}
-q.stop()
-batch = {{r["word"]: r["cnt"]
-          for r in (tokenize(spark.read.parquet(data_dir),
-                             text_col="sentence", out_col="word")
-                    .groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
-                    .collect())}}
-spark.stop()
-assert streamed == batch, (
-    f"exactly-once violated: {{len(streamed)}} streamed vs {{len(batch)}} "
-    f"batch keys; first diffs: "
-    f"{{ {{k: (streamed.get(k), batch.get(k)) for k in list(set(streamed) ^ set(batch))[:5]}} }}")
-print(json.dumps({{
-    "experiment": "kill -9 one executor JVM mid-stream (local-cluster[2,2,1024])",
-    "reference_analog": "kill_worker.sh:8-18 (TaskManager hard-kill)",
-    "batches_committed_before_kill": last_before + 1,
-    "kill_to_next_commit_sec": round(t_rec, 2),
-    "exactly_once_ok": True,
-    "distinct_words": len(streamed),
-}}))
-"""
+from flink_wordcount_spark.streaming.killdrill import run_drill
 
 
 def test_executor_hard_kill_exactly_once(tmp_path):
-    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
-    proc = subprocess.run(
-        [sys.executable, "-c", _CHILD.format(repo=REPO_ROOT, tmp=str(tmp_path))],
-        capture_output=True,
-        text=True,
-        cwd=str(tmp_path),
-        timeout=540,
-        env=env,
-    )
-    assert proc.returncode == 0, (proc.stdout + proc.stderr)[-4000:]
-    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    result = run_drill(str(tmp_path))
     assert result["exactly_once_ok"] is True
     assert result["kill_to_next_commit_sec"] < 120
-    # persist the measured artifact for the round record (self-refreshing)
-    (Path(REPO_ROOT) / "EXECUTOR_KILL_r11.json").write_text(
-        json.dumps(result, indent=2) + "\n"
-    )
