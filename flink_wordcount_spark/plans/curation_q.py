@@ -1321,15 +1321,22 @@ def feat_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 _OBS_GATE_MIN_CHARS = 200
 
 
-def _observed_gate_plan(spark: SparkSession, sf_dir: str):
+def _observed_gate_plan(spark: SparkSession, sf_dir: str, name: str = "qa_observed_metrics"):
     """The REAL scan->observe->gate plan qa_observed_metrics executes,
     returned lazily (no action) so the catalog plan-invariant sweep can
     assert on it: the query function itself runs the job eagerly and
     returns a LocalTableScan, which would otherwise exempt the gate plan
     from the CartesianProduct/SinglePartition/window invariants
-    (ADVICE r11).  Returns (watched_and_gated_df, observation)."""
+    (ADVICE r11).  Returns (watched_and_gated_df, observation).
+
+    ``name`` must be UNIQUE per attached-but-never-run build: an
+    Observation is routed metrics by name, and a stale same-named
+    observation attached by a plan-only probe hijacks the routing for
+    the next REAL run in the session — observed as Observation.getRow
+    blocking forever in the full pytest suite (r12).  Plan-shape callers
+    pass a throwaway name; only the query function uses the real one."""
     d = table(spark, sf_dir, "documents")
-    obs = Observation("qa_observed_metrics")
+    obs = Observation(name)
     empty = F.col("text").isNull() | (F.length("text") == 0)
     watched = d.observe(
         obs,

@@ -148,10 +148,18 @@ def _bad_single_partitions(plan: str) -> list[str]:
 def _observed_gate_internal(spark, sf_dir):
     """qa_observed_metrics' REAL scan->observe->gate plan.  The query
     function executes its job eagerly and returns a LocalTableScan, which
-    would silently exempt the real plan from this sweep (ADVICE r11)."""
+    would silently exempt the real plan from this sweep (ADVICE r11).
+    The probe observation gets a THROWAWAY unique name: an attached-but-
+    never-run Observation reusing the query's name hijacks metrics
+    routing for the next real run in this session (getRow blocks forever
+    — found by the r12 full-suite hang)."""
+    import uuid
+
     from flink_wordcount_spark.plans.curation_q import _observed_gate_plan
 
-    gated, _ = _observed_gate_plan(spark, sf_dir)
+    gated, _ = _observed_gate_plan(
+        spark, sf_dir, name=f"qa_observed_metrics_probe_{uuid.uuid4().hex[:8]}"
+    )
     return gated
 
 

@@ -111,6 +111,25 @@ def test_observed_metrics_single_pass_contract(spark, sf_dir):
     assert "CollectMetrics" in plan
 
 
+def test_observed_metrics_survive_stale_plan_probe(spark, sf_dir):
+    """Regression (r12 full-suite hang): an Observation attached by a
+    plan-only probe and never run hijacked metrics routing for the next
+    REAL run in the same session WHEN it reused the query's observation
+    name — the real run's ``obs.get`` blocked forever in
+    Observation.getRow.  The colliding variant cannot be asserted
+    directly (it blocks, not raises), so this pins the FIXED sequence:
+    a uniquely-named plan-only attach followed by the full query must
+    return.  The unique-name contract itself is documented on
+    ``_observed_gate_plan`` and honored by the plan-invariant sweep's
+    probe."""
+    from flink_wordcount_spark.plans.curation_q import _observed_gate_plan
+
+    gated, _ = _observed_gate_plan(spark, sf_dir, name="probe_stale_r12")
+    gated._jdf.queryExecution().executedPlan().toString()  # plan-only use
+    row = QUERIES["qa_observed_metrics"](spark, sf_dir).collect()[0]
+    assert row.n_docs > 0 and row.n_pass > 0
+
+
 def test_observed_metrics_empty_input_emits_nulls(spark, sf_dir, tmp_path):
     """ADVICE r11 curation_q.py:1381: on an EMPTY documents table the
     sum/min/max observed metrics come back None — the query must emit the
