@@ -1336,6 +1336,8 @@ def _window_ledger_update(
     sf=None,
     sf1_ratios: dict | None = None,
     capacity_margin=None,
+    latency: dict | None = None,
+    contended: bool | None = None,
 ) -> list[dict]:
     """Append this run to BENCH_WINDOWS.jsonl and return the round's windows.
 
@@ -1361,6 +1363,16 @@ def _window_ledger_update(
     (1.18x in the one recorded window) could be neither confirmed as a
     trend nor dismissed as window noise because the ledger carried no
     per-window margin.
+
+    r13 (VERDICT r12 #2): each window also records the streaming LATENCY
+    percentiles (p50/p95/p99 ms), so a percentile drift between rounds
+    (r12's +20% p50) is adjudicated on medians-of-windows like every
+    other headline instead of single-artifact diffing.  And each window
+    records its ``contended`` flag (load still above the quiet threshold
+    when the bounded wait expired — VERDICT r12 #5): contended rows stay
+    in the ledger but are EXCLUDED from every published median via
+    ``quiet_pool``, with the exclusion count published, so one loaded
+    window can never drag a round's medians even in a small pool.
     """
     import re as _re
 
@@ -1374,13 +1386,18 @@ def _window_ledger_update(
         ),
         default=0,
     )
+    lat = latency or {}
     entry = {
         "round": tag,
         "sf": sf,
         "suite_seconds": total_sec,
         "words_per_sec_median": words_median,
         "load_at_start": load,
+        "contended": bool(contended) if contended is not None else None,
         "capacity_margin": capacity_margin,
+        "latency_p50_ms": lat.get("p50"),
+        "latency_p95_ms": lat.get("p95"),
+        "latency_p99_ms": lat.get("p99"),
         "sf1_scaleup_ratio": sf1_ratios,
     }
     ledger = root / "BENCH_WINDOWS.jsonl"
@@ -1409,6 +1426,23 @@ def _window_ledger_update(
         f.write(json.dumps(entry) + "\n")
     windows.append(entry)
     return windows
+
+
+def quiet_pool(windows: list[dict]) -> tuple[list[dict], int]:
+    """Partition a round's windows into the median pool and the excluded
+    count (VERDICT r12 #5): windows whose ``contended`` flag is true (the
+    machine's 1-min load was still above the quiet threshold when the
+    bounded pre-run wait expired) are kept in the ledger for audit but
+    excluded from every published median.  If EVERY window was contended
+    the full pool is used — a fully-loaded round publishes its honest
+    numbers rather than none — and the exclusion count says so (0 in that
+    fallback, with ``all_contended`` left to the caller via pool size).
+    Rows written before the flag existed (no ``contended`` key / None)
+    count as quiet."""
+    quiet = [w for w in windows if not w.get("contended")]
+    if not quiet:
+        return windows, 0
+    return quiet, len(windows) - len(quiet)
 
 
 def _median(vals: list) -> float | None:
@@ -1561,14 +1595,20 @@ def main() -> int:
         capacity_margin=(streaming.get("live_capacity") or {}).get(
             "margin_vs_reference_rate"
         ),
+        latency=streaming.get("latency_ms") or {},
+        contended=machine.get("contended"),
     )
+    # Every published median pools QUIET windows only (VERDICT r12 #5):
+    # contended rows stay in the ledger, the medians drop them, and the
+    # exclusion count is published beside n_windows.
+    pool, n_contended_excluded = quiet_pool(windows)
     # Median-of-windows for the sf1 scale ratios too (VERDICT r10 #2):
     # SCALE.md adjudicates per-query 10x ratios off THIS median, never off
     # a single window.  Windows from runs where the sf1 leg was skipped
     # (env toggle) simply don't contribute.
     ratio_windows = [
         w["sf1_scaleup_ratio"]
-        for w in windows
+        for w in pool
         if isinstance(w.get("sf1_scaleup_ratio"), dict)
     ]
     if ratio_windows:
@@ -1577,8 +1617,8 @@ def main() -> int:
             n: _median([rw.get(n) for rw in ratio_windows]) for n in all_names
         }
         sf1["n_ratio_windows"] = len(ratio_windows)
-    suite_windows = [w.get("suite_seconds") for w in windows]
-    wps_windows = [w.get("words_per_sec_median") for w in windows]
+    suite_windows = [w.get("suite_seconds") for w in pool]
+    wps_windows = [w.get("words_per_sec_median") for w in pool]
     streaming["words_per_sec_median_window_this"] = streaming.get(
         "words_per_sec_median"
     )
@@ -1588,13 +1628,20 @@ def main() -> int:
     # 1.3x floor is adjudicated on the MEDIAN margin across this round's
     # windows, same policy as the suite/words headlines.  This window's
     # own margin (and its retry/floor flag) stays under live_capacity.
-    cap_windows = [w.get("capacity_margin") for w in windows]
+    cap_windows = [w.get("capacity_margin") for w in pool]
     cap_median = _median(cap_windows)
     streaming["capacity_margin_windows"] = cap_windows
     streaming["capacity_margin_median"] = cap_median
     streaming["capacity_margin_median_below_floor"] = (
         cap_median is None or cap_median < CAPACITY_MARGIN_FLOOR
     )
+    # Median-of-windows for the latency percentiles too (VERDICT r12 #2):
+    # the published p50/p95/p99 are the medians across this round's quiet
+    # windows; this window's own percentiles stay under latency_ms.
+    for pct in ("p50", "p95", "p99"):
+        streaming[f"latency_{pct}_ms_median"] = _median(
+            [w.get(f"latency_{pct}_ms") for w in pool]
+        )
     detail = {
         "metric": "headline_suite_seconds",
         "value": _median(suite_windows),
@@ -1602,6 +1649,7 @@ def main() -> int:
         "this_window_seconds": total,
         "best_window_seconds": min(v for v in suite_windows if v is not None),
         "n_windows": len(windows),
+        "n_windows_contended_excluded": n_contended_excluded,
         "queries": timings,
         "suite_passes": suite_passes,
         "machine": machine,
@@ -1636,6 +1684,12 @@ def compact_line(detail: dict) -> dict:
     lat_compact = {
         k: lat[k] for k in ("p50", "p95", "p99", "n_samples") if k in lat
     }
+    # median-of-quiet-windows percentiles (VERDICT r12 #2) ride beside
+    # this window's own numbers so the drift story is in one place
+    for pct in ("p50", "p95", "p99"):
+        med = s.get(f"latency_{pct}_ms_median")
+        if med is not None:
+            lat_compact[f"{pct}_median"] = med
     if lat.get("degenerate_window"):
         lat_compact["degenerate_window"] = True
     if lat.get("io_stall_detected"):
@@ -1653,6 +1707,15 @@ def compact_line(detail: dict) -> dict:
         "this_window_seconds": detail.get("this_window_seconds"),
         "best_window_seconds": detail.get("best_window_seconds"),
         "n_windows": detail.get("n_windows"),
+        **(
+            {
+                "n_windows_contended_excluded": detail[
+                    "n_windows_contended_excluded"
+                ]
+            }
+            if detail.get("n_windows_contended_excluded")
+            else {}
+        ),
         "queries": detail["queries"],
         "sf": detail["sf"],
         "streaming": {

@@ -101,6 +101,13 @@ def decode_ppm(payload: bytes) -> dict:
     if buf[:2] not in (b"P5", b"P6"):
         raise ValueError(f"not a binary PPM/PGM payload (magic {buf[:2]!r})")
     channels = 3 if buf[:2] == b"P6" else 1
+    # spec: the magic is FOLLOWED by whitespace (or a comment) before the
+    # first header field — b"P63 2\n..." must reject, not parse width=3
+    # (ADVICE r12)
+    if not (buf[2:3].isspace() or buf[2:3] == b"#"):
+        raise ValueError(
+            f"missing whitespace after magic (byte 2 is {buf[2:3]!r})"
+        )
     pos, fields = 2, []
     while len(fields) < 3:
         while pos < len(buf) and buf[pos : pos + 1].isspace():

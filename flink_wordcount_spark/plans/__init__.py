@@ -43,70 +43,75 @@ from . import catalog as _catalog
 # session-window oracle break shipped unverified precisely because a stale
 # green row pinned it behind the budget).  Reset this list each round.
 _MODIFIED_THIS_ROUND: list[str] = [
-    # r12: reset per the r11 verdict (#2).  Budget goes to the full
-    # 42-query r07-stale cohort pinned below plus the queries whose code
+    # r13: reset per the r12 verdict (#1).  Budget goes to the full
+    # 42-query r08-stale cohort pinned below plus the queries whose code
     # actually changes this round (appended as the edits land):
-    "qa_observed_metrics",       # r12: None-metric guard on empty input
-                                 # (ADVICE r11 curation_q.py:1381)
-    "stream_dedup_minhash",      # r12: pipeline factored into the shared
-                                 # _stream_dedup_blocked_counts builder
-                                 # (same plan; stream_dedup_admitted reuses
-                                 # it — VERDICT r11 #5)
+    "stream_dedup_admitted",     # r13: complement join now reads documents
+                                 # via the memoized io.table() helper
+                                 # (ADVICE r12 streaming_q.py:1543)
+    "mm_decode_ppm",             # r13: decode_ppm rejects a glued magic
+                                 # (whitespace-after-magic check, ADVICE
+                                 # r12 multimodal.py:101)
+    "qa_observed_metrics",       # r13: _observed_gate_plan name is now a
+                                 # required parameter (ADVICE r12
+                                 # curation_q.py:1324; plan unchanged)
 ]
 
 # Queries to verify THIS round ahead of the staleness rotation even though
-# their code is unchanged.  r12 (VERDICT r11 #2): the FULL 42-query cohort
-# whose last driver-green row is r07 — the histogram floor.  Pinning all of
-# them moves the floor to r08 in one round, exactly like r08 retired r03,
-# r09 retired r04, r10 retired r05 and r11 retired r06.  Budget: 42 pinned
-# + modified + never-verified new queries must stay <= the 50-slot budget
-# (new operators capped at ~6 this round per the verdict); the r08 back
-# catalog rotates next round.  (Cohort recomputed from the artifacts at
-# round start with the same logic as _last_verified_round(): 42 names,
-# matching the r11 verdict's count.)
+# their code is unchanged.  r13 (VERDICT r12 #1): the FULL 42-query cohort
+# whose last driver-green row is r08 — the histogram floor.  Pinning all of
+# them moves the floor to r09 in one round, exactly like r08 retired r03,
+# r09 retired r04, r10 retired r05, r11 retired r06 and r12 retired r07.
+# Budget: 42 pinned + 3 modified + never-verified new queries must stay
+# <= the 50-slot budget (new operators capped at 5 this round); the r09
+# back catalog rotates next round.  (Cohort recomputed from the artifacts
+# at round start with the same logic as _last_verified_round(): 42 names,
+# matching the r12 verdict's count.  The cohort contains no rows-only
+# queries, so VERDICT r12 #4's twin-pairing rule is vacuously satisfied —
+# its value twin lsh_simhash64_md5 IS in this cohort and gets a value slot.)
 _PIN_FRONT_THIS_ROUND: list[str] = [
-    "curation_end_to_end",
-    "curation_filter_funnel",
-    "decontam_semantic",
-    "dedup_prefix_truncation",
-    "embed_dim_variance",
-    "ev_cdc_latest_state",
-    "ev_day_over_day",
-    "ev_markov_transitions",
-    "ev_moving_window_1h",
-    "ev_pattern_strict_sequence",
-    "ev_scd2_history",
-    "ev_value_percentiles",
-    "join_time_band_bucketed",
-    "lsh_simhash64",
-    "pack_length_buckets",
-    "pack_sequences",
-    "qa_column_entropy",
-    "qa_drift_psi",
-    "qa_key_skew",
-    "qa_partition_checksums",
-    "qa_preflight_report",
-    "qa_referential_events",
-    "qa_schema_profile",
-    "quality_cutoff_per_lang",
-    "sample_domain_mixture",
-    "sample_reservoir_per_source",
-    "sample_temperature_mixture",
-    "sample_train_test_split",
-    "semdedup_drop_list",
-    "shard_by_token_budget",
-    "source_python_datasource",
-    "stream_cdc_latest_state",
-    "stream_curation_gate",
-    "stream_drift_psi",
-    "stream_python_datasource",
-    "text_fingerprint",
-    "text_ngram_novelty",
-    "text_quality",
-    "text_repetition_ratio",
-    "text_tfidf_top_terms",
-    "text_vocab_build",
-    "udf_pandas_scalar_iter",
+    "dedup_edit_distance",
+    "dedup_exact_normalized",
+    "dedup_group_size_dist",
+    "dedup_shared_spans",
+    "dedup_shared_spans_hashed",
+    "embed_class_centroid_margin",
+    "embed_standardize",
+    "ev_rolling_active_users",
+    "ev_time_weighted_avg",
+    "lsh_simhash64_md5",
+    "mm_featurize",
+    "mm_frame_sample",
+    "mm_metadata",
+    "mm_resize",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_excess_shippers",
+    "q21_suppliers_kept_waiting",
+    "q22_dormant_customers",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "qa_benford_first_digit",
+    "qa_completeness_by_day",
+    "retrieval_rrf_fusion",
+    "sample_kfold_assign",
+    "setop_union_by_name",
+    "sketch_cms_topk_bounds",
+    "stream_stream_join",
+    "stream_stream_left_join",
+    "stream_timeout_flush",
+    "stream_windowed_topk",
+    "text_bpe_char_pairs",
+    "text_entropy_chars",
+    "text_hapax_ratio",
+    "text_skipgram_cooccurrence",
+    "text_zipf_fit",
+    "window_cume_percent",
 ]
 
 

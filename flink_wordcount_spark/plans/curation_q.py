@@ -1321,7 +1321,7 @@ def feat_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 _OBS_GATE_MIN_CHARS = 200
 
 
-def _observed_gate_plan(spark: SparkSession, sf_dir: str, name: str = "qa_observed_metrics"):
+def _observed_gate_plan(spark: SparkSession, sf_dir: str, name: str):
     """The REAL scan->observe->gate plan qa_observed_metrics executes,
     returned lazily (no action) so the catalog plan-invariant sweep can
     assert on it: the query function itself runs the job eagerly and
@@ -1334,7 +1334,9 @@ def _observed_gate_plan(spark: SparkSession, sf_dir: str, name: str = "qa_observ
     observation attached by a plan-only probe hijacks the routing for
     the next REAL run in the session — observed as Observation.getRow
     blocking forever in the full pytest suite (r12).  Plan-shape callers
-    pass a throwaway name; only the query function uses the real one."""
+    pass a throwaway name; only the query function uses the real one.
+    ``name`` is REQUIRED (no default) so a future plan-only caller cannot
+    silently inherit the real name and reproduce the hang (ADVICE r12)."""
     d = table(spark, sf_dir, "documents")
     obs = Observation(name)
     empty = F.col("text").isNull() | (F.length("text") == 0)
@@ -1400,7 +1402,7 @@ def qa_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     Empty-input parity (ADVICE r11): counts come back 0 and the sum/min/
     max metrics come back None -> emitted as NULLs, exactly the oracle's
     aggregates over zero rows (count(*) FILTER = 0, sum/min/max = NULL)."""
-    gated, obs = _observed_gate_plan(spark, sf_dir)
+    gated, obs = _observed_gate_plan(spark, sf_dir, name="qa_observed_metrics")
     n_pass = gated.count()
     m = obs.get
     fields = ["n_docs", "n_empty", "total_chars", "min_chars", "max_chars"]

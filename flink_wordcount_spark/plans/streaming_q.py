@@ -1539,9 +1539,10 @@ def stream_dedup_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle join of (doc_id -> n_blocked_bands) — bounded by the dup
     rate — against a doc_id projection of the corpus scan."""
     blocked = _stream_dedup_blocked_counts(spark, sf_dir)
-    docs = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    )
+    # memoized tuned read like every other batch leg (ADVICE r12): a bare
+    # spark.read here only worked because the streaming builder tunes the
+    # session first, and it forfeits plan memoization
+    docs = table(spark, sf_dir, "documents").select("doc_id")
     return docs.join(blocked, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("n_blocked_bands"), F.lit(0)).alias("n_blocked_bands"),

@@ -400,6 +400,70 @@ def test_capacity_knee_bounded_none_on_measurement_failure(monkeypatch):
     assert out["bounded"] is None and out["flat"] is None
 
 
+def test_window_ledger_carries_latency_percentiles(tmp_path):
+    """VERDICT r12 #2: the latency percentiles must be ledger-auditable —
+    every window row records p50/p95/p99, pre-r13 rows (no latency keys)
+    don't drag the median, and the published number is the median across
+    windows, same policy as suite/words/capacity."""
+    from bench import _median, _window_ledger_update
+
+    (tmp_path / "BENCH_r12.json").write_text("{}")
+    _window_ledger_update(
+        20.0, 4e6, 0.5, root=tmp_path,
+        latency={"p50": 1459, "p95": 1925, "p99": 2127},
+    )
+    _window_ledger_update(21.0, 4e6, 0.5, root=tmp_path, latency=None)
+    w = _window_ledger_update(
+        22.0, 4e6, 0.5, root=tmp_path,
+        latency={"p50": 1754, "p95": 2343, "p99": 2616},
+    )
+    assert [x["latency_p50_ms"] for x in w] == [1459, None, 1754]
+    assert _median([x.get("latency_p50_ms") for x in w]) == 1606.5
+    assert _median([x.get("latency_p99_ms") for x in w]) == 2371.5
+
+
+def test_quiet_pool_excludes_contended_windows(tmp_path):
+    """VERDICT r12 #5: a window recorded under load (contended=True) stays
+    in the ledger but is excluded from every published median, with the
+    exclusion count surfaced; if EVERY window was contended the full pool
+    is used rather than publishing nothing."""
+    from bench import _median, _window_ledger_update, quiet_pool
+
+    (tmp_path / "BENCH_r12.json").write_text("{}")
+    _window_ledger_update(18.0, 4e6, 0.4, root=tmp_path, contended=False)
+    _window_ledger_update(29.3, 4e6, 1.96, root=tmp_path, contended=True)
+    w = _window_ledger_update(20.0, 4e6, 0.5, root=tmp_path, contended=False)
+    pool, n_excluded = quiet_pool(w)
+    assert n_excluded == 1
+    assert [x["suite_seconds"] for x in pool] == [18.0, 20.0]
+    assert _median([x["suite_seconds"] for x in pool]) == 19.0
+    # pre-r13 rows carry no flag and count as quiet
+    legacy = [{"suite_seconds": 20.0}, {"suite_seconds": 21.0}]
+    pool, n_excluded = quiet_pool(legacy)
+    assert len(pool) == 2 and n_excluded == 0
+    # all-contended fallback: publish the honest loaded numbers, excl. 0
+    loaded = [{"contended": True, "suite_seconds": 30.0}]
+    pool, n_excluded = quiet_pool(loaded)
+    assert pool == loaded and n_excluded == 0
+
+
+def test_compact_line_carries_latency_medians_and_exclusions():
+    d = _detail_fixture()
+    d["streaming"]["latency_p50_ms_median"] = 1606.5
+    d["streaming"]["latency_p95_ms_median"] = 2134.0
+    d["streaming"]["latency_p99_ms_median"] = 2371.5
+    d["n_windows_contended_excluded"] = 1
+    c = compact_line(d)
+    assert c["streaming"]["latency_ms"]["p50_median"] == 1606.5
+    assert c["streaming"]["latency_ms"]["p99_median"] == 2371.5
+    assert c["n_windows_contended_excluded"] == 1
+    # absent (not 0) when nothing was excluded, keeping the line small
+    d["n_windows_contended_excluded"] = 0
+    assert "n_windows_contended_excluded" not in compact_line(d)
+    # still inside the driver capture budget with the new fields
+    assert len(json.dumps(c)) <= 1_500
+
+
 def test_window_ledger_sf1_ratio_median(tmp_path):
     """sf1 scale ratios pool across the round's windows exactly like the
     suite headline (VERDICT r10 #2): the published ratio is the median,

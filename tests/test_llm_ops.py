@@ -121,6 +121,12 @@ def test_ppm_round_trip_and_header_grammar():
         decode_ppm(b"JFIF....")
     with pytest.raises(ValueError):  # encode validates sample count
         encode_ppm(2, 2, bytes(5))
+    # ADVICE r12: glued magic must reject, not parse width=3 from "P63"
+    with pytest.raises(ValueError, match="after magic"):
+        decode_ppm(b"P63 2\n255\n" + bytes(18))
+    # but a comment directly after the magic is legal header grammar
+    commented = decode_ppm(b"P5#c\n3 2 255\n" + bytes(6))
+    assert (commented["width"], commented["height"]) == (3, 2)
 
 
 def test_ppm_decode_stats_distributed(spark, sf_dir):

@@ -130,6 +130,19 @@ def test_observed_metrics_survive_stale_plan_probe(spark, sf_dir):
     assert row.n_docs > 0 and row.n_pass > 0
 
 
+def test_observed_gate_plan_name_is_required():
+    """ADVICE r12 curation_q.py:1324: ``name`` has NO default, so a future
+    plan-only caller cannot silently inherit the real observation name and
+    reproduce the documented session hang — the hazardous collision now
+    requires typing the name out."""
+    import inspect
+
+    from flink_wordcount_spark.plans.curation_q import _observed_gate_plan
+
+    sig = inspect.signature(_observed_gate_plan)
+    assert sig.parameters["name"].default is inspect.Parameter.empty
+
+
 def test_observed_metrics_empty_input_emits_nulls(spark, sf_dir, tmp_path):
     """ADVICE r11 curation_q.py:1381: on an EMPTY documents table the
     sum/min/max observed metrics come back None — the query must emit the
