@@ -4,11 +4,14 @@ Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; decode/feature-extraction run as Arrow-batched Pandas UDFs
 over ``mapInPandas`` so each batch crosses the JVM<->Python boundary once.
 
-Decode status (r12): binary Netpbm (P6 RGB / P5 grayscale) decodes FOR REAL
-via the pure-Python ``decode_ppm`` parser (full header grammar: comments,
-exactly-one-whitespace raster boundary) — no codec library needed, and the
-``mm_decode_ppm`` query value-checks an encode->decode round trip against
-an arithmetic DuckDB oracle.  Compressed formats (JPEG/PNG/audio/video)
+Decode status (r13): TWO formats decode FOR REAL — binary Netpbm (P6 RGB /
+P5 grayscale) via the pure-Python ``decode_ppm`` parser (full header
+grammar: comments, whitespace-after-magic, exactly-one-whitespace raster
+boundary) and uncompressed 24-bit BMP via ``decode_bmp`` (BITMAPFILEHEADER
++ BITMAPINFOHEADER, bottom-up AND top-down row order, BGR pixel order,
+4-byte row padding) — no codec library needed; the ``mm_decode_ppm`` /
+``mm_decode_bmp`` queries value-check encode->decode round trips against
+arithmetic DuckDB oracles.  Compressed formats (JPEG/PNG/audio/video)
 remain an honest ``NotImplementedError`` in ``decode_image`` (no codecs in
 the container); everything around them — schema, partitioning, UDF
 signature, Arrow batch shape — is real and tested.
@@ -157,10 +160,13 @@ def decode_image(payload: bytes, codec: str = "real"):
         return {"n": len(arr), "sum": int(sum(arr))}
     if bytes(payload[:2]) in (b"P5", b"P6"):
         return decode_ppm(payload)
+    if bytes(payload[:2]) == b"BM":
+        return decode_bmp(payload)
     raise NotImplementedError(
         "compressed image decode (JPEG/PNG/...) requires a codec library "
-        "(not in this environment); binary Netpbm (P5/P6) decodes for real "
-        "via decode_ppm, or use codec='fake' for the byte-stat stand-in"
+        "(not in this environment); binary Netpbm (P5/P6) and uncompressed "
+        "24-bit BMP decode for real via decode_ppm/decode_bmp, or use "
+        "codec='fake' for the byte-stat stand-in"
     )
 
 
@@ -339,3 +345,146 @@ def sample_frames(df: DataFrame, frame_size: int = 256, every_k: int = 4) -> Dat
             yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
 
     return df.select("doc_id", "payload").mapInPandas(frames, FRAME_SCHEMA)
+
+
+def encode_bmp(width: int, height: int, rgb_topdown: bytes) -> bytes:
+    """Encode top-down RGB samples as an uncompressed 24-bit BMP.
+
+    The standard Windows bitmap layout: 14-byte BITMAPFILEHEADER ('BM',
+    file size, pixel-array offset 54) + 40-byte BITMAPINFOHEADER, then the
+    pixel array stored BOTTOM-UP with BGR byte order and each row padded
+    to a 4-byte boundary — the three layout wrinkles (row flip, channel
+    swap, stride padding) a real decoder must undo.  ``rgb_topdown`` holds
+    width*height*3 bytes in natural raster order.
+    """
+    import struct
+
+    if len(rgb_topdown) != width * height * 3:
+        raise ValueError(
+            f"expected {width * height * 3} RGB bytes, got {len(rgb_topdown)}"
+        )
+    row_bytes = width * 3
+    pad = (-row_bytes) % 4
+    raster = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up row order
+        row = rgb_topdown[y * row_bytes : (y + 1) * row_bytes]
+        bgr = bytearray(row)
+        bgr[0::3], bgr[2::3] = row[2::3], row[0::3]  # RGB -> BGR
+        raster += bgr + b"\x00" * pad
+    size_image = len(raster)
+    file_header = struct.pack("<2sIHHI", b"BM", 14 + 40 + size_image, 0, 0, 54)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, size_image, 2835, 2835, 0, 0
+    )
+    return file_header + info_header + bytes(raster)
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """REAL decode of uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB).
+
+    Parses both headers, honors the header-declared pixel-array offset
+    (gap bytes between header and raster are legal), undoes the bottom-up
+    row order (negative height = top-down per the spec), strips the 4-byte
+    row padding, and swaps BGR back to RGB.  Returns {format, width,
+    height, samples(np.uint8, top-down RGB raster order)}.
+    """
+    import struct
+
+    import numpy as np
+
+    buf = bytes(payload)
+    if buf[:2] != b"BM":
+        raise ValueError(f"not a BMP payload (magic {buf[:2]!r})")
+    if len(buf) < 54:
+        raise ValueError(f"truncated BMP header: {len(buf)} bytes")
+    offset = struct.unpack_from("<I", buf, 10)[0]
+    hdr_size, w, h, planes, bpp, comp = struct.unpack_from("<IiiHHI", buf, 14)
+    if hdr_size < 40:
+        raise ValueError(f"BITMAPCOREHEADER (size {hdr_size}) unsupported")
+    if bpp != 24 or comp != 0:
+        raise ValueError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, compression={comp})"
+        )
+    if w <= 0 or h == 0 or planes != 1:
+        raise ValueError(f"malformed dimensions (w={w}, h={h}, planes={planes})")
+    topdown = h < 0
+    height = abs(h)
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    if len(buf) < offset + stride * height:
+        raise ValueError(
+            f"truncated raster: need {offset + stride * height} bytes, got {len(buf)}"
+        )
+    rows = []
+    for r in range(height):
+        y = r if topdown else height - 1 - r
+        rows.append(
+            np.frombuffer(buf, dtype=np.uint8, count=row_bytes, offset=offset + y * stride)
+        )
+    bgr = np.concatenate(rows) if rows else np.zeros(0, dtype=np.uint8)
+    rgb = bgr.reshape(height, w, 3)[:, :, ::-1]
+    return {
+        "format": "BMP24",
+        "width": w,
+        "height": height,
+        "samples": rgb.reshape(-1).copy(),
+    }
+
+
+BMP_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("px_sum", LongType()),
+        StructField("px_min", LongType()),
+        StructField("px_max", LongType()),
+        StructField("px_dot", LongType()),
+    ]
+)
+
+
+def decode_bmp_stats(ids: DataFrame) -> DataFrame:
+    """Encode->decode round trip of REAL 24-bit BMP files per doc_id
+    (mapInPandas, Arrow-batched), the BMP twin of decode_ppm_stats: render
+    a deterministic top-down RGB image for each id (width 4+id%5, height
+    3+id%3, sample i = (id*11 + i*17) % 256), serialize it with encode_bmp
+    (bottom-up, BGR, padded rows), parse it back with decode_bmp, and emit
+    raster stats INCLUDING the position-weighted sum ``px_dot`` =
+    sum((i+1) * sample[i]) — order-sensitive, so a decoder that forgot the
+    row flip, the BGR swap, or the stride padding fails the value check,
+    not just a malformed header.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 4 + i % 5, 3 + i % 3
+                n = w * h * 3
+                raster = ((i * 11 + 17 * np.arange(n, dtype=np.int64)) % 256).astype(
+                    np.uint8
+                )
+                img = decode_bmp(encode_bmp(w, h, raster.tobytes()))
+                s = img["samples"].astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "width": img["width"],
+                        "height": img["height"],
+                        "n_samples": int(s.size),
+                        "px_sum": int(s.sum()),
+                        "px_min": int(s.min()),
+                        "px_max": int(s.max()),
+                        "px_dot": int(((np.arange(s.size) + 1) * s).sum()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in BMP_DECODE_SCHEMA.fields]
+            )
+
+    return ids.select("doc_id").mapInPandas(run, BMP_DECODE_SCHEMA)

@@ -55,6 +55,10 @@ _MODIFIED_THIS_ROUND: list[str] = [
     "qa_observed_metrics",       # r13: _observed_gate_plan name is now a
                                  # required parameter (ADVICE r12
                                  # curation_q.py:1324; plan unchanged)
+    "shard_by_token_budget",     # r13: two-phase cumsum factored into the
+                                 # shared _global_token_cumsum builder
+                                 # (same plan; pipeline_ingest_end_to_end
+                                 # reuses it)
 ]
 
 # Queries to verify THIS round ahead of the staleness rotation even though

@@ -562,22 +562,43 @@ def shard_by_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: a naive `SUM OVER (ORDER BY ...)` is a SINGLE-PARTITION
     window — the whole corpus through one task.  This plan is the two-phase
-    scan instead: split the order-key space into FIXED ranges (deterministic
-    pid — unlike spark_partition_id over repartitionByRange, whose sampled
-    boundaries can diverge if the exchange is recomputed per DAG branch),
-    per-range token subtotals (one tiny row per range), prefix-sum the
-    subtotals on the driver-sized frame, broadcast the offsets back, and
-    cumsum WITHIN each range — the global running total without a global
-    window.  The plan-shape test pins that every corpus-sized window is
-    partitioned."""
+    scan instead (the shared ``_global_token_cumsum`` builder, r13 — also
+    the shard stage of pipeline_ingest_end_to_end, so the two cannot
+    drift), cumsum WITHIN fixed order-key ranges plus broadcast prefix
+    offsets — the global running total without a global window.  The
+    plan-shape test pins that every corpus-sized window is partitioned."""
     d = table(spark, sf_dir, "documents")
     toks = tokens_arr("text")
-    n_ranges = 32
     base = d.select(
         "doc_id",
         F.size(toks).cast("bigint").alias("n_tokens"),
         (((F.col("doc_id") % _SHUF_M) * _SHUF_K) % _SHUF_M).alias("pos"),
     )
+    return _global_token_cumsum(base).select(
+        "doc_id",
+        "n_tokens",
+        "cum_tokens_before",
+        F.floor(F.col("cum_tokens_before") / F.lit(_SHARD_TOKENS))
+        .cast("bigint")
+        .alias("shard_id"),
+    )
+
+
+def _global_token_cumsum(base: DataFrame, n_ranges: int = 32) -> DataFrame:
+    """Global running token total WITHOUT a single-partition window (the
+    shard_by_token_budget two-phase plan, factored r13 so the pipeline
+    query reuses the identical machinery).  ``base`` must carry (doc_id,
+    n_tokens, pos) with pos a uniform order key in [0, _SHUF_M); the
+    result adds ``cum_tokens_before`` = sum of n_tokens over all rows
+    strictly before this one in (pos, doc_id) order.
+
+    100 TB shape: a naive `SUM OVER (ORDER BY ...)` pulls the whole corpus
+    through one task.  Instead: deterministic fixed ranges of the order-key
+    space (pid — unlike spark_partition_id over repartitionByRange, whose
+    sampled boundaries can diverge if the exchange is recomputed per DAG
+    branch), per-range subtotals (one tiny row per range), prefix-sum those
+    on the n_ranges-row frame, broadcast the offsets back, and cumsum
+    WITHIN each range."""
     # phase 1: deterministic range id from the (uniform multiplicative-hash)
     # order key — pid order == global pos order by construction
     parts = base.withColumn(
@@ -602,17 +623,111 @@ def shard_by_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum_before = (
         F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)) + F.col("off")
     ).cast("bigint")
-    return (
-        parts.join(F.broadcast(offs), "pid")  # offs: one row per partition
-        .withColumn("cum_tokens_before", cum_before)
-        .select(
-            "doc_id",
-            "n_tokens",
-            "cum_tokens_before",
-            F.floor(F.col("cum_tokens_before") / F.lit(_SHARD_TOKENS))
-            .cast("bigint")
-            .alias("shard_id"),
+    return parts.join(F.broadcast(offs), "pid").withColumn(
+        "cum_tokens_before", cum_before
+    )  # offs: one row per range
+
+
+#: Context length for the pipeline's sequence-packing stage (pack_sequences'
+#: 2048-token training window).
+_PIPE_SEQ_LEN = 2048
+
+_PIPE_ORACLE = f"""
+WITH keep1 AS (
+    SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+), s1 AS (
+    SELECT d.* FROM documents d JOIN keep1 USING (doc_id)
+), s2 AS (
+    SELECT * FROM s1
+    WHERE n_chars >= {_E2E_MIN_CHARS} AND lang IN {str(tuple(_E2E_LANGS))}
+), t AS (
+    SELECT doc_id,
+           CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+           ((doc_id % {_SHUF_M}) * {_SHUF_K}) % {_SHUF_M} AS pos
+    FROM s2
+), c AS (
+    SELECT doc_id, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY pos, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cb
+    FROM t
+), laid AS (
+    SELECT doc_id, n_tokens,
+           cb // {_SHARD_TOKENS} AS shard_id,
+           (cb % {_SHARD_TOKENS}) // {_PIPE_SEQ_LEN} AS pack_id
+    FROM c
+)
+SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+       CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM laid GROUP BY shard_id
+"""
+
+
+@query("pipeline_ingest_end_to_end", oracle=_PIPE_ORACLE)
+def pipeline_ingest_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole ingest in ONE DAG (VERDICT r12 #6): exact dedup -> quality
+    gate -> deterministic epoch shuffle -> token-budgeted shard layout ->
+    in-shard 2048-token sequence packing, emitting the per-shard MANIFEST
+    (doc/token/pack counts + id checksum) a training job consumes.  This is
+    the single submission a 100 TB run actually makes — curation decides
+    WHAT survives (curation_end_to_end's funnel), this pipeline decides
+    WHERE every survivor lands — and a green row value-checks the
+    composition: the shard stage provably runs on the deduped, gated
+    survivors in shuffle order, not on the raw corpus.
+
+    Stage reuse (nothing re-implemented, so stages cannot drift from their
+    standalone queries): exact dedup is curation_end_to_end's sha2-keyed
+    keep-list; the quality gate shares its _E2E_* constants; the shuffle
+    order is sample_shuffle_order's multiplicative hash; the global token
+    cumsum is shard_by_token_budget's _global_token_cumsum builder
+    (two-phase, no single-partition window); packing is pack_sequences'
+    concat-and-chunk cut at 2048 tokens within each shard's budget window.
+
+    Scale: one corpus scan into a 32-byte-key dedup shuffle, one semi join,
+    a map-side gate, the two-phase cumsum (range-partitioned windows + one
+    broadcast of 32 offset rows), and a final partial-agg shuffle keyed by
+    shard_id whose output is one manifest row per shard (corpus_tokens /
+    _SHARD_TOKENS rows — thousands at 100 TB, never corpus-sized)."""
+    d = table(spark, sf_dir, "documents")
+    # stage 1: exact dedup on the content digest (32-byte shuffle keys)
+    keep1 = (
+        d.groupBy(F.sha2("text", 256))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s1 = d.join(keep1, "doc_id", "leftsemi")
+    # stage 2: quality gate (map-side; production swaps in a model score)
+    s2 = s1.filter(
+        (F.col("n_chars") >= _E2E_MIN_CHARS) & F.col("lang").isin(*_E2E_LANGS)
+    )
+    # stage 3: token sizing + deterministic epoch-shuffle order
+    sized = s2.select(
+        "doc_id",
+        F.size(tokens_arr("text")).cast("bigint").alias("n_tokens"),
+        (((F.col("doc_id") % _SHUF_M) * _SHUF_K) % _SHUF_M).alias("pos"),
+    )
+    # stage 4+5: global cumsum -> shard by token budget, pack within shard
+    laid = _global_token_cumsum(sized).select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("cum_tokens_before") / F.lit(_SHARD_TOKENS))
+        .cast("bigint")
+        .alias("shard_id"),
+        F.floor(
+            (F.col("cum_tokens_before") % _SHARD_TOKENS) / F.lit(_PIPE_SEQ_LEN)
         )
+        .cast("bigint")
+        .alias("pack_id"),
+    )
+    return laid.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+        F.countDistinct("pack_id").alias("n_packs"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
     )
 
 

@@ -347,6 +347,89 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Chunk width (tokens) for intra-document span dedup.
+_INTRADOC_W = 10
+
+
+@query(
+    "text_intradoc_dedup",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN text IS NULL THEN NULL ELSE {_TOKS} END AS tk
+        FROM documents
+    ), ch AS (
+        SELECT doc_id, tk,
+               CASE WHEN tk IS NULL THEN NULL
+                    WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+                    ELSE list_transform(
+                        range(0, CAST(ceil(len(tk) / {_INTRADOC_W}.0) AS BIGINT)),
+                        i -> array_to_string(
+                            tk[i * {_INTRADOC_W} + 1 : i * {_INTRADOC_W} + {_INTRADOC_W}],
+                            ' '))
+               END AS c
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(len(c) AS BIGINT) AS n_chunks,
+           CAST(len(c) - len(list_distinct(c)) AS BIGINT) AS n_dup_chunks,
+           CAST(len(tk) AS BIGINT) AS n_tokens_total,
+           CASE WHEN c IS NULL THEN NULL
+                ELSE CAST(coalesce(list_sum(list_transform(
+                         list_distinct(c), x -> len(string_split(x, ' ')))), 0)
+                     AS BIGINT)
+           END AS n_tokens_kept
+    FROM ch
+    """,
+)
+def text_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRA-document span dedup (the Gopher/RefinedWeb "remove duplicated
+    passages within a page" curation rule, r13): each document's token
+    stream is cut into fixed 10-token chunks, repeated chunks after the
+    first occurrence are DROPPED, and the query emits the removal
+    accounting — chunk count, duplicate-chunk count, and the before/after
+    token counts — per document.  text_repetition_ratio MEASURES in-doc
+    repetition; this operator is the removal decision itself, the form a
+    cleaning pipeline applies.
+
+    Scale: entirely per-row higher-order functions over the token array
+    (transform/slice/array_distinct/aggregate) — JVM-side, zero shuffle,
+    zero Python; one scan of documents at any corpus size.  NULL text is
+    NULL stats on both sides (textstats family convention); Spark's
+    sequence(a, b) is DESCENDING for b < a, so zero-token docs are guarded
+    explicitly on both engines."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens_arr("text")
+    w = _INTRADOC_W
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(w))).cast("bigint")
+    chunk_list = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0).cast("bigint"), n_chunks - 1),
+            lambda i: F.array_join(F.slice(toks, (i * w + 1).cast("int"), w), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select(
+        "doc_id",
+        F.when(F.col("text").isNotNull(), toks).alias("tk"),
+        F.when(F.col("text").isNotNull(), chunk_list).alias("c"),
+    )
+    kept_tokens = F.aggregate(
+        F.array_distinct("c"),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + F.size(F.split(x, " ")),
+    )
+    return g.select(
+        "doc_id",
+        F.size("c").cast("bigint").alias("n_chunks"),
+        (F.size("c") - F.size(F.array_distinct("c")))
+        .cast("bigint")
+        .alias("n_dup_chunks"),
+        F.size("tk").cast("bigint").alias("n_tokens_total"),
+        F.when(F.col("c").isNotNull(), kept_tokens).alias("n_tokens_kept"),
+    )
+
+
 @query(
     "text_repetition_ratio",
     oracle=f"""

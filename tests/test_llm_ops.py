@@ -129,6 +129,139 @@ def test_ppm_round_trip_and_header_grammar():
     assert (commented["width"], commented["height"]) == (3, 2)
 
 
+def test_intradoc_dedup_matches_python(spark, sf_dir):
+    """r13: text_intradoc_dedup's chunk accounting equals a pure-Python
+    recompute (tokenize \\W+, 10-token chunks, first-occurrence-wins), and
+    the synthetic edge cases (exact repeated chunk, short doc, empty text,
+    NULL text) behave per the textstats NULL convention."""
+    import re
+
+    from flink_wordcount_spark.plans import QUERIES
+
+    def expected(text):
+        if text is None:
+            return (None, None, None, None)
+        toks = [t for t in re.split(r"\W+", text) if t]
+        chunks = [" ".join(toks[i : i + 10]) for i in range(0, len(toks), 10)]
+        kept = list(dict.fromkeys(chunks))
+        return (
+            len(chunks),
+            len(chunks) - len(kept),
+            len(toks),
+            sum(len(c.split(" ")) for c in kept),
+        )
+
+    rows = {
+        r.doc_id: r
+        for r in QUERIES["text_intradoc_dedup"](spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    assert len(rows) == len(docs)
+    for d in docs[:50]:
+        r = rows[d.doc_id]
+        assert (
+            r.n_chunks, r.n_dup_chunks, r.n_tokens_total, r.n_tokens_kept
+        ) == expected(d.text), f"doc {d.doc_id}"
+
+    # synthetic edges through the same plan on a temp table
+    ten = " ".join(f"w{i}" for i in range(10))
+    cases = [
+        (0, ten + " " + ten, (2, 1, 20, 10)),          # exact repeat dropped
+        (1, ten + " " + ten + " tail", (3, 1, 21, 11)),  # short last chunk kept
+        (2, "one two", (1, 0, 2, 2)),                   # sub-chunk doc
+        (3, "", (0, 0, 0, 0)),                          # empty: zeros, not NULL
+        (4, None, (None, None, None, None)),            # NULL text: NULL stats
+    ]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            [(i, t, "en", "src0", len(t) if t else None) for i, t, _ in cases],
+            "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        ).write.parquet(f"{tmp}/documents.parquet")
+        got = {
+            r.doc_id: r
+            for r in QUERIES["text_intradoc_dedup"](spark, tmp).collect()
+        }
+    for i, _, exp in cases:
+        r = got[i]
+        assert (
+            r.n_chunks, r.n_dup_chunks, r.n_tokens_total, r.n_tokens_kept
+        ) == exp, f"case {i}"
+
+
+def test_bmp_round_trip_and_layout_normalization():
+    """r13: uncompressed 24-bit BMP decodes for REAL — the decoder must
+    undo all three layout wrinkles (bottom-up rows, BGR order, 4-byte row
+    padding) and return the original top-down RGB raster."""
+    import struct
+
+    import numpy as np
+
+    from flink_wordcount_spark.operators.multimodal import (
+        decode_bmp,
+        decode_image,
+        encode_bmp,
+    )
+
+    # widths 4..8 cover every stride-padding residue (12/15/18/21/24 bytes)
+    for w, h in [(4, 3), (5, 4), (6, 5), (7, 3), (8, 4), (1, 1)]:
+        raster = ((np.arange(w * h * 3) * 37 + 11) % 256).astype(np.uint8)
+        img = decode_bmp(encode_bmp(w, h, raster.tobytes()))
+        assert (img["format"], img["width"], img["height"]) == ("BMP24", w, h)
+        assert img["samples"].tobytes() == raster.tobytes()
+
+    # a NEGATIVE height means top-down rows per the spec: flip the encoded
+    # (bottom-up) raster by hand and the decode must agree with the original
+    raster = ((np.arange(5 * 3 * 3) * 7 + 3) % 256).astype(np.uint8)
+    buf = bytearray(encode_bmp(5, 3, raster.tobytes()))
+    stride = 5 * 3 + ((-5 * 3) % 4)
+    rows = [bytes(buf[54 + i * stride : 54 + (i + 1) * stride]) for i in range(3)]
+    topdown = buf[:54] + b"".join(reversed(rows))
+    topdown = bytearray(topdown)
+    struct.pack_into("<i", topdown, 22, -3)  # height := -3
+    img = decode_bmp(bytes(topdown))
+    assert img["samples"].tobytes() == raster.tobytes()
+
+    # decode_image routes the 'BM' magic to the real parser
+    routed = decode_image(encode_bmp(4, 3, bytes(range(36))), codec="real")
+    assert routed["width"] == 4 and routed["samples"].tobytes() == bytes(range(36))
+
+    # malformed-input contract
+    with pytest.raises(ValueError):  # not a BMP
+        decode_bmp(b"PNG.....")
+    with pytest.raises(ValueError):  # truncated header
+        decode_bmp(b"BM" + bytes(20))
+    good = bytearray(encode_bmp(4, 3, bytes(36)))
+    bad_bpp = bytearray(good)
+    struct.pack_into("<H", bad_bpp, 28, 8)  # 8-bit palette: unsupported
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(bad_bpp))
+    with pytest.raises(ValueError):  # truncated raster
+        decode_bmp(bytes(good[:-4]))
+    with pytest.raises(ValueError):  # encode validates sample count
+        encode_bmp(4, 3, bytes(35))
+
+
+def test_bmp_decode_stats_distributed(spark, sf_dir):
+    """mm_decode_bmp's mapInPandas stage agrees with a local re-decode,
+    including the order-sensitive px_dot."""
+    import numpy as np
+
+    from flink_wordcount_spark.operators.multimodal import decode_bmp_stats
+
+    ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id").limit(25)
+    rows = {r.doc_id: r for r in decode_bmp_stats(ids).collect()}
+    assert len(rows) == 25
+    for i, r in rows.items():
+        w, h = 4 + i % 5, 3 + i % 3
+        n = w * h * 3
+        s = ((i * 11 + 17 * np.arange(n)) % 256).astype(np.int64)
+        assert (r.width, r.height, r.n_samples) == (w, h, n)
+        assert (r.px_sum, r.px_min, r.px_max) == (s.sum(), s.min(), s.max())
+        assert r.px_dot == ((np.arange(n) + 1) * s).sum()
+
+
 def test_ppm_decode_stats_distributed(spark, sf_dir):
     """mm_decode_ppm's mapInPandas stage agrees with a local re-decode."""
     import numpy as np

@@ -51,6 +51,21 @@ def test_tail_sorts_by_staleness():
     assert tail_rounds == sorted(tail_rounds)
 
 
+def test_head_fits_driver_budget():
+    """Slot arithmetic (VERDICT r12 #1 and every round's memory note): the
+    driver verifies ~50 queries per round, so modified + pinned +
+    never-verified must fit — otherwise a pinned-cohort query silently
+    loses its slot and the staleness floor doesn't move."""
+    last = _last_verified_round()
+    never = [n for n in QUERIES if n not in last]
+    head = set(_MODIFIED_THIS_ROUND) | set(_PIN_FRONT_THIS_ROUND) | set(never)
+    assert len(head) <= 50, (
+        f"verify head is {len(head)} > 50 slots: "
+        f"{len(_MODIFIED_THIS_ROUND)} modified + "
+        f"{len(_PIN_FRONT_THIS_ROUND)} pinned + {len(never)} never-verified"
+    )
+
+
 def test_oracles_subset_and_order_matches_queries():
     """ORACLES must cover only registered queries and preserve QUERIES'
     relative order (the driver zips them positionally when reporting)."""
