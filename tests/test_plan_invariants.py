@@ -44,6 +44,8 @@ UNPARTITIONED_WINDOW_OK = {
     "shard_by_token_budget": "prefix-offset window over the <=32-row "
     "per-range subtotal frame (plan pinned in "
     "test_shard_cumsum_avoids_global_window)",
+    "pipeline_ingest_end_to_end": "the same <=32-row prefix-offset window "
+    "(shared _global_token_cumsum builder, r13)",
     "qa_column_entropy": "category-share total over per-column category "
     "tables (grid-bounded: distinct langs/sources/event types)",
     "qa_preflight_report": "same category-share fold inside the panel",
@@ -53,6 +55,8 @@ UNPARTITIONED_WINDOW_OK = {
 #: with the bounded frame feeding it.
 SINGLE_PARTITION_OK = {
     "shard_by_token_budget": "the <=32-row per-range subtotal frame",
+    "pipeline_ingest_end_to_end": "the same <=32-row per-range subtotal "
+    "frame (shared _global_token_cumsum builder, r13)",
     "qa_column_entropy": "per-column category tables (grid-bounded: "
     "distinct langs/sources/event types)",
     "qa_preflight_report": "per-source entropy fold over the source grid",
