@@ -401,6 +401,13 @@ def decode_bmp(payload: bytes) -> dict:
     hdr_size, w, h, planes, bpp, comp = struct.unpack_from("<IiiHHI", buf, 14)
     if hdr_size < 40:
         raise ValueError(f"BITMAPCOREHEADER (size {hdr_size}) unsupported")
+    if offset < 14 + hdr_size:
+        # ADVICE r13: an offset pointing back into the header region would
+        # silently decode header bytes as pixels; reject like every other
+        # malformed-input case in this parser.
+        raise ValueError(
+            f"pixel-array offset {offset} overlaps headers (min {14 + hdr_size})"
+        )
     if bpp != 24 or comp != 0:
         raise ValueError(
             f"only uncompressed 24-bit BMP supported (bpp={bpp}, compression={comp})"

@@ -43,79 +43,84 @@ from . import catalog as _catalog
 # session-window oracle break shipped unverified precisely because a stale
 # green row pinned it behind the budget).  Reset this list each round.
 _MODIFIED_THIS_ROUND: list[str] = [
-    # r13: reset per the r12 verdict (#1).  Budget goes to the full
-    # 42-query r08-stale cohort pinned below plus the queries whose code
-    # actually changes this round (appended as the edits land):
-    "stream_dedup_admitted",     # r13: complement join now reads documents
-                                 # via the memoized io.table() helper
-                                 # (ADVICE r12 streaming_q.py:1543)
-    "mm_decode_ppm",             # r13: decode_ppm rejects a glued magic
-                                 # (whitespace-after-magic check, ADVICE
-                                 # r12 multimodal.py:101)
-    "qa_observed_metrics",       # r13: _observed_gate_plan name is now a
-                                 # required parameter (ADVICE r12
-                                 # curation_q.py:1324; plan unchanged)
-    "shard_by_token_budget",     # r13: two-phase cumsum factored into the
-                                 # shared _global_token_cumsum builder
-                                 # (same plan; pipeline_ingest_end_to_end
-                                 # reuses it)
+    # r14: reset per the r13 verdict (#1).  The WHOLE budget goes to the
+    # 49-query r09-stale cohort pinned below; plan edits are frozen at
+    # exactly one query this round and NO new operators land (deferred to
+    # r15 per VERDICT r13 #6):
+    "mm_decode_bmp",             # r14: decode_bmp rejects a pixel-array
+                                 # offset that overlaps the header region
+                                 # (ADVICE r13 multimodal.py:404; output
+                                 # unchanged on well-formed files)
 ]
 
 # Queries to verify THIS round ahead of the staleness rotation even though
-# their code is unchanged.  r13 (VERDICT r12 #1): the FULL 42-query cohort
-# whose last driver-green row is r08 — the histogram floor.  Pinning all of
-# them moves the floor to r09 in one round, exactly like r08 retired r03,
-# r09 retired r04, r10 retired r05, r11 retired r06 and r12 retired r07.
-# Budget: 42 pinned + 3 modified + never-verified new queries must stay
-# <= the 50-slot budget (new operators capped at 5 this round); the r09
-# back catalog rotates next round.  (Cohort recomputed from the artifacts
-# at round start with the same logic as _last_verified_round(): 42 names,
-# matching the r12 verdict's count.  The cohort contains no rows-only
-# queries, so VERDICT r12 #4's twin-pairing rule is vacuously satisfied —
-# its value twin lsh_simhash64_md5 IS in this cohort and gets a value slot.)
+# their code is unchanged.  r14 (VERDICT r13 #1): the FULL 49-query cohort
+# whose last driver-green row is r09 — the histogram floor.  Pinning all of
+# them moves the floor to r10 in one round, exactly like r08 retired r03,
+# r09 retired r04, r10 retired r05, r11 retired r06, r12 retired r07 and
+# r13 retired r08.  Budget: 49 pinned + 1 modified + 0 new = exactly the
+# 50-slot budget, fully consumed — which is WHY plan edits are frozen at
+# one query and no new operators land this round (ADVICE r13: state the
+# arithmetic and the headroom explicitly; headroom = 0).  The cohort was
+# recomputed from the CORRECTNESS_r*.json artifacts at round start with
+# the same logic as _last_verified_round(): 49 names, matching the r13
+# verdict's count.  One cohort member is rows-only
+# (lsh_minhash_candidates, Spark-specific xxhash64 signatures); VERDICT
+# r12 #4's twin-pairing rule would add its value twin
+# lsh_minhash_candidates_md5, but the twin carries an r12 value-green row
+# (two rounds fresh) and the budget has zero headroom — VERDICT r13 #1's
+# explicit "49 + 1 = 50 is the whole budget" arithmetic takes precedence;
+# the twin re-verifies when its r12 cohort rotates (~r17).
 _PIN_FRONT_THIS_ROUND: list[str] = [
-    "dedup_edit_distance",
-    "dedup_exact_normalized",
-    "dedup_group_size_dist",
-    "dedup_shared_spans",
-    "dedup_shared_spans_hashed",
-    "embed_class_centroid_margin",
-    "embed_standardize",
-    "ev_rolling_active_users",
-    "ev_time_weighted_avg",
-    "lsh_simhash64_md5",
-    "mm_featurize",
-    "mm_frame_sample",
-    "mm_metadata",
-    "mm_resize",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_excess_shippers",
-    "q21_suppliers_kept_waiting",
-    "q22_dormant_customers",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "qa_benford_first_digit",
-    "qa_completeness_by_day",
-    "retrieval_rrf_fusion",
-    "sample_kfold_assign",
-    "setop_union_by_name",
-    "sketch_cms_topk_bounds",
-    "stream_stream_join",
-    "stream_stream_left_join",
-    "stream_timeout_flush",
-    "stream_windowed_topk",
-    "text_bpe_char_pairs",
-    "text_entropy_chars",
-    "text_hapax_ratio",
-    "text_skipgram_cooccurrence",
-    "text_zipf_fit",
-    "window_cume_percent",
+    "approx_distinct_quantile",
+    "bm25_keyword_search",
+    "curation_quality_gate",
+    "decontam_eval_overlap",
+    "dedup_cluster_representatives",
+    "dedup_containment",
+    "dedup_incremental_shard",
+    "dedup_keep_list",
+    "dedup_minhash_estimate",
+    "dedup_ngram_jaccard",
+    "dedup_rate_by_source",
+    "doc_length_histogram",
+    "dq_constraint_report",
+    "embed_quantize_int8",
+    "ev_anomaly_zscore",
+    "ev_attribution_time_decay",
+    "ev_funnel_conversion",
+    "ev_retention_cohorts",
+    "ev_session_paths",
+    "ev_session_window",
+    "join_asof_tolerance",
+    "join_asof_two_table",
+    "join_inner",
+    "join_left_outer",
+    "join_salted_skew",
+    "kmeans_embed_clusters",
+    "lsh_minhash_candidates",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_volume_customers",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "retrieval_eval_ndcg",
+    "sample_shuffle_order",
+    "sample_stratified",
+    "sample_upsample_weighted",
+    "sketch_hll_shard_merge",
+    "source_vocab_overlap",
+    "stream_events_tumbling",
+    "stream_session_window",
+    "stream_sliding_window",
+    "text_chunk_split",
+    "text_hashed_bow",
+    "text_ngram_boilerplate",
+    "text_pii_scrub",
 ]
 
 

@@ -239,6 +239,13 @@ def test_bmp_round_trip_and_layout_normalization():
         decode_bmp(bytes(bad_bpp))
     with pytest.raises(ValueError):  # truncated raster
         decode_bmp(bytes(good[:-4]))
+    # ADVICE r13: an offset pointing back INTO the header region must be
+    # rejected, not silently decoded as pixels (pad the tail so the
+    # truncated-raster check can't mask the offset check)
+    bad_offset = bytearray(good) + bytes(64)
+    struct.pack_into("<I", bad_offset, 10, 40)  # < 14 + hdr_size(40) = 54
+    with pytest.raises(ValueError, match="overlaps headers"):
+        decode_bmp(bytes(bad_offset))
     with pytest.raises(ValueError):  # encode validates sample count
         encode_bmp(4, 3, bytes(35))
 
