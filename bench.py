@@ -1338,6 +1338,7 @@ def _window_ledger_update(
     capacity_margin=None,
     latency: dict | None = None,
     contended: bool | None = None,
+    queries: dict | None = None,
 ) -> list[dict]:
     """Append this run to BENCH_WINDOWS.jsonl and return the round's windows.
 
@@ -1373,6 +1374,15 @@ def _window_ledger_update(
     in the ledger but are EXCLUDED from every published median via
     ``quiet_pool``, with the exclusion count published, so one loaded
     window can never drag a round's medians even in a small pool.
+
+    r14 (VERDICT r13 #1/"what's wrong" #1): each window also records the
+    PER-QUERY suite times, the last headline series that was still
+    single-window — BENCH_r13's ``queries`` map was captured from the
+    driver's final (slow) window, so naive round-over-round per-query
+    diffs read as regressions when the suite medians differed only ~10%.
+    The published ``queries`` field is now the per-query MEDIAN across
+    the round's quiet windows, same policy as suite/words/capacity/
+    latency; this window's own times stay in BENCH_DETAIL.json.
     """
     import re as _re
 
@@ -1399,6 +1409,7 @@ def _window_ledger_update(
         "latency_p95_ms": lat.get("p95"),
         "latency_p99_ms": lat.get("p99"),
         "sf1_scaleup_ratio": sf1_ratios,
+        "queries": queries,
     }
     ledger = root / "BENCH_WINDOWS.jsonl"
     windows: list[dict] = []
@@ -1428,21 +1439,22 @@ def _window_ledger_update(
     return windows
 
 
-def quiet_pool(windows: list[dict]) -> tuple[list[dict], int]:
-    """Partition a round's windows into the median pool and the excluded
-    count (VERDICT r12 #5): windows whose ``contended`` flag is true (the
-    machine's 1-min load was still above the quiet threshold when the
-    bounded pre-run wait expired) are kept in the ledger for audit but
-    excluded from every published median.  If EVERY window was contended
-    the full pool is used — a fully-loaded round publishes its honest
-    numbers rather than none — and the exclusion count says so (0 in that
-    fallback, with ``all_contended`` left to the caller via pool size).
-    Rows written before the flag existed (no ``contended`` key / None)
-    count as quiet."""
+def quiet_pool(windows: list[dict]) -> tuple[list[dict], int, bool]:
+    """Partition a round's windows into the median pool, the excluded
+    count, and an all-contended flag (VERDICT r12 #5): windows whose
+    ``contended`` flag is true (the machine's 1-min load was still above
+    the quiet threshold when the bounded pre-run wait expired) are kept in
+    the ledger for audit but excluded from every published median.  If
+    EVERY window was contended the full pool is used — a fully-loaded
+    round publishes its honest numbers rather than none — and the THIRD
+    return value is True so the artifacts say so explicitly (ADVICE r13:
+    exclusion count 0 alone made an all-contended round indistinguishable
+    from an all-quiet one).  Rows written before the flag existed (no
+    ``contended`` key / None) count as quiet."""
     quiet = [w for w in windows if not w.get("contended")]
     if not quiet:
-        return windows, 0
-    return quiet, len(windows) - len(quiet)
+        return windows, 0, bool(windows)
+    return quiet, len(windows) - len(quiet), False
 
 
 def _median(vals: list) -> float | None:
@@ -1597,11 +1609,14 @@ def main() -> int:
         ),
         latency=streaming.get("latency_ms") or {},
         contended=machine.get("contended"),
+        queries=timings,
     )
     # Every published median pools QUIET windows only (VERDICT r12 #5):
     # contended rows stay in the ledger, the medians drop them, and the
-    # exclusion count is published beside n_windows.
-    pool, n_contended_excluded = quiet_pool(windows)
+    # exclusion count is published beside n_windows.  If the fallback
+    # fired (every window contended) the artifacts carry an explicit
+    # all_windows_contended flag (ADVICE r13).
+    pool, n_contended_excluded, all_contended = quiet_pool(windows)
     # Median-of-windows for the sf1 scale ratios too (VERDICT r10 #2):
     # SCALE.md adjudicates per-query 10x ratios off THIS median, never off
     # a single window.  Windows from runs where the sf1 leg was skipped
@@ -1642,6 +1657,21 @@ def main() -> int:
         streaming[f"latency_{pct}_ms_median"] = _median(
             [w.get(f"latency_{pct}_ms") for w in pool]
         )
+    # Median-of-windows for the PER-QUERY suite times too (VERDICT r13
+    # "what's wrong" #1): the published `queries` map is the per-query
+    # median across this round's quiet windows that carry the map (rows
+    # written before r14 don't and simply don't contribute); this run's
+    # own times stay in BENCH_DETAIL.json under queries_this_window.
+    query_windows = [
+        w["queries"] for w in pool if isinstance(w.get("queries"), dict)
+    ]
+    if query_windows:
+        qnames = sorted(set().union(*query_windows))
+        queries_median = {
+            n: _median([qw.get(n) for qw in query_windows]) for n in qnames
+        }
+    else:  # no window carries the map yet: this run's times, honestly tagged
+        queries_median = timings
     detail = {
         "metric": "headline_suite_seconds",
         "value": _median(suite_windows),
@@ -1650,7 +1680,10 @@ def main() -> int:
         "best_window_seconds": min(v for v in suite_windows if v is not None),
         "n_windows": len(windows),
         "n_windows_contended_excluded": n_contended_excluded,
-        "queries": timings,
+        **({"all_windows_contended": True} if all_contended else {}),
+        "queries": queries_median,
+        "queries_this_window": timings,
+        "n_query_windows": len(query_windows),
         "suite_passes": suite_passes,
         "machine": machine,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -1673,9 +1706,11 @@ def compact_line(detail: dict) -> dict:
     """Reduce the full bench dict to a driver-parseable line (≤ ~1.5 KB).
 
     Keeps: headline metric + per-query seconds (the BASELINE.md comparison
-    surface), the streaming summary (throughput best/median, latency
-    percentiles + degenerate flag, recovery), and load context. Everything
-    else (sf1 probe, batch progress, attempt lists, suite passes) lives in
+    surface — medians across the round's quiet windows as of r14, pool
+    size published as n_query_windows), the streaming summary (throughput
+    best/median, latency percentiles + degenerate flag, recovery), and
+    load context. Everything else (sf1 probe, batch progress, attempt
+    lists, suite passes, this window's own per-query times) lives in
     BENCH_DETAIL.json.
     """
     s = detail.get("streaming", {})
@@ -1716,7 +1751,20 @@ def compact_line(detail: dict) -> dict:
             if detail.get("n_windows_contended_excluded")
             else {}
         ),
+        **(
+            {"all_windows_contended": True}
+            if detail.get("all_windows_contended")
+            else {}
+        ),
+        # per-query MEDIANS across the round's quiet windows (r14); the
+        # pool size behind them rides along so a 1-window round is
+        # readable as such
         "queries": detail["queries"],
+        **(
+            {"n_query_windows": detail["n_query_windows"]}
+            if detail.get("n_query_windows")
+            else {}
+        ),
         "sf": detail["sf"],
         "streaming": {
             "words_per_sec_best": s.get("words_per_sec_best"),

@@ -433,18 +433,63 @@ def test_quiet_pool_excludes_contended_windows(tmp_path):
     _window_ledger_update(18.0, 4e6, 0.4, root=tmp_path, contended=False)
     _window_ledger_update(29.3, 4e6, 1.96, root=tmp_path, contended=True)
     w = _window_ledger_update(20.0, 4e6, 0.5, root=tmp_path, contended=False)
-    pool, n_excluded = quiet_pool(w)
-    assert n_excluded == 1
+    pool, n_excluded, all_contended = quiet_pool(w)
+    assert n_excluded == 1 and not all_contended
     assert [x["suite_seconds"] for x in pool] == [18.0, 20.0]
     assert _median([x["suite_seconds"] for x in pool]) == 19.0
     # pre-r13 rows carry no flag and count as quiet
     legacy = [{"suite_seconds": 20.0}, {"suite_seconds": 21.0}]
-    pool, n_excluded = quiet_pool(legacy)
-    assert len(pool) == 2 and n_excluded == 0
-    # all-contended fallback: publish the honest loaded numbers, excl. 0
+    pool, n_excluded, all_contended = quiet_pool(legacy)
+    assert len(pool) == 2 and n_excluded == 0 and not all_contended
+    # all-contended fallback: publish the honest loaded numbers, with an
+    # EXPLICIT flag — exclusion count 0 alone is ambiguous (ADVICE r13)
     loaded = [{"contended": True, "suite_seconds": 30.0}]
-    pool, n_excluded = quiet_pool(loaded)
-    assert pool == loaded and n_excluded == 0
+    pool, n_excluded, all_contended = quiet_pool(loaded)
+    assert pool == loaded and n_excluded == 0 and all_contended
+    # empty pool is not "all contended"
+    assert quiet_pool([]) == ([], 0, False)
+
+
+def test_window_ledger_carries_per_query_times(tmp_path):
+    """VERDICT r13 'what's wrong' #1: per-query suite times were the last
+    headline series still published from a single window — every ledger
+    row now records the per-query map, the published `queries` field is
+    the per-query MEDIAN across quiet windows, pre-r14 rows (no queries
+    key) don't contribute, and a query missing from one window's map
+    doesn't drag the others."""
+    from bench import _median, _window_ledger_update
+
+    (tmp_path / "BENCH_r13.json").write_text("{}")
+    _window_ledger_update(20.0, 4e6, 0.5, root=tmp_path)  # pre-r14 row
+    _window_ledger_update(
+        21.0, 4e6, 0.5, root=tmp_path, queries={"q1": 1.0, "q2": 4.0}
+    )
+    w = _window_ledger_update(
+        22.0, 4e6, 0.5, root=tmp_path, queries={"q1": 3.0}
+    )
+    assert [x.get("queries") for x in w] == [
+        None,
+        {"q1": 1.0, "q2": 4.0},
+        {"q1": 3.0},
+    ]
+    query_windows = [x["queries"] for x in w if isinstance(x.get("queries"), dict)]
+    assert len(query_windows) == 2
+    names = sorted(set().union(*query_windows))
+    medians = {n: _median([qw.get(n) for qw in query_windows]) for n in names}
+    assert medians == {"q1": 2.0, "q2": 4.0}
+
+
+def test_compact_line_carries_per_query_pool_size():
+    """The compact line's `queries` map is medians-of-windows as of r14;
+    n_query_windows rides along so a single-window round is readable as
+    such, and the all-contended fallback is explicit (ADVICE r13)."""
+    d = _detail_fixture()
+    d["n_query_windows"] = 3
+    c = compact_line(d)
+    assert c["n_query_windows"] == 3
+    assert "all_windows_contended" not in c
+    d["all_windows_contended"] = True
+    assert compact_line(d)["all_windows_contended"] is True
 
 
 def test_compact_line_carries_latency_medians_and_exclusions():
