@@ -246,6 +246,14 @@ def test_bmp_round_trip_and_layout_normalization():
     struct.pack_into("<I", bad_offset, 10, 40)  # < 14 + hdr_size(40) = 54
     with pytest.raises(ValueError, match="overlaps headers"):
         decode_bmp(bytes(bad_offset))
+    # ...while a LEGAL gap (offset past the headers, spec-allowed) still
+    # decodes: shift the raster 16 bytes right and declare offset 70
+    raster = ((np.arange(4 * 3 * 3) * 13 + 5) % 256).astype(np.uint8)
+    with_gap = bytearray(encode_bmp(4, 3, raster.tobytes()))
+    with_gap = with_gap[:54] + bytes(16) + with_gap[54:]
+    struct.pack_into("<I", with_gap, 10, 70)
+    img = decode_bmp(bytes(with_gap))
+    assert img["samples"].tobytes() == raster.tobytes()
     with pytest.raises(ValueError):  # encode validates sample count
         encode_bmp(4, 3, bytes(35))
 
