@@ -43,84 +43,85 @@ from . import catalog as _catalog
 # session-window oracle break shipped unverified precisely because a stale
 # green row pinned it behind the budget).  Reset this list each round.
 _MODIFIED_THIS_ROUND: list[str] = [
-    # r14: reset per the r13 verdict (#1).  The WHOLE budget goes to the
-    # 49-query r09-stale cohort pinned below; plan edits are frozen at
-    # exactly one query this round and NO new operators land (deferred to
-    # r15 per VERDICT r13 #6):
-    "mm_decode_bmp",             # r14: decode_bmp rejects a pixel-array
-                                 # offset that overlaps the header region
-                                 # (ADVICE r13 multimodal.py:404; output
-                                 # unchanged on well-formed files)
+    # r15: reset per the r14 verdict (#1).  Plan edits are frozen at ZERO
+    # existing queries this round: the 50-slot budget is exactly consumed
+    # by the 48-query r10-stale cohort pinned below plus the TWO new
+    # operators (text_pii_redaction_report, dedup_digest_registry — the
+    # SCALE.md r14 queue), which take the never-verified bucket right
+    # after the pinned head.  48 pinned + 0 modified + 2 never-verified
+    # = 50; headroom = 0.  Any urgent fix would displace one new operator
+    # — none was needed.
 ]
 
 # Queries to verify THIS round ahead of the staleness rotation even though
-# their code is unchanged.  r14 (VERDICT r13 #1): the FULL 49-query cohort
-# whose last driver-green row is r09 — the histogram floor.  Pinning all of
-# them moves the floor to r10 in one round, exactly like r08 retired r03,
-# r09 retired r04, r10 retired r05, r11 retired r06, r12 retired r07 and
-# r13 retired r08.  Budget: 49 pinned + 1 modified + 0 new = exactly the
-# 50-slot budget, fully consumed — which is WHY plan edits are frozen at
-# one query and no new operators land this round (ADVICE r13: state the
-# arithmetic and the headroom explicitly; headroom = 0).  The cohort was
-# recomputed from the CORRECTNESS_r*.json artifacts at round start with
-# the same logic as _last_verified_round(): 49 names, matching the r13
-# verdict's count.  One cohort member is rows-only
-# (lsh_minhash_candidates, Spark-specific xxhash64 signatures); VERDICT
-# r12 #4's twin-pairing rule would add its value twin
-# lsh_minhash_candidates_md5, but the twin carries an r12 value-green row
-# (two rounds fresh) and the budget has zero headroom — VERDICT r13 #1's
-# explicit "49 + 1 = 50 is the whole budget" arithmetic takes precedence;
-# the twin re-verifies when its r12 cohort rotates (~r17).
+# their code is unchanged.  r15 (VERDICT r14 #1): the FULL 48-query cohort
+# whose last driver-green row is r10 — the histogram floor.  Pinning all of
+# them moves the floor to r11 in one round, exactly like r08 retired r03,
+# r09 retired r04, r10 retired r05, r11 retired r06, r12 retired r07,
+# r13 retired r08 and r14 retired r09.  Budget: 48 pinned + 0 modified +
+# 2 new never-verified = exactly the 50-slot budget, fully consumed
+# (headroom = 0 after the two SCALE.md-queued operators land).  The
+# cohort was recomputed from the CORRECTNESS_r*.json artifacts at round
+# start with the same logic as _last_verified_round(): 48 names, matching
+# the r14 verdict's list name-for-name.  Done = 50/50 in
+# CORRECTNESS_r15; histogram {r11:48, r12:46, r13:49, r14:50, r15:50}
+# = 243 declared queries.
+#
+# STANDING NOTE for ~r17 (VERDICT r14 #6, survives context loss): when
+# the r12 cohort (46 names) rotates, pin BOTH `lsh_minhash_candidates_md5`
+# (value twin, r12-green) and its rows-only production twin
+# `lsh_minhash_candidates` in the SAME head, so the value check and the
+# rows-only check land in one artifact (VERDICT r12 #4 pairing rule; the
+# r14 round split them because the budget had zero headroom).
 _PIN_FRONT_THIS_ROUND: list[str] = [
-    "approx_distinct_quantile",
-    "bm25_keyword_search",
-    "curation_quality_gate",
-    "decontam_eval_overlap",
-    "dedup_cluster_representatives",
-    "dedup_containment",
-    "dedup_incremental_shard",
-    "dedup_keep_list",
-    "dedup_minhash_estimate",
-    "dedup_ngram_jaccard",
-    "dedup_rate_by_source",
-    "doc_length_histogram",
-    "dq_constraint_report",
-    "embed_quantize_int8",
-    "ev_anomaly_zscore",
-    "ev_attribution_time_decay",
-    "ev_funnel_conversion",
-    "ev_retention_cohorts",
-    "ev_session_paths",
-    "ev_session_window",
-    "join_asof_tolerance",
-    "join_asof_two_table",
-    "join_inner",
-    "join_left_outer",
-    "join_salted_skew",
-    "kmeans_embed_clusters",
-    "lsh_minhash_candidates",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q18_large_volume_customers",
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "retrieval_eval_ndcg",
-    "sample_shuffle_order",
-    "sample_stratified",
-    "sample_upsample_weighted",
-    "sketch_hll_shard_merge",
-    "source_vocab_overlap",
-    "stream_events_tumbling",
-    "stream_session_window",
-    "stream_sliding_window",
-    "text_chunk_split",
-    "text_hashed_bow",
-    "text_ngram_boilerplate",
-    "text_pii_scrub",
+    "agg_basic_stats",
+    "agg_collect_sorted",
+    "agg_corr_covar",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_filtered",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_quantile_disc",
+    "agg_rollup",
+    "agg_salted_two_phase",
+    "distinct_on_subset",
+    "distinct_pairs",
+    "embed_hard_negatives",
+    "ev_session_dynamic_gap",
+    "feat_target_encode",
+    "join_anti",
+    "join_cross",
+    "join_full_outer",
+    "join_range",
+    "join_right_outer",
+    "join_semi",
+    "join_theta",
+    "merge_upsert",
+    "qa_k_anonymity",
+    "setop_except",
+    "setop_except_all",
+    "setop_intersect",
+    "setop_union_all",
+    "setop_union_distinct",
+    "sort_multi_key",
+    "sql_q12_priority_lines",
+    "stream_dedup_keys",
+    "stream_session_dynamic_gap",
+    "stream_static_join",
+    "stream_timeout_flush_tws",
+    "stream_wordcount_file",
+    "stream_wordcount_stateful",
+    "text_char_lm_score",
+    "topk_global",
+    "ts_profile_similarity",
+    "udf_grouped_map",
+    "window_first_last",
+    "window_lag_lead",
+    "window_range_frame",
+    "window_rank_dense_ntile",
+    "window_running_sum",
+    "window_topk_per_group",
 ]
 
 

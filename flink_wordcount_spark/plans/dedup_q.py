@@ -864,3 +864,116 @@ def dedup_group_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rep_id_sum",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r15: cross-snapshot exact-dedup digest registry (SCALE.md r14 queue item b).
+# The fixture corpus has zero exact duplicates (500/500 distinct texts), so a
+# raw sha256 registry would mark everything 'novel' and never exercise the
+# dup branches.  Both sides therefore canonicalize through the same
+# deterministic template override — the boilerplate/mirror pages every crawl
+# contains — before digesting: doc_id % 11 == 3 docs collapse to one of 4
+# cross-batch templates (registry hits), doc_id % 55 == 24 docs (all in the
+# new batch, since 24 % 5 == 4) collapse to one of 2 batch-only templates
+# (within-batch dups).  Shared verbatim with the oracle.
+# ---------------------------------------------------------------------------
+
+_REG_CANON_SQL = (
+    "CASE WHEN doc_id % 11 = 3 THEN 'boilerplate page rev ' || (doc_id % 4) "
+    "WHEN doc_id % 55 = 24 THEN 'campaign launch page v' || (doc_id % 2) "
+    "ELSE text END"
+)
+
+
+@query(
+    "dedup_digest_registry",
+    oracle=f"""
+    WITH canon AS (
+        SELECT doc_id, n_chars, sha256({_REG_CANON_SQL}) AS digest
+        FROM documents
+    ), nw AS (
+        SELECT * FROM canon WHERE doc_id % {_NEW_SHARD_MOD} = {_NEW_SHARD_RES}
+    ), reg AS (
+        SELECT DISTINCT digest FROM canon
+        WHERE doc_id % {_NEW_SHARD_MOD} <> {_NEW_SHARD_RES}
+          AND digest IS NOT NULL
+    ), rn AS (
+        SELECT nw.doc_id, nw.n_chars, nw.digest,
+               row_number() OVER (PARTITION BY nw.digest ORDER BY nw.doc_id)
+                   AS rn,
+               reg.digest IS NOT NULL AS in_registry
+        FROM nw LEFT JOIN reg ON nw.digest = reg.digest
+    )
+    SELECT doc_id, substring(digest, 1, 16) AS digest16,
+           CASE WHEN digest IS NULL THEN 'no_text'
+                WHEN in_registry THEN 'registry_dup'
+                WHEN rn > 1 THEN 'batch_dup'
+                ELSE 'novel' END AS verdict,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM rn
+    """,
+)
+def dedup_digest_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot exact-dedup against a persisted digest registry — the
+    cheap FIRST gate every refreshed training set runs before near-dup
+    (complements `dedup_incremental_shard`'s shingle probe).  Each new-batch
+    doc is classified: 'registry_dup' (sha256 already in a prior snapshot),
+    'batch_dup' (repeat within the arriving batch; first occurrence by
+    doc_id wins and stays 'novel'), 'novel', or 'no_text' (NULL text guard).
+
+    100 TB design: the registry is digests only — 32 bytes/doc, persisted
+    bucketed by digest — so the probe is a digest-keyed shuffle (or
+    bucket-colocated) LEFT JOIN, never a broadcast (the registry is
+    corpus-sized) and never touches prior snapshots' text.  The
+    within-batch check is a window partitioned by digest: partitions are
+    duplicate-groups (tiny by construction), so no skew.  The batch split
+    here is the same deterministic doc_id modulus `dedup_incremental_shard`
+    uses as its ingest-time stand-in.
+    """
+    d = table(spark, sf_dir, "documents")
+    canon = (
+        F.when(
+            (F.col("doc_id") % 11) == 3,
+            F.concat(
+                F.lit("boilerplate page rev "),
+                (F.col("doc_id") % 4).cast("string"),
+            ),
+        )
+        .when(
+            (F.col("doc_id") % 55) == 24,
+            F.concat(
+                F.lit("campaign launch page v"),
+                (F.col("doc_id") % 2).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    digested = d.select("doc_id", "n_chars", F.sha2(canon, 256).alias("digest"))
+    is_new = (F.col("doc_id") % _NEW_SHARD_MOD) == _NEW_SHARD_RES
+    new_batch = digested.filter(is_new)
+    registry = (
+        digested.filter(~is_new)
+        .filter(F.col("digest").isNotNull())
+        .select("digest")
+        .distinct()
+        .withColumn("in_registry", F.lit(True))
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("digest").orderBy("doc_id")
+    )
+    return (
+        new_batch.join(registry, "digest", "left")
+        .withColumn("rn", rn)
+        .select(
+            "doc_id",
+            F.substring("digest", 1, 16).alias("digest16"),
+            F.when(F.col("digest").isNull(), "no_text")
+            .when(F.col("in_registry"), "registry_dup")
+            .when(F.col("rn") > 1, "batch_dup")
+            .otherwise("novel")
+            .alias("verdict"),
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )

@@ -1262,3 +1262,116 @@ def text_hashed_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("dim", key).alias("top_dim"),
         F.max_by("tf", key).alias("top_tf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r15: per-source PII redaction-rate report (SCALE.md r14 queue item a).
+# `text_pii_scrub` above affixes every PII class to every doc (so the scrub
+# path is exercised on each row); the REPORT needs class rates that VARY, so
+# each class's fixture suffix is gated on a deterministic doc_id condition
+# shared verbatim with the oracle (same trick, conditional form).
+# ---------------------------------------------------------------------------
+
+_PII_RATE_SUFFIX_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id ||"
+    " '@example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 5 < 2 THEN ' from 10.0.' || (doc_id % 256) ||"
+    " '.7' ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 1 THEN ' call 555-01' ||"
+    " lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ELSE '' END"
+)
+
+
+@query(
+    "text_pii_redaction_report",
+    oracle=f"""
+    WITH w AS (
+        SELECT source, {_PII_RATE_SUFFIX_SQL} AS t FROM documents
+    ), counts AS (
+        SELECT source,
+               CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS BIGINT) AS n_ips,
+               CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phones
+        FROM w
+    ), u AS (
+        SELECT source, 'email' AS pii_class, n_emails AS n_hits FROM counts
+        UNION ALL SELECT source, 'ip', n_ips FROM counts
+        UNION ALL SELECT source, 'phone', n_phones FROM counts
+    )
+    SELECT source, pii_class,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(sum(n_hits) AS BIGINT) AS n_hits,
+           CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_affected,
+           CAST((sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) * 10000)
+               // count(*) AS BIGINT) AS redaction_rate_bp,
+           CAST(grouping(source) * 2 + grouping(pii_class) AS BIGINT) AS gid
+    FROM u GROUP BY ROLLUP (source, pii_class)
+    """,
+)
+def text_pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source x per-class redaction-rate ROLLUP — the governance report a
+    corpus run publishes alongside the scrubbed shards ("what fraction of
+    src7 documents carried an email?").  Built on `text_pii_scrub`'s per-doc
+    counts: one JVM-side regexp_count scan, stack() to (class, hits) rows
+    (map-side 3x expansion, no shuffle), then a single rollup aggregate —
+    at 100 TB this is one scan + one partial-agg exchange keyed on
+    (source, pii_class), cardinality ~sources x 3, so the shuffle carries
+    kilobytes regardless of corpus size.  Rates are published in integer
+    basis points (DIV — exact on both engines, no float rounding hazard).
+    n_obs counts (doc, class) observations, so at rollup levels it is
+    docs x classes-covered, and redaction_rate_bp at those levels is the
+    mean rate across the classes rolled up.  Value-checked against a DuckDB
+    ROLLUP running the identical gated suffix + regex constants."""
+    d = table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            (F.col("doc_id") % 3) == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            (F.col("doc_id") % 5) < 2,
+            F.concat(
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            (F.col("doc_id") % 7) == 1,
+            F.concat(
+                F.lit(" call 555-01"),
+                F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    per_doc = d.select(
+        "source",
+        F.regexp_count(t, F.lit(_PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t, F.lit(_PII_IPV4)).cast("bigint").alias("n_ips"),
+        F.regexp_count(t, F.lit(_PII_PHONE)).cast("bigint").alias("n_phones"),
+    )
+    u = per_doc.select(
+        "source",
+        F.expr(
+            "stack(3, 'email', n_emails, 'ip', n_ips, 'phone', n_phones)"
+            " AS (pii_class, n_hits)"
+        ),
+    )
+    affected = F.sum(F.when(F.col("n_hits") > 0, 1).otherwise(0))
+    return u.rollup("source", "pii_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.sum("n_hits").cast("bigint").alias("n_hits"),
+        affected.cast("bigint").alias("n_docs_affected"),
+        F.expr(
+            "CAST((sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) * 10000)"
+            " DIV count(1) AS BIGINT)"
+        ).alias("redaction_rate_bp"),
+        F.grouping_id().cast("bigint").alias("gid"),
+    )

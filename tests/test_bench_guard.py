@@ -560,3 +560,90 @@ def test_adaptive_warmup_caps_total_runs():
 
     feed = iter([1, 10, 100, 1000, 10000])
     assert adaptive_warmup_rates(lambda: next(feed)) == [1, 10, 100]
+
+
+# --- r15: controlled-warm sf1 ratio series + always-on n_query_windows ----
+# (VERDICT r14 #3 / ADVICE r14)
+
+def test_compact_line_always_emits_n_query_windows():
+    """ADVICE r14: n_query_windows == 0 must be EMITTED, not omitted — it is
+    the only marker that the `queries` map is a single non-pooled (possibly
+    contended) window's raw timings rather than a pooled median."""
+    d = _detail_fixture()
+    d["n_query_windows"] = 0
+    assert compact_line(d)["n_query_windows"] == 0
+    d["n_query_windows"] = 13
+    assert compact_line(d)["n_query_windows"] == 13
+    assert compact_line(_detail_fixture())["n_query_windows"] == 0
+
+
+def _warm_sf1_fixture():
+    names = [
+        "dedup_shared_spans_hashed",
+        "q3_shipping_priority",
+        "ev_rolling_active_users",
+        "dedup_minhash_verified",
+        "curation_end_to_end",
+    ]
+    return {
+        "warm_ratio": {n: 2.1 for n in names},
+        "warm_ratio_median_windows": {n: 2.22 for n in names},
+        "n_warm_ratio_windows": 3,
+        "scaleup_ratio_median_windows": {n: 3.0 for n in names},
+        "controlled_warm": {
+            n: {"sf01_min3_sec": 1.5, "sf1_min3_sec": 3.3, "ratio": 2.2}
+            for n in names
+        },
+    }
+
+
+def test_compact_line_carries_both_sf1_series():
+    """VERDICT r14 #3: BENCH_r15 (the driver-parsed stdout line) must carry
+    the controlled-warm ratio medians as the headline scale-up series AND
+    the window-sampled medians for the same queries as context."""
+    d = _detail_fixture()
+    d["sf1"] = _warm_sf1_fixture()
+    c = compact_line(d)
+    assert c["sf1_warm_ratio_median"]["dedup_shared_spans_hashed"] == 2.22
+    assert c["n_sf1_warm_windows"] == 3
+    assert c["sf1_window_ratio_median_context"]["dedup_shared_spans_hashed"] == 3.0
+    # still within the driver's tail-capture budget with every field present
+    assert len(json.dumps(c)) <= 1_500
+
+
+def test_compact_line_warm_falls_back_to_this_window():
+    """First window of a round: no pooled medians yet — the line quotes this
+    window's own warm ratios rather than nothing."""
+    d = _detail_fixture()
+    d["sf1"] = {"warm_ratio": {"curation_end_to_end": 1.9}}
+    c = compact_line(d)
+    assert c["sf1_warm_ratio_median"] == {"curation_end_to_end": 1.9}
+    assert c["n_sf1_warm_windows"] == 0
+    # sf1 leg skipped entirely -> no warm keys at all
+    c2 = compact_line(_detail_fixture())
+    assert "sf1_warm_ratio_median" not in c2
+
+
+def test_window_ledger_carries_warm_ratio(tmp_path):
+    """The warm series must be ledgered per window (same policy as every
+    headline) so its round median is recomputable from BENCH_WINDOWS.jsonl."""
+    from bench import _window_ledger_update
+
+    w = _window_ledger_update(
+        20.0,
+        4_000_000,
+        0.5,
+        root=tmp_path,
+        sf1_warm_ratios={"dedup_shared_spans_hashed": 2.2},
+    )
+    assert w[-1]["sf1_warm_ratio"] == {"dedup_shared_spans_hashed": 2.2}
+
+
+def test_sf1_warm_queries_are_registered():
+    from bench import SF1_WARM_QUERIES, SF1_QUERIES
+    from flink_wordcount_spark.plans import QUERIES
+
+    assert set(SF1_WARM_QUERIES) <= set(QUERIES)
+    # the warm set measures scale-up, so every member must also be in the
+    # single-shot probe (the context series)
+    assert set(SF1_WARM_QUERIES) <= set(SF1_QUERIES)
