@@ -293,6 +293,14 @@ def minhash_verified_pairs(
     re-shingles only the semi-joined candidate member docs; verified pairs
     are intersected with the candidate set to keep LSH semantics honest.
     Returns (id_a, id_b, n_shared, jaccard) with jaccard >= threshold.
+
+    The candidate pair list is deliberately NOT persisted even though three
+    plan branches consume it (candidate-member id extraction, the verify
+    semi-join's build side, the final candidate-intersection semi-join):
+    the duplicated plan segments are cheap map-side work feeding exchanges
+    that AQE's runtime stage reuse already shares, so a cache only adds a
+    job barrier + block-write cost (r15 interleaved A/B at sf0.1: persist
+    2.5-7.2 s vs no-persist 1.8-2.1 s per run).
     """
     from ..hints import maybe_broadcast
 
@@ -350,9 +358,15 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
             reps.join(nbr_best, "doc_id", "left")
             .select(
                 "doc_id",
+                F.col("rep_id").alias("old_rep"),
                 F.least("rep_id", F.coalesce("nbr_rep", "rep_id")).alias("rep_id"),
             )
         )
+        # convergence witness rides along as an 8-byte column instead of a
+        # post-hoc join of the new assignment against the old one (r15: the
+        # old join added two shuffles + a second action's worth of work per
+        # round); min-propagation only ever lowers rep_id, so
+        # rep_id != old_rep on any row iff the round changed something
         jumped = (
             propagated.alias("x")
             .join(
@@ -363,17 +377,14 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
                 "left",
             )
             .select(
-                "doc_id", F.least("rep_id", F.coalesce("rep2", "rep_id")).alias("rep_id")
+                "doc_id",
+                "old_rep",
+                F.least("rep_id", F.coalesce("rep2", "rep_id")).alias("rep_id"),
             )
             .localCheckpoint()
         )
-        changed = (
-            jumped.withColumnRenamed("rep_id", "new_rep")
-            .join(reps, "doc_id")
-            .filter(F.col("new_rep") != F.col("rep_id"))
-            .count()
-        )
-        reps = jumped
+        changed = jumped.filter(F.col("rep_id") != F.col("old_rep")).count()
+        reps = jumped.select("doc_id", "rep_id")
         if changed == 0:
             break
     return reps

@@ -353,24 +353,44 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     assumption is gated explicitly by
     tests/test_lsh_recall.py::test_minhash_lsh_recall_covers_exact_pairs —
     a fixture vintage with a recall miss fails that named test, not this
-    funnel's hash check."""
+    funnel's hash check.
+
+    PLAN SHAPE (r15 restructure; same rows): the six per-stage aggregates
+    used to be six union branches, each re-running its whole upstream
+    chain — the sha2 dedup subtree alone was planned (and executed) five
+    times.  Stage membership is now computed ONCE as boolean flags on a
+    narrow per-doc frame (doc_id + the filter columns): the cached exact-
+    dedup keep list, the near-dup drop list and the contaminated id list
+    join in as markers, and one conditional aggregate + ``stack`` emits
+    the six rows.  Result: one corpus pass + three id-list joins where
+    there were six branch re-executions.  The former drop_ids /
+    contaminated persists are gone — each list is consumed exactly once
+    now, and the remaining multi-consumer subtrees (keep1, the LSH
+    candidate list) are shared by AQE runtime stage reuse, which an
+    interleaved A/B measured faster than explicit caches."""
     from ..operators.dedup import (
         connected_components,
         minhash_verified_pairs,
-        shingles,
+        shingle_hashes,
     )
 
     d = table(spark, sf_dir, "documents")
 
-    # stage 2: exact dedup — keyed on the sha2 digest so the shuffle carries
-    # 32 bytes/row instead of document bodies (dedup_exact_hash's 100 TB
-    # shape; the oracle groups by text, identical modulo a 2^-128 collision)
+    # stage 2 input for the near-dup chain: exact dedup keyed on the sha2
+    # digest so the shuffle carries 32 bytes/row instead of document bodies
+    # (dedup_exact_hash's 100 TB shape; the oracle groups by text, identical
+    # modulo a 2^-128 collision).  The survivor id list is consumed by three
+    # plan branches (the signature and verify-candidate subtrees inside
+    # minhash_verified_pairs, plus the k1 flag join below) but deliberately
+    # NOT persisted: AQE's runtime stage reuse shares the aggregate's
+    # exchange across the branches, and an explicit cache measured slower
+    # (same finding as minhash_verified_pairs' candidate list — r15 A/B).
     keep1 = (
         d.groupBy(F.sha2("text", 256))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    s1 = d.join(keep1, "doc_id", "leftsemi")
+    s1 = d.join(maybe_broadcast(keep1), "doc_id", "leftsemi")
 
     # stage 3: MinHash-LSH candidates -> exact verify -> components -> drop
     # non-representatives — the SAME operator dedup_minhash_verified runs
@@ -381,65 +401,81 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         s1, "text", "doc_id", n=_SHINGLE_N, threshold=0.8, max_bucket_size=1024
     ).select("id_a", "id_b")
     drop = connected_components(pairs).filter(F.col("rep_id") != F.col("doc_id"))
-    # size-gated: the drop list is O(dup_rate x corpus) ids — tiny at fixture
-    # scale (AQE still converts to broadcast at runtime), corpus-scaling at
-    # 100 TB, where an unconditional broadcast is a driver OOM.
-    # persist: four stage branches consume this id list; without the cache
-    # each recomputes the whole LSH+verify+components chain (A/B at sf0.1:
-    # ~10% off the full funnel, identical output).  LIFETIME (ADVICE r07):
-    # the query returns a plan, so there is no scope to unpersist in — the
-    # cache lives until clearCache()/LRU; harnesses that run many queries in
-    # one session (driver_sim, pytest plan-shape sweeps) clearCache between
-    # queries, which also unfreezes the broadcast decision the cached
-    # relation pinned at first build.
-    drop_ids = drop.select("doc_id").persist()
-    s2 = s1.join(maybe_broadcast(drop_ids), "doc_id", "leftanti")
+    drop_ids = drop.select("doc_id")
 
     # stage 4: eval decontam — drop the eval split itself and any training doc
     # sharing a distinct 4-gram with it (eval grams from the FULL corpus: the
-    # held-out set is fixed, not subject to upstream dedup)
-    gr4 = shingles(d, "text", "doc_id", n=_E2E_DECON_N)
+    # held-out set is fixed, not subject to upstream dedup).  r15: grams are
+    # xxhash64'd 16-byte keys (the dedup family's accepted-collision-odds
+    # convention) and the per-doc gram distinct is skipped — semi-join
+    # membership is duplicate-invariant, so the only distincts left are the
+    # small eval-gram set and the contaminated id list.
+    gr4 = shingle_hashes(d, "text", "doc_id", n=_E2E_DECON_N, dedup=False)
     is_eval = (F.col("id") % _E2E_EVAL_MOD) == _E2E_EVAL_RES
-    ev_grams = gr4.filter(is_eval).select("shingle").distinct()
+    ev_grams = gr4.filter(is_eval).select("h").distinct()
     # both sides below scale with the corpus (eval grams with the eval split,
     # the contaminated id set with the training split) — size-gated hints only
     contaminated = (
         gr4.filter(~is_eval)
-        .join(maybe_broadcast(ev_grams), "shingle", "leftsemi")
+        .join(maybe_broadcast(ev_grams), "h", "leftsemi")
         .select(F.col("id").alias("doc_id"))
         .distinct()
-        .persist()  # three stage branches consume this id list (see above)
-    )
-    s3 = s2.filter(
-        (F.col("doc_id") % _E2E_EVAL_MOD) != _E2E_EVAL_RES
-    ).join(maybe_broadcast(contaminated), "doc_id", "leftanti")
-
-    # stage 5: quality gate (map-side; in production the threshold column is
-    # a model score — same shape)
-    s4 = s3.filter(
-        (F.col("n_chars") >= _E2E_MIN_CHARS) & F.col("lang").isin(*_E2E_LANGS)
     )
 
-    # stage 6: deterministic per-source mixture sampling (sample_stratified's
-    # multiplicative hash — reproducible under retries/speculation)
-    s5 = s4.filter(
+    # per-doc stage-survival flags on a NARROW frame (no text): k1 marks the
+    # exact-dedup keep set via the cached keep1 id list — no second sha2
+    # pass over the corpus
+    flags = (
+        d.select("doc_id", "n_chars", "lang", "source")
+        .join(
+            maybe_broadcast(keep1.withColumn("kept", F.lit(True))),
+            "doc_id",
+            "left",
+        )
+        .join(
+            maybe_broadcast(drop_ids.withColumn("dropped", F.lit(True))),
+            "doc_id",
+            "left",
+        )
+        .join(
+            maybe_broadcast(contaminated.withColumn("contam", F.lit(True))),
+            "doc_id",
+            "left",
+        )
+    )
+    k1 = F.col("kept").isNotNull()
+    k2 = k1 & F.col("dropped").isNull()
+    k3 = (
+        k2
+        & ((F.col("doc_id") % _E2E_EVAL_MOD) != _E2E_EVAL_RES)
+        & F.col("contam").isNull()
+    )
+    k4 = k3 & (F.col("n_chars") >= _E2E_MIN_CHARS) & F.col("lang").isin(*_E2E_LANGS)
+    k5 = k4 & (
         ((F.col("doc_id") % _HASH_P) * F.lit(_HASH_K)) % 1000 < F.expr(_PERMILLE_SQL)
     )
 
-    def st(name: str, frame: DataFrame) -> DataFrame:
-        return frame.agg(
-            F.lit(name).alias("stage"),
-            F.count(F.lit(1)).alias("n_docs"),
-            F.coalesce(F.sum("doc_id"), F.lit(0)).cast("bigint").alias("id_checksum"),
+    stages = [
+        ("1_input", F.lit(True)),
+        ("2_exact_dedup", k1),
+        ("3_near_dedup", k2),
+        ("4_decontam", k3),
+        ("5_quality", k4),
+        ("6_mixture", k5),
+    ]
+    aggs = []
+    for i, (_, flag) in enumerate(stages):
+        aggs.append(F.count(F.when(flag, True)).alias(f"c{i}"))
+        aggs.append(
+            F.coalesce(F.sum(F.when(flag, F.col("doc_id"))), F.lit(0))
+            .cast("bigint")
+            .alias(f"s{i}")
         )
-
-    return (
-        st("1_input", d)
-        .unionAll(st("2_exact_dedup", s1))
-        .unionAll(st("3_near_dedup", s2))
-        .unionAll(st("4_decontam", s3))
-        .unionAll(st("5_quality", s4))
-        .unionAll(st("6_mixture", s5))
+    stack_args = ", ".join(
+        f"'{name}', c{i}, s{i}" for i, (name, _) in enumerate(stages)
+    )
+    return flags.agg(*aggs).selectExpr(
+        f"stack({len(stages)}, {stack_args}) AS (stage, n_docs, id_checksum)"
     )
 
 

@@ -31,8 +31,17 @@ PKG = Path(__file__).resolve().parents[1] / "flink_wordcount_spark"
 # was individually measured as a win at bench scale with a documented
 # at-100TB story (persist a NARROW derived frame, never the fact table).
 ALLOWED_PERSIST_SITES: dict[tuple[str, str], str] = {
-    # multi-branch id lists inside the 5-stage funnel; harnesses clearCache
-    ("plans/curation_q.py", "curation_end_to_end"): "until-clearCache",
+    # LSH candidate pair list consumed by three plan branches (member-id
+    # extraction, verify semi-join, final intersection) — AQE runtime reuse
+    # does not unify them (r15; the former curation_end_to_end funnel
+    # persists moved here, where the multi-consumer reuse actually is)
+    # NOTE (r15): curation_end_to_end's former drop_ids/contaminated
+    # persists are gone — the funnel's stage flags are now computed in one
+    # pass, each id list has a single consumer, and an interleaved A/B
+    # showed explicit caches of the multi-consumer subtrees (keep1, the
+    # LSH candidate list) LOSE to AQE's runtime stage reuse (the cache adds
+    # a job barrier + block writes; the "duplicated" segments are cheap
+    # map-side work feeding shared exchanges).
     # regex-heavy quality features consumed by two plan branches
     ("plans/curation_q.py", "quality_cutoff_per_lang"): "until-clearCache",
     ("plans/curation_q.py", "sample_quality_curriculum"): "until-clearCache",
