@@ -30,15 +30,24 @@ def tokens_arr(text_col: str = "text") -> Column:
     return F.filter(F.split(F.col(text_col), TOKEN_SPLIT_REGEX), lambda w: F.length(w) > 0)
 
 
-def word_trigrams(text_col: str = "text") -> Column:
-    """Per-row word-trigram array ('a b c' strings) — the Spark twin of
-    operators.text.TRIGRAMS_SQL (review r08: two hand-rolled copies had
-    already drifted on the NULL branch).  NULL text -> NULL (the textstats
-    family convention); <3 tokens -> [] (guarded explicitly: Spark's
-    sequence(1, 0) is the DESCENDING [1, 0])."""
-    toks = tokens_arr(text_col)
+def word_trigrams_from(toks: Column) -> Column:
+    """Per-row word-trigram array ('a b c' strings) from an ALREADY-PROJECTED
+    token-array column — the Spark twin of operators.text.TRIGRAMS_SQL
+    (review r08: two hand-rolled copies had already drifted on the NULL
+    branch).  NULL tokens (<=> NULL text: split/filter are NULL-propagating)
+    -> NULL (the textstats family convention); <3 tokens -> [] (guarded
+    explicitly: Spark's sequence(1, 0) is the DESCENDING [1, 0]).
+
+    ``toks`` MUST be a materialized column reference (``F.col(...)`` over a
+    prior ``.select(tokens_arr(...).alias(...))``), never the raw
+    ``tokens_arr(...)`` expression: higher-order functions are interpreted
+    (no codegen, no subexpression elimination inside the lambda), so a
+    captured split+filter expression would re-tokenize the document once per
+    element_at call — O(3·n²) per doc.  Measured at sf0.1:
+    text_repetition_ratio 7.7 s -> 0.4 s from this restructure alone
+    (r15 optimization round, guide §4.1)."""
     return (
-        F.when(F.col(text_col).isNull(), F.lit(None).cast("array<string>"))
+        F.when(toks.isNull(), F.lit(None).cast("array<string>"))
         .when(
             F.size(toks) >= 3,
             F.transform(

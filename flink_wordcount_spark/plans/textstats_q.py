@@ -22,7 +22,7 @@ from ..operators.textstats import (
     quality_score_sql,
     token_counts,
     tokens_arr,
-    word_trigrams,
+    word_trigrams_from,
 )
 from .catalog import query
 
@@ -461,7 +461,11 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted NULL — NULL-vintage sweep, r08).
     """
     d = table(spark, sf_dir, "documents")
-    g = d.select("doc_id", word_trigrams("text").alias("trigrams"))
+    # tokens projected FIRST, trigrams built from the materialized column —
+    # word_trigrams_from's O(n²) re-tokenization note (r15: 7.7 s -> 0.4 s)
+    g = d.select("doc_id", tokens_arr("text").alias("_toks")).select(
+        "doc_id", word_trigrams_from(F.col("_toks")).alias("trigrams")
+    )
     n = F.size("trigrams").cast("bigint")
     nd = F.size(F.array_distinct("trigrams")).cast("bigint")
     return g.select(
@@ -506,14 +510,20 @@ def curation_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     2*distinct >= total — integer arithmetic, no float ratio to drift.
     """
     d = table(spark, sf_dir, "documents")
-    # word_trigrams: NULL text -> NULL trigrams; the c_* flags are already
-    # NULL-gated through n_chars, so the funnel sums are unchanged (the old
-    # inline copy mapped NULL to [] — the drift the shared helper removes)
+    # word_trigrams_from: NULL text -> NULL trigrams; the c_* flags are
+    # already NULL-gated through n_chars, so the funnel sums are unchanged
+    # (the old inline copy mapped NULL to [] — the drift the shared helper
+    # removes).  Tokens projected first (word_trigrams_from's O(n²) note).
     flags = d.select(
         "text",
         (F.col("n_chars") >= 100).alias("c_len"),
         ((F.col("n_chars") >= 100) & F.col("lang").isin("en", "fr", "de", "es")).alias("c_lang"),
-        word_trigrams("text").alias("trigrams"),
+        tokens_arr("text").alias("_toks"),
+    ).select(
+        "text",
+        "c_len",
+        "c_lang",
+        word_trigrams_from(F.col("_toks")).alias("trigrams"),
     ).select(
         "text",
         "c_len",
