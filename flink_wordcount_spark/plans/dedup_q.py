@@ -569,16 +569,32 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
     b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
-    lev = F.levenshtein("ta", "tb")
+    # r15 (guide §2.5/§2.4): the old shape broadcast the PAIR list and
+    # streamed the documents scan, so the whole Levenshtein gate ran inside
+    # the scan stage — and near-dup candidates concentrate on one doc_id
+    # range (dup clusters are id-contiguous in the fixture), so ONE scan
+    # split carried ~all 18k pairs' O(len²) work (25 s single-task straggler
+    # at sf0.1).  Flip it: stream the pairs, explicitly hash-repartitioned
+    # on the pair key so the quadratic per-row gate spreads evenly (explicit
+    # numPartitions from the shuffle-partitions conf — scale-adaptive, and
+    # AQE does not coalesce a user REPARTITION_BY_NUM back to one task),
+    # and broadcast the doc bodies size-gated (at 100 TB the hint drops and
+    # this degrades to a plain shuffle join on id).
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     max_len = F.greatest(F.length("ta"), F.length("tb"))
+    # banded Levenshtein (guide §1.2 "per-task work"): the gate
+    # 5*lev <= max_len is exactly lev <= floor(max_len/5), so the
+    # threshold form computes the same distance for every surviving pair,
+    # returns -1 (dropped, like the old filter) for the rest, and gets the
+    # O(n·k) band + length-difference early-exit on the far pairs.
+    lev = F.expr(
+        "levenshtein(ta, tb, CAST(greatest(length(ta), length(tb)) / 5 AS INT))"
+    )
     return (
-        # the candidate pair list is the tiny side (bounded by the LSH bucket
-        # cap): hint it size-gated so both doc-body joins run map-side over
-        # the documents scan while a pathological candidate blowup still
-        # falls back to a shuffle join
-        maybe_broadcast(pairs).join(a, "id_a")
-        .join(b, "id_b")
-        .filter(5 * lev <= max_len)
+        pairs.repartition(n_parts, "id_a", "id_b")
+        .join(maybe_broadcast(a), "id_a")
+        .join(maybe_broadcast(b), "id_b")
+        .filter(lev >= 0)
         .select(
             "id_a",
             "id_b",

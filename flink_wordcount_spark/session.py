@@ -37,6 +37,21 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.join.preferSortMergeJoin": "false",
     "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "67108864",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # r15 (guide §6 §1.2): file-split sizing is maxSplitBytes =
+    # min(maxPartitionBytes, max(openCostInBytes, totalBytes/minPartitionNum)).
+    # With the 4 MB default openCost, any table under 4 MB is ONE scan task —
+    # and this engine runs heavy per-row JVM compute (trigrams, simhash bit
+    # sums, char-gram explodes) directly over map-side/broadcast-joined scan
+    # stages, so a sub-4 MB parquet serialized whole queries onto one core of
+    # 32 (measured: the md5-simhash fingerprint stage 3.2 s -> 0.4 s at
+    # sf0.1).  64 KB keeps small inputs split near totalBytes/parallelism
+    # while leaving large-file behavior untouched (at 100 TB,
+    # totalBytes/minPartitionNum >> maxPartitionBytes, so splits stay
+    # maxPartitionBytes-sized; openCost only stops tiny-file packing from
+    # under-splitting).  Env-overridable for cluster tuning.
+    "spark.sql.files.openCostInBytes": os.environ.get(
+        "SPARK_GRAFT_OPEN_COST_BYTES", str(64 * 1024)
+    ),
     # Some fixture vintages store events.ts as TIMESTAMP(NANOS); Spark lacks
     # a nanos timestamp type, so read those as long — io.normalize_event_ts
     # converts to micros timestamps for every vintage (floor-truncated exactly
