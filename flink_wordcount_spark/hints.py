@@ -59,6 +59,36 @@ def estimated_plan_bytes(df: DataFrame) -> int | None:
         return None
 
 
+def spread(df: DataFrame, min_bytes_per_task: int = 8 << 20) -> DataFrame:
+    """Round-robin repartition a SMALL input across the cluster before
+    CPU-heavy per-row work (char-gram explodes, per-token hashing, SimHash
+    bit sums, Levenshtein) — and a NO-OP for inputs big enough to already
+    parallelize.
+
+    Why (guide §2.5): Spark splits a parquet scan by byte ranges, but rows
+    land in the task holding their ROW GROUP — a table written as a single
+    row group (any sub-128 MB file under default writer settings) is one
+    working task no matter how many splits the planner makes, so heavy
+    per-row compute layered directly on the scan serializes onto one core.
+    The fix is one tiny round-robin shuffle of the (projected) input before
+    the expensive map work.
+
+    Scale-adaptivity: when Catalyst's own size estimate for the sub-plan is
+    at least ``defaultParallelism * min_bytes_per_task`` (i.e. every core
+    already has >= ~8 MB of scan to chew), the input is left untouched — at
+    the 100 TB design point this returns ``df`` unchanged and no shuffle is
+    added; the repartition only fires for inputs too small for the scan
+    itself to spread, where the shuffle it adds is by construction tiny
+    (est < cores * 8 MB).
+    """
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    est = estimated_plan_bytes(df)
+    if est is not None and est >= cores * min_bytes_per_task:
+        return df
+    return df.repartition(cores)
+
+
 def maybe_broadcast(df: DataFrame) -> DataFrame:
     """Broadcast-hint ``df`` iff its estimated size is under the threshold.
 

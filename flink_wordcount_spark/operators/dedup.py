@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..hints import spread
 from .text import TOKEN_SPLIT_REGEX
 
 
@@ -58,9 +59,15 @@ def shingles(
     ``dedup=False`` skips the distinct (its own shuffle) for consumers whose
     aggregate is duplicate-invariant — MinHash mins over a multiset equal
     mins over its set — mirroring :func:`shingle_hashes`.
+
+    The input is spread() before the tokenize/slice/explode work: a
+    single-row-group parquet is one working scan task regardless of split
+    count, which serialized every shingle consumer's map stage onto one
+    core (guide §2.5; no-op at input sizes whose scan already
+    parallelizes).
     """
     toks = F.filter(F.split(F.col(text_col), TOKEN_SPLIT_REGEX), lambda w: F.length(w) > 0)
-    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    base = spread(df).select(F.col(id_col).alias("id"), toks.alias("toks"))
     # guard: sequence(1, 0) in Spark is the DESCENDING [1, 0], so short docs
     # must short-circuit to an empty shingle list explicitly
     sh = F.expr(
@@ -399,9 +406,11 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
     """
     # per-occurrence ±1 sums are identical to tf-weighted per-distinct-word
     # sums, so no (id, word) pre-aggregation shuffle is needed — the single
-    # groupBy(id) partial-aggregates map-side
+    # groupBy(id) partial-aggregates map-side; spread() parallelizes the
+    # explode + 64 conditional partial sums off the single-row-group scan
+    # task (guide §2.5; no-op at scan sizes that already parallelize)
     toks = (
-        df.select(F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), TOKEN_SPLIT_REGEX)).alias("w"))
+        spread(df).select(F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), TOKEN_SPLIT_REGEX)).alias("w"))
         .filter(F.length("w") > 0)
         .withColumn("h", F.xxhash64("w"))
     )

@@ -17,6 +17,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from ..hints import spread
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product (matches DuckDB's list fold order)."""
@@ -57,7 +59,10 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qvec")
     )
-    c = corpus.select(
+    # spread(): the per-row |queries| x dim cosine folds otherwise run on
+    # the single-row-group scan's one working task (guide §2.5; no-op at
+    # corpus sizes whose scan already parallelizes)
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cvec")
     )
     scored = (
@@ -138,7 +143,12 @@ def rhp_buckets(
     weights = F.expr(
         "array(%s)" % ",".join(f"{1 << b}L" for b in range(bits_per_table))
     )
-    v = corpus.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("vec"))
+    # spread(): the 32x64 projection folds below are pure per-row CPU that
+    # otherwise runs on the single-row-group scan's one working task
+    # (guide §2.5; no-op at corpus sizes whose scan already parallelizes)
+    v = spread(corpus).select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("vec")
+    )
     # same sequential-fold dot product as before, so sign bits (and therefore
     # buckets and downstream candidate pairs) are bit-identical to the old plan
     bits = F.transform(

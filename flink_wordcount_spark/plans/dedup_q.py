@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..hints import maybe_broadcast
+from ..hints import maybe_broadcast, spread
 from ..io import table
 from ..operators.dedup import (
     connected_components,
@@ -465,8 +465,11 @@ def md5_simhash_fingerprints(d: DataFrame) -> DataFrame:
     distances independently of the banding."""
     from ..operators.text import TOKEN_SPLIT_REGEX
 
+    # spread(): the explode + two md5 hashes per token + 64 conditional
+    # partial sums otherwise run on the single-row-group scan's one working
+    # task (guide §2.5; no-op at corpus sizes whose scan parallelizes)
     toks = (
-        d.select(
+        spread(d).select(
             F.col("doc_id").alias("id"),
             F.explode(F.split("text", TOKEN_SPLIT_REGEX)).alias("w"),
         )

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..hints import maybe_broadcast
+from ..hints import maybe_broadcast, spread
 from ..io import table
 from ..operators.similarity import (
     as_double,
@@ -395,7 +395,10 @@ def _bm25_per_stats(d: DataFrame) -> tuple[DataFrame, DataFrame, F.Column]:
         F.size(F.filter(F.col("t"), _eq(w))).alias(f"tf{i}")
         for i, w in enumerate(_BM25_TERMS)
     ]
-    per = d.select("doc_id", tokens_arr("text").alias("t")).select(
+    # spread(): the tokenizer + per-term filter array ops are per-row CPU
+    # that otherwise runs on the single-row-group scan's one working task
+    # (guide §2.5; no-op at corpus sizes whose scan already parallelizes)
+    per = spread(d).select("doc_id", tokens_arr("text").alias("t")).select(
         "doc_id", F.size("t").alias("dl"), *tf_cols
     )
     stats = per.agg(
@@ -520,7 +523,10 @@ def kmeans_embed_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel-summation ulps cannot flip a later assignment; ties break on
     cluster_id via lexicographic [dist, id] min.
     """
-    e = _emb_nn(spark, sf_dir).select(
+    # spread(): each iteration's k x dim distance folds are per-row CPU on
+    # what is otherwise the single-row-group scan's one working task
+    # (guide §2.5; no-op at corpus sizes whose scan already parallelizes)
+    e = spread(_emb_nn(spark, sf_dir)).select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
     init = e.orderBy("vec_id").limit(_KM_K).collect()

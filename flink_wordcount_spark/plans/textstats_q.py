@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..hints import maybe_broadcast
+from ..hints import maybe_broadcast, spread
 from ..io import table
 from ..operators.textstats import (
     BPE_REGEX,
@@ -173,8 +173,11 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (term frequency per doc, document frequency per term — the df side is
     broadcast back) + a window top-k; the classic text-features pipeline."""
     d = table(spark, sf_dir, "documents")
+    # spread(): the tokenize + explode is per-row CPU that otherwise runs on
+    # the single-row-group scan's one working task (guide §2.5; no-op at
+    # corpus sizes whose scan already parallelizes)
     toks = (
-        d.select("doc_id", F.explode(tokens_arr("text")).alias("word"))
+        spread(d).select("doc_id", F.explode(tokens_arr("text")).alias("word"))
     )
     # Persisted: both the score probe and the df rollup read tf, and
     # Catalyst does not reuse the exchange across the branches — unpersisted
@@ -809,8 +812,22 @@ def text_char_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     3 chars are excluded BEFORE the index sequence on both sides (Spark's
     sequence(1, 0) is the DESCENDING [1, 0], which would substr garbage).
     avg_logp carries the catalog's post-round +0.0 (-0.0 guard): add-one-
-    smoothed logs sit just below zero on near-saturated corpora."""
-    d = (
+    smoothed logs sit just below zero on near-saturated corpora.
+
+    r15 opt (guide §2.3/§3.1): the smoothed log-prob ln((c3+1)/(c2+v))
+    depends only on g3 (c2 is its prefix's count, v is global), so the two
+    per-occurrence broadcast joins + per-occurrence ln/div are folded into
+    ONE alphabet^3-bounded model table built once from the persisted m3:
+    g3 -> logp.  Pass 2 now does one substr and one broadcast probe per
+    gram occurrence instead of two substrs, two probes, a divide and a ln;
+    g2 disappears from the corpus-sized stream entirely.  Each occurrence
+    contributes the bit-identical double to the same avg, so the result is
+    unchanged.  The scan is spread() before the char-position explode: a
+    single-row-group fixture parquet is one working scan task however many
+    byte-range splits the planner makes, which serialized both corpus
+    passes onto one core (guide §2.5; 4.9 s -> 1.45 s at sf0.1; no-op at
+    scan sizes that already parallelize)."""
+    d = spread(
         table(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .filter(F.length("text") >= 3)
@@ -822,10 +839,9 @@ def text_char_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         F.col("text").substr(F.col("i"), F.lit(3)).alias("g3"),
-        F.col("text").substr(F.col("i"), F.lit(2)).alias("g2"),
     )
-    # alphabet^3-bounded model table; persisted because m2/vocab/the final
-    # join all read it (clearCache-between-queries lifetime)
+    # alphabet^3-bounded model table; persisted because m2/vocab/model all
+    # derive from it (clearCache-between-queries lifetime)
     m3 = g.groupBy("g3").agg(F.count(F.lit(1)).alias("c3")).persist()
     m2 = m3.groupBy(F.col("g3").substr(F.lit(1), F.lit(2)).alias("g2")).agg(
         F.sum("c3").alias("c2")
@@ -833,21 +849,22 @@ def text_char_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = m3.select(
         F.count_distinct(F.col("g3").substr(F.lit(3), F.lit(1))).alias("v")
     )
-    return (
-        g.join(maybe_broadcast(m3), "g3")
+    model = (
+        m3.withColumn("g2", F.col("g3").substr(F.lit(1), F.lit(2)))
         .join(maybe_broadcast(m2), "g2")
         .crossJoin(maybe_broadcast(vocab))
+        .select(
+            "g3",
+            F.ln((F.col("c3") + F.lit(1.0)) / (F.col("c2") + F.col("v"))).alias(
+                "logp"
+            ),
+        )
+    )
+    return (
+        g.join(maybe_broadcast(model), "g3")
         .groupBy("doc_id")
         .agg(
-            (
-                F.round(
-                    F.avg(
-                        F.ln((F.col("c3") + F.lit(1.0)) / (F.col("c2") + F.col("v")))
-                    ),
-                    3,
-                )
-                + F.lit(0.0)
-            ).alias("avg_logp"),
+            (F.round(F.avg("logp"), 3) + F.lit(0.0)).alias("avg_logp"),
             F.count(F.lit(1)).alias("n_trigrams"),
         )
     )

@@ -52,6 +52,18 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.files.openCostInBytes": os.environ.get(
         "SPARK_GRAFT_OPEN_COST_BYTES", str(64 * 1024)
     ),
+    # r15 (guide §2.2): AQE coalesces post-shuffle partitions by BYTES
+    # (advisory 64 MB, floor = this conf), but bytes are a poor proxy for
+    # work in an engine whose post-shuffle stages run heavy per-row CPU
+    # (in-bucket pair expansion, per-pair cosine/Levenshtein verify gates):
+    # a few hundred KB of candidate pairs coalesce to ONE partition and the
+    # verify stage serializes onto one core.  A small floor keeps such
+    # stages near bytes/floor partitions; at cluster scale real shuffles
+    # exceed the advisory size and coalescing is unaffected.
+    # Env-overridable for cluster tuning (set 1m to restore the default).
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": os.environ.get(
+        "SPARK_GRAFT_MIN_PARTITION_SIZE", "16k"
+    ),
     # Some fixture vintages store events.ts as TIMESTAMP(NANOS); Spark lacks
     # a nanos timestamp type, so read those as long — io.normalize_event_ts
     # converts to micros timestamps for every vintage (floor-truncated exactly
