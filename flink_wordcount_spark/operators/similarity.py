@@ -186,15 +186,35 @@ def rhp_candidate_pairs(buckets: DataFrame, max_bucket_size: int | None = None) 
     """
     from .dedup import bucket_pair_expansion
 
-    members = buckets.groupBy("table_idx", "bucket").agg(
-        F.sort_array(F.collect_set("id")).alias("ids")
+    # Both exchanges in this pipeline are EXPLICIT group-key
+    # REPARTITION_BY_NUMs whose downstream aggregate reuses the user
+    # exchange (same clustering -> no extra shuffle vs the implicit
+    # groupBy/distinct exchanges they replace).  Why (guide §2.2/§2.4):
+    # AQE coalesces post-shuffle partitions by BYTES, and with few tables x
+    # few bits the member lists (n_tables * 2^bits = 128 groups here) and
+    # the pair stream (~13 MB) both coalesce to ONE task — serializing the
+    # collect_set merge, the O(size^2) in-array pair expansion, and every
+    # consumer that fuses into the dedup stage (dedup_embed_cosine's
+    # per-pair cosine fold, embed_hard_negatives' scoring).  A user
+    # repartition is never coalesced, so each stage keeps full parallelism;
+    # partial aggregation loses nothing because ids are already distinct
+    # per (table, bucket) — a map-side collect_set would shuffle the same
+    # bytes.  Interleaved A/B at sf0.1: dedup_embed_cosine 2.1 s -> 1.1 s,
+    # matching a global 16k coalesce-floor's best without that floor's
+    # +17-35% tiny-task cost to the minhash family (r15, session.py).
+    n_parts = int(buckets.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    members = (
+        buckets.repartition(n_parts, "table_idx", "bucket")
+        .groupBy("table_idx", "bucket")
+        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
     )
     if max_bucket_size is not None:
         members = members.filter(F.size("ids") <= max_bucket_size)
     return (
         members.select(F.explode(bucket_pair_expansion(F.col("ids"))).alias("p"))
         .select("p.id_a", "p.id_b")
-        .distinct()
+        .repartition(n_parts, "id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -54,15 +54,19 @@ RUNTIME_CONFS: dict[str, str] = {
     ),
     # r15 (guide §2.2): AQE coalesces post-shuffle partitions by BYTES
     # (advisory 64 MB, floor = this conf), but bytes are a poor proxy for
-    # work in an engine whose post-shuffle stages run heavy per-row CPU
-    # (in-bucket pair expansion, per-pair cosine/Levenshtein verify gates):
+    # work in an engine whose post-shuffle stages run heavy per-row CPU:
     # a few hundred KB of candidate pairs coalesce to ONE partition and the
-    # verify stage serializes onto one core.  A small floor keeps such
-    # stages near bytes/floor partitions; at cluster scale real shuffles
-    # exceed the advisory size and coalescing is unaffected.
-    # Env-overridable for cluster tuning (set 1m to restore the default).
+    # verify stage serializes onto one core.  A global 16k floor was A/B'd
+    # as the fix and REJECTED: interleaved fresh-process sweeps (2x each
+    # config, min-of-4) showed it wins only on the two RHP cosine-verify
+    # queries (-36/-51%) while costing +17-35% across the minhash/simhash
+    # family (many small exchanges -> hundreds of tiny tasks x many stages
+    # of scheduler overhead).  The verify stages that need spreading get an
+    # explicit pair-key REPARTITION_BY_NUM instead (dedup_edit_distance,
+    # dedup_embed_cosine, embed_hard_negatives), which AQE never coalesces.
+    # The floor stays at Spark's default, env-overridable for cluster tuning.
     "spark.sql.adaptive.coalescePartitions.minPartitionSize": os.environ.get(
-        "SPARK_GRAFT_MIN_PARTITION_SIZE", "16k"
+        "SPARK_GRAFT_MIN_PARTITION_SIZE", "1m"
     ),
     # Some fixture vintages store events.ts as TIMESTAMP(NANOS); Spark lacks
     # a nanos timestamp type, so read those as long — io.normalize_event_ts
