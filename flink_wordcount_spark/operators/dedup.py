@@ -60,14 +60,17 @@ def shingles(
     aggregate is duplicate-invariant — MinHash mins over a multiset equal
     mins over its set — mirroring :func:`shingle_hashes`.
 
-    The input is spread() before the tokenize/slice/explode work: a
-    single-row-group parquet is one working scan task regardless of split
-    count, which serialized every shingle consumer's map stage onto one
-    core (guide §2.5; no-op at input sizes whose scan already
-    parallelizes).
+    NOT spread(): every shingle consumer (MinHash signatures, Jaccard
+    grouping, span hashing) aggregates by a shuffled key immediately after
+    the slice/explode, so the heavy per-shingle work already runs after an
+    exchange that distributes it; an interleaved spread-vs-identity A/B
+    (r15, min-of-3 per config, same process) measured the extra text-column
+    shuffle as a pure loss across the family (dedup_minhash_estimate +0.71 s,
+    dedup_shared_spans_hashed +0.22 s, dedup_minhash_verified +0.10 s,
+    dedup_ngram_jaccard ±0).
     """
     toks = F.filter(F.split(F.col(text_col), TOKEN_SPLIT_REGEX), lambda w: F.length(w) > 0)
-    base = spread(df).select(F.col(id_col).alias("id"), toks.alias("toks"))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
     # guard: sequence(1, 0) in Spark is the DESCENDING [1, 0], so short docs
     # must short-circuit to an empty shingle list explicitly
     sh = F.expr(

@@ -143,10 +143,12 @@ def rhp_buckets(
     weights = F.expr(
         "array(%s)" % ",".join(f"{1 << b}L" for b in range(bits_per_table))
     )
-    # spread(): the 32x64 projection folds below are pure per-row CPU that
-    # otherwise runs on the single-row-group scan's one working task
-    # (guide §2.5; no-op at corpus sizes whose scan already parallelizes)
-    v = spread(corpus).select(
+    # NOT spread(): the explicit group-key repartitions inside
+    # rhp_candidate_pairs distribute everything downstream of the
+    # projection, and the r15 interleaved A/B measured the extra vector
+    # shuffle as a mild loss (dedup_embed_cosine +0.13 s,
+    # lsh_cosine_candidates +0.12 s, embed_hard_negatives ±0)
+    v = corpus.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("vec")
     )
     # same sequential-fold dot product as before, so sign bits (and therefore

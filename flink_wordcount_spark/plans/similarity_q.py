@@ -377,7 +377,9 @@ _BM25_SCORE_SQL = "round(" + " + ".join(
 from ..operators.text import TOKS_SQL as _BM25_TOKS  # shared tokenizer SQL
 
 
-def _bm25_per_stats(d: DataFrame) -> tuple[DataFrame, DataFrame, F.Column]:
+def _bm25_per_stats(
+    d: DataFrame, spread_input: bool = False
+) -> tuple[DataFrame, DataFrame, F.Column]:
     """Shared BM25 scoring prep (review r08: bm25_keyword_search and
     retrieval_rrf_fusion each hand-rolled identical tokenizer/tf/stats
     frames — a term-list or tokenizer tweak in one would silently decouple
@@ -395,10 +397,14 @@ def _bm25_per_stats(d: DataFrame) -> tuple[DataFrame, DataFrame, F.Column]:
         F.size(F.filter(F.col("t"), _eq(w))).alias(f"tf{i}")
         for i, w in enumerate(_BM25_TERMS)
     ]
-    # spread(): the tokenizer + per-term filter array ops are per-row CPU
-    # that otherwise runs on the single-row-group scan's one working task
-    # (guide §2.5; no-op at corpus sizes whose scan already parallelizes)
-    per = spread(d).select("doc_id", tokens_arr("text").alias("t")).select(
+    # spread_input: the tokenizer + per-term filter array ops are per-row
+    # CPU on the single-row-group scan's one working task (guide §2.5) —
+    # but only bm25_keyword_search, which consumes ``per`` directly, wins
+    # from the extra shuffle (r15 interleaved A/B: bm25 −0.26 s; the
+    # rank-heavy consumers lose: retrieval_eval_ndcg +0.44 s,
+    # retrieval_rrf_fusion +0.39 s), so the caller decides.
+    src = spread(d) if spread_input else d
+    per = src.select("doc_id", tokens_arr("text").alias("t")).select(
         "doc_id", F.size("t").alias("dl"), *tf_cols
     )
     stats = per.agg(
@@ -443,7 +449,7 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast cross join.
     """
     d = table(spark, sf_dir, "documents")
-    per, stats, any_tf = _bm25_per_stats(d)
+    per, stats, any_tf = _bm25_per_stats(d, spread_input=True)
     return (
         per.crossJoin(F.broadcast(stats))  # single-row stats: always broadcast
         .filter(any_tf > 0)
@@ -523,10 +529,11 @@ def kmeans_embed_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel-summation ulps cannot flip a later assignment; ties break on
     cluster_id via lexicographic [dist, id] min.
     """
-    # spread(): each iteration's k x dim distance folds are per-row CPU on
-    # what is otherwise the single-row-group scan's one working task
-    # (guide §2.5; no-op at corpus sizes whose scan already parallelizes)
-    e = spread(_emb_nn(spark, sf_dir)).select(
+    # NOT spread(): each iteration re-executes this frame from the scan, so
+    # a repartition here re-shuffles the vectors once PER ITERATION; the r15
+    # interleaved A/B measured it as a net loss (kmeans_embed_clusters
+    # +0.50 s) against the per-iteration distance-fold parallelism it buys
+    e = _emb_nn(spark, sf_dir).select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
     init = e.orderBy("vec_id").limit(_KM_K).collect()

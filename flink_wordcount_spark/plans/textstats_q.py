@@ -173,11 +173,12 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (term frequency per doc, document frequency per term — the df side is
     broadcast back) + a window top-k; the classic text-features pipeline."""
     d = table(spark, sf_dir, "documents")
-    # spread(): the tokenize + explode is per-row CPU that otherwise runs on
-    # the single-row-group scan's one working task (guide §2.5; no-op at
-    # corpus sizes whose scan already parallelizes)
+    # NOT spread(): both consumers aggregate by (doc_id, word)/word right
+    # after the explode — the heavy work already runs post-exchange, and the
+    # r15 interleaved A/B measured the extra text shuffle as a loss
+    # (text_tfidf_top_terms +0.17 s)
     toks = (
-        spread(d).select("doc_id", F.explode(tokens_arr("text")).alias("word"))
+        d.select("doc_id", F.explode(tokens_arr("text")).alias("word"))
     )
     # Persisted: both the score probe and the df rollup read tf, and
     # Catalyst does not reuse the exchange across the branches — unpersisted

@@ -433,3 +433,28 @@ def test_band_join_plans_as_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_spread_is_targeted_r15(spark, sf_dir):
+    """r15 toggle A/B (plans/r15/ab_spread_toggle_*.txt): spread()'s extra
+    round-robin shuffle LOSES wherever the first aggregation already
+    distributes the per-row work, and WINS where that work sits on the
+    scan with no early exchange.  Pin both directions so a blanket
+    re-spread (or a blanket revert) fails loudly."""
+    import re
+
+    from flink_wordcount_spark.operators.dedup import shingles
+    from flink_wordcount_spark.plans.similarity_q import _bm25_per_stats
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def n_roundrobin(df) -> int:
+        return len(re.findall(r"Exchange RoundRobinPartitioning", _plan(df)))
+
+    # losers (reverted): shingle stream aggregates by shuffled key right after
+    assert n_roundrobin(shingles(d, "text", "doc_id")) == 0
+    # winner (kept, caller-gated): bm25's per-doc frame is consumed directly
+    per_plain, _, _ = _bm25_per_stats(d)
+    per_spread, _, _ = _bm25_per_stats(d, spread_input=True)
+    assert n_roundrobin(per_plain) == 0
+    assert n_roundrobin(per_spread) == 1
