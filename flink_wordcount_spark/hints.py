@@ -46,6 +46,18 @@ def _threshold_bytes(spark: SparkSession) -> int:
         return -1
 
 
+def shuffle_partitions(spark: SparkSession) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, or defaultParallelism.
+
+    ADVICE r15: the conf can be non-numeric on some platforms ("auto");
+    a bare ``int(...)`` at plan-construction time would crash the query.
+    """
+    try:
+        return int(str(spark.conf.get("spark.sql.shuffle.partitions")))
+    except (ValueError, TypeError):
+        return spark.sparkContext.defaultParallelism
+
+
 def estimated_plan_bytes(df: DataFrame) -> int | None:
     """Catalyst's optimized-plan size estimate (None if unavailable).
 
@@ -84,7 +96,10 @@ def spread(df: DataFrame, min_bytes_per_task: int = 8 << 20) -> DataFrame:
     spark = df.sparkSession
     cores = spark.sparkContext.defaultParallelism
     est = estimated_plan_bytes(df)
-    if est is not None and est >= cores * min_bytes_per_task:
+    # ADVICE r15: treat an UNAVAILABLE estimate as "large" — fail safe, like
+    # maybe_broadcast declining its hint.  A missing estimate on a
+    # corpus-sized scan must not buy a full-corpus round-robin shuffle.
+    if est is None or est >= cores * min_bytes_per_task:
         return df
     return df.repartition(cores)
 

@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from ..hints import spread
+from ..hints import shuffle_partitions, spread
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -204,7 +204,7 @@ def rhp_candidate_pairs(buckets: DataFrame, max_bucket_size: int | None = None) 
     # bytes.  Interleaved A/B at sf0.1: dedup_embed_cosine 2.1 s -> 1.1 s,
     # matching a global 16k coalesce-floor's best without that floor's
     # +17-35% tiny-task cost to the minhash family (r15, session.py).
-    n_parts = int(buckets.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = shuffle_partitions(buckets.sparkSession)
     members = (
         buckets.repartition(n_parts, "table_idx", "bucket")
         .groupBy("table_idx", "bucket")

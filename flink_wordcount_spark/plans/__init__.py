@@ -43,85 +43,54 @@ from . import catalog as _catalog
 # session-window oracle break shipped unverified precisely because a stale
 # green row pinned it behind the budget).  Reset this list each round.
 _MODIFIED_THIS_ROUND: list[str] = [
-    # r15: reset per the r14 verdict (#1).  Plan edits are frozen at ZERO
-    # existing queries this round: the 50-slot budget is exactly consumed
-    # by the 48-query r10-stale cohort pinned below plus the TWO new
-    # operators (text_pii_redaction_report, dedup_digest_registry — the
-    # SCALE.md r14 queue), which take the never-verified bucket right
-    # after the pinned head.  48 pinned + 0 modified + 2 never-verified
-    # = 50; headroom = 0.  Any urgent fix would displace one new operator
-    # — none was needed.
+    # r16: queries whose Spark plan was EDITED this round (optimization
+    # round 2 of 2).  Kept in sync commit-by-commit — the r15 round's
+    # mistake (VERDICT r15 "What's wrong" #1) was leaving this empty while
+    # ~25 plans were edited.
+    "dedup_shared_spans_hashed",  # r16: single-pass unique-span rollup
+    "dedup_shared_spans",  # r16: same rollup helper (string-keyed twin)
+    "q3_shipping_priority",  # r16: dim-first join order (broadcast c⋈o)
+    "curation_end_to_end",  # r16: connected_components round batching
 ]
 
 # Queries to verify THIS round ahead of the staleness rotation even though
-# their code is unchanged.  r15 (VERDICT r14 #1): the FULL 48-query cohort
-# whose last driver-green row is r10 — the histogram floor.  Pinning all of
-# them moves the floor to r11 in one round, exactly like r08 retired r03,
-# r09 retired r04, r10 retired r05, r11 retired r06, r12 retired r07,
-# r13 retired r08 and r14 retired r09.  Budget: 48 pinned + 0 modified +
-# 2 new never-verified = exactly the 50-slot budget, fully consumed
-# (headroom = 0 after the two SCALE.md-queued operators land).  The
-# cohort was recomputed from the CORRECTNESS_r*.json artifacts at round
-# start with the same logic as _last_verified_round(): 48 names, matching
-# the r14 verdict's list name-for-name.  Done = 50/50 in
-# CORRECTNESS_r15; histogram {r11:48, r12:46, r13:49, r14:50, r15:50}
-# = 243 declared queries.
+# their code may be unchanged THIS round.  r16 (VERDICT r15 #1): the ~19
+# queries whose plans the r15 optimizer REWROTE but which never landed in a
+# driver verify sample — the round's verification debt.  Two r15 rewrites
+# (text_char_lm_score, embed_hard_negatives) were driver-sampled hash-green
+# in CORRECTNESS_r15 and are NOT re-pinned.  Budget arithmetic: 4 modified
+# (r16 edits, superset-listed above; overlap with this list is deduped by
+# _reorder) + 19 pinned − 2 overlap (dedup_shared_spans_hashed,
+# curation_end_to_end appear in both) = 21 head slots; the remaining ~29
+# slots fall to the staleness rotation, which is exactly the r11-stale
+# cohort (48 names at the histogram floor {r11:48, r12:46, r13:49, r14:50,
+# r15:50}) — ~29 of them rotate this round, the rest next round.
 #
 # STANDING NOTE for ~r17 (VERDICT r14 #6, survives context loss): when
 # the r12 cohort (46 names) rotates, pin BOTH `lsh_minhash_candidates_md5`
 # (value twin, r12-green) and its rows-only production twin
 # `lsh_minhash_candidates` in the SAME head, so the value check and the
-# rows-only check land in one artifact (VERDICT r12 #4 pairing rule; the
-# r14 round split them because the budget had zero headroom).
+# rows-only check land in one artifact (VERDICT r12 #4 pairing rule).
 _PIN_FRONT_THIS_ROUND: list[str] = [
-    "agg_basic_stats",
-    "agg_collect_sorted",
-    "agg_corr_covar",
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_filtered",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_quantile_disc",
-    "agg_rollup",
-    "agg_salted_two_phase",
-    "distinct_on_subset",
-    "distinct_pairs",
-    "embed_hard_negatives",
-    "ev_session_dynamic_gap",
-    "feat_target_encode",
-    "join_anti",
-    "join_cross",
-    "join_full_outer",
-    "join_range",
-    "join_right_outer",
-    "join_semi",
-    "join_theta",
-    "merge_upsert",
-    "qa_k_anonymity",
-    "setop_except",
-    "setop_except_all",
-    "setop_intersect",
-    "setop_union_all",
-    "setop_union_distinct",
-    "sort_multi_key",
-    "sql_q12_priority_lines",
-    "stream_dedup_keys",
-    "stream_session_dynamic_gap",
-    "stream_static_join",
-    "stream_timeout_flush_tws",
-    "stream_wordcount_file",
-    "stream_wordcount_stateful",
-    "text_char_lm_score",
-    "topk_global",
-    "ts_profile_similarity",
-    "udf_grouped_map",
-    "window_first_last",
-    "window_lag_lead",
-    "window_range_frame",
-    "window_rank_dense_ntile",
-    "window_running_sum",
-    "window_topk_per_group",
+    "dedup_edit_distance",
+    "curation_end_to_end",
+    "curation_filter_funnel",
+    "curation_quality_gate",
+    "text_repetition_ratio",
+    "dedup_embed_cosine",
+    "lsh_cosine_candidates",
+    "bm25_keyword_search",
+    "retrieval_rrf_fusion",
+    "retrieval_eval_ndcg",
+    "lsh_simhash64",
+    "lsh_simhash64_md5",
+    "dedup_minhash_estimate",
+    "dedup_minhash_verified",
+    "kmeans_embed_clusters",
+    "text_tfidf_top_terms",
+    "embed_cosine_topk",
+    "dedup_shared_spans_hashed",
+    "decontam_eval_overlap",
 ]
 
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..hints import maybe_broadcast, spread
+from ..hints import maybe_broadcast, shuffle_partitions, spread
 from ..io import table
 from ..operators.dedup import (
     connected_components,
@@ -583,7 +583,7 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AQE does not coalesce a user REPARTITION_BY_NUM back to one task),
     # and broadcast the doc bodies size-gated (at 100 TB the hint drops and
     # this degrades to a plain shuffle join on id).
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = shuffle_partitions(spark)
     max_len = F.greatest(F.length("ta"), F.length("tb"))
     # banded Levenshtein (guide §1.2 "per-task work"): the gate
     # 5*lev <= max_len is exactly lev <= floor(max_len/5), so the

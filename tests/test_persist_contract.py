@@ -31,10 +31,6 @@ PKG = Path(__file__).resolve().parents[1] / "flink_wordcount_spark"
 # was individually measured as a win at bench scale with a documented
 # at-100TB story (persist a NARROW derived frame, never the fact table).
 ALLOWED_PERSIST_SITES: dict[tuple[str, str], str] = {
-    # LSH candidate pair list consumed by three plan branches (member-id
-    # extraction, verify semi-join, final intersection) — AQE runtime reuse
-    # does not unify them (r15; the former curation_end_to_end funnel
-    # persists moved here, where the multi-consumer reuse actually is)
     # NOTE (r15): curation_end_to_end's former drop_ids/contaminated
     # persists are gone — the funnel's stage flags are now computed in one
     # pass, each id list has a single consumer, and an interleaved A/B
