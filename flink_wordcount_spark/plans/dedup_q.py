@@ -745,28 +745,44 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shared_span_profile(sp: DataFrame, key: str) -> DataFrame:
-    """Shared-span rollup over a (id, <key>) span stream: span frequency is
-    a plain count (never a pair join), then a semi-ish join back."""
-    shared = (
-        sp.groupBy(key)
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") >= 2)
-        .select(key)
+    """Shared-span rollup over a distinct (id, <key>) span stream: span
+    frequency is a plain count (never a pair join).
+
+    r16 (guide §2.3/§2.4; VERDICT r15 #2 — the sf1 warm-ratio outlier):
+    ``n_shared`` is computed by COMPLEMENT instead of joining the span
+    stream back against the shared-span list.  Because ``sp`` is distinct
+    per (id, key), a span with frequency 1 belongs to exactly ONE document
+    — and ``min(id)`` in the same frequency aggregate recovers which one.
+    So n_shared(doc) = n_spans(doc) − #unique-spans(doc), and the output
+    keeps exactly the docs with n_shared >= 1 (the old hits-join semantics).
+    The r15 executed plan (plans/r16/dedup_shared_spans_hashed_exec_sf1.txt)
+    scanned + re-shingled documents THREE times (the three distinct
+    exchanges never canonicalize equal — their pushed filters differ) and
+    broadcast the corpus-scaling shared-span list into a full re-walk of
+    the span stream; this shape does TWO shingle passes, joins only
+    per-doc aggregate rows, and its one broadcast side is bounded by the
+    doc count, not the span count.
+    """
+    per_span = sp.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("id").alias("only_id")
+    )
+    uniq = (
+        per_span.filter(F.col("n_docs") == 1)
+        .groupBy("only_id")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+        .withColumnRenamed("only_id", "id")
     )
     totals = sp.groupBy("id").agg(F.count(F.lit(1)).alias("n_spans"))
-    hits = (
-        sp.join(shared, key)
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
+    n_shared = F.col("n_spans") - F.coalesce(F.col("n_unique"), F.lit(0))
     return (
-        hits.join(totals, "id")
+        totals.join(uniq, "id", "left")
         .select(
             F.col("id").alias("doc_id"),
             "n_spans",
-            "n_shared",
-            (F.col("n_shared") / F.col("n_spans")).alias("shared_frac"),
+            n_shared.alias("n_shared"),
+            (n_shared / F.col("n_spans")).alias("shared_frac"),
         )
+        .filter(F.col("n_shared") >= 1)
     )
 
 
