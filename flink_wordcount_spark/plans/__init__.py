@@ -49,8 +49,10 @@ _MODIFIED_THIS_ROUND: list[str] = [
     # ~25 plans were edited.
     "dedup_shared_spans_hashed",  # r16: single-pass unique-span rollup
     "dedup_shared_spans",  # r16: same rollup helper (string-keyed twin)
-    "q3_shipping_priority",  # r16: dim-first join order (broadcast c⋈o)
     "curation_end_to_end",  # r16: connected_components round batching
+    "ev_rolling_active_users",  # r16: interval-delta rollup, no x7 fan
+    # q3_shipping_priority: NOT modified — the dim-first rewrite was
+    # rejected by its own interleaved A/B (plans/r16/ab_q3.json)
 ]
 
 # Queries to verify THIS round ahead of the staleness rotation even though

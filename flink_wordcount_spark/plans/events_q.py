@@ -1555,27 +1555,62 @@ def ev_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day active users per day (the WAU curve): for every day
     present in the feed, the distinct users seen in [day-6, day].
 
-    Scale: a sliding-window COUNT DISTINCT cannot ride a window frame
-    (distinct is not decomposable over frames), so the plan is the
-    contribute-forward trick: one (user, day) distinct [the only
-    corpus-sized shuffle], each row then fans out to the <=7 target days it
-    contributes to (a fixed grid multiplier, not a join), is semi-joined to
-    the observed-day list (broadcast: one row per calendar day), and a
-    two-phase count-distinct lands per target day.  No self-join of the
-    fact table, no range join, no per-day rescan."""
+    Scale (r16, guide §2.3 — replaces the r15 fan-out shape, which exploded
+    the (user, day) distinct x7 and pushed 7x the rows through a second
+    (day, user) distinct exchange; sf1 warm ratio 2.79): a user's trailing-7d
+    coverage is the union of intervals [day_i, day_i+6] over their sorted
+    distinct days, so each user contributes interval DELTAS instead of 7
+    fanned rows — +1 at each merged-piece start max(day_i, day_{i-1}+7), -1
+    at day_i+7 (all computed inside one array expression over a per-user
+    collect_set).  active_7d(d) is then the running sum of deltas at d over
+    the calendar-bounded day grid (observed days are unioned in with delta 0
+    so a day covered only from earlier starts still gets a row; single tiny
+    window partition, ~#calendar-days rows at ANY corpus size).  One
+    corpus-sized exchange (groupBy user_id, map-side-combined collect_set)
+    instead of a (user,day) distinct PLUS a 7x-fanned (day,user) distinct;
+    the events table is scanned once, not twice.  Per-user state is
+    calendar-bounded (<= #days in the feed window).  Null user_ids form one
+    group whose days still reach the observed-day grid but contribute no
+    delta — exactly count(DISTINCT user_id)'s null semantics."""
     e = table(spark, sf_dir, "events")
-    daily = e.select("user_id", F.to_date("ts").alias("day")).distinct()
-    days = daily.select("day").distinct()  # calendar-bounded
-    fan = daily.select(
-        "user_id",
-        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
-        F.col("day").alias("src_day"),
-    ).select("user_id", F.date_add("src_day", F.col("off")).alias("day"))
+    per_user = (
+        e.select("user_id", F.to_date("ts").alias("day"))
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("day")).alias("ds"))
+    )
+    # Per observed day: +1 at its merged coverage-piece start, -1 one past
+    # the piece end, and a delta-0 OBSERVED marker at the day itself (so the
+    # grid needs no separate observed-day branch/union/join).  Null user_ids
+    # emit only the marker.  Adjacent-piece (+1,-1) collisions on the same
+    # day cancel in the sum.
+    rows = F.expr(
+        "flatten(transform(ds, (d, i) -> CASE WHEN user_id IS NULL THEN"
+        " array(named_struct('day', d, 'delta', 0, 'obs', true))"
+        " ELSE array("
+        "  named_struct('day', CASE WHEN i = 0 THEN d"
+        "      ELSE greatest(d, date_add(element_at(ds, i), 7)) END,"
+        "      'delta', 1, 'obs', false),"
+        "  named_struct('day', date_add(d, 7), 'delta', -1, 'obs', false),"
+        "  named_struct('day', d, 'delta', 0, 'obs', true)) END))"
+    )
+    grid = (
+        per_user.select(F.explode(rows).alias("x"))
+        .groupBy(F.col("x.day").alias("day"))
+        .agg(
+            F.sum("x.delta").alias("d_sum"),
+            F.max("x.obs").alias("observed"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     return (
-        fan.join(F.broadcast(days), "day")  # keep only observed days
-        .groupBy("day")
-        .agg(F.countDistinct("user_id").alias("active_7d"))
-        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "active_7d")
+        grid.select(
+            "day", F.sum("d_sum").over(w).alias("active_7d"), "observed"
+        )
+        .filter("observed")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("active_7d").cast("long").alias("active_7d"),
+        )
     )
 
 
