@@ -49,8 +49,11 @@ _MODIFIED_THIS_ROUND: list[str] = [
     # ~25 plans were edited.
     "dedup_shared_spans_hashed",  # r16: single-pass unique-span rollup
     "dedup_shared_spans",  # r16: same rollup helper (string-keyed twin)
-    "curation_end_to_end",  # r16: connected_components round batching
     "ev_rolling_active_users",  # r16: interval-delta rollup, no x7 fan
+    # curation_end_to_end: NOT modified — connected_components round
+    # batching was rejected by its own probe (fixpoint converges in 1-2
+    # rounds at both scales; plans/r16/cc_batching_probe.json).  It stays
+    # driver-verified via the r15-debt pin list below.
     # q3_shipping_priority: NOT modified — the dim-first rewrite was
     # rejected by its own interleaved A/B (plans/r16/ab_q3.json)
 ]
