@@ -1446,9 +1446,15 @@ def _window_ledger_update(
         default=0,
     )
     lat = latency or {}
+    # r16 (VERDICT r15 #6): the scaling leg re-runs the bench at a LOWER
+    # core count; window rows therefore record cpus and pool only with
+    # same-core rows — an 8-core window must not drag the 32-core medians
+    # (rows written before the field existed were all 32-core runs).
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     entry = {
         "round": tag,
         "sf": sf,
+        "cpus": cpus,
         "suite_seconds": total_sec,
         "words_per_sec_median": words_median,
         "load_at_start": load,
@@ -1482,6 +1488,7 @@ def _window_ledger_update(
                     isinstance(row, dict)
                     and row.get("round") == tag
                     and row.get("sf") == sf
+                    and row.get("cpus", 32) == cpus
                 ):
                     windows.append(row)
     except OSError:

@@ -132,15 +132,27 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: snowflake join chain; all dims broadcast, one fact shuffle."""
+    """TPC-H Q5 shape: snowflake join chain; all dims broadcast, one fact shuffle.
+
+    r16 (guide §3.1): the dims are hinted as BASE tables, not as a pre-joined
+    c⋈n⋈r frame — Catalyst's size estimate for a join OUTPUT is inflated
+    (row counts multiplied without NDV stats), so ``maybe_broadcast`` on the
+    joined dims declined and the fact-scale li⋈o output was shuffled AND
+    sorted into a SortMergeJoin on o_custkey (executed-plan evidence:
+    plans/r16/q5_local_supplier_volume_exec_sf1_r15shape.txt).  Base-table
+    estimates are file-size-accurate, so the customer projection broadcasts
+    wherever it truly fits (and degrades to the same SMJ at 100 TB when it
+    doesn't); nation⋈ASIA-region is constant-cardinality (5 rows) and keeps
+    the unconditional broadcast the repo convention allows for fixed dims.
+    The ASIA pruning moves one BHJ later in the same codegen stage — no
+    extra materialization."""
     r, n, c, o, li, s = (
         table(spark, sf_dir, t)
         for t in ("region", "nation", "customer", "orders", "lineitem", "supplier")
     )
-    dims = (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r.filter(r.r_name == "ASIA")), n.n_regionkey == r.r_regionkey)
-    )
+    n_asia = n.join(
+        F.broadcast(r.filter(r.r_name == "ASIA")), n.n_regionkey == r.r_regionkey
+    ).select("n_nationkey", "n_name")
     return (
         li.join(
             o.filter(
@@ -149,7 +161,11 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             li.l_orderkey == o.o_orderkey,
         )
-        .join(maybe_broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            maybe_broadcast(c.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(n_asia), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(
             maybe_broadcast(s),
             (F.col("s_suppkey") == F.col("l_suppkey"))

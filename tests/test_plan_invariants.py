@@ -49,6 +49,9 @@ UNPARTITIONED_WINDOW_OK = {
     "qa_column_entropy": "category-share total over per-column category "
     "tables (grid-bounded: distinct langs/sources/event types)",
     "qa_preflight_report": "same category-share fold inside the panel",
+    "ev_rolling_active_users": "running coverage-delta sum over the "
+    "calendar-bounded day grid (<= #feed days + 7 rows at ANY corpus "
+    "size; r16 interval-delta rewrite, plans/r16/ab_rolling_active.json)",
 }
 
 #: (b) queries allowed a SinglePartition exchange over a non-scalar child,
@@ -60,6 +63,9 @@ SINGLE_PARTITION_OK = {
     "qa_column_entropy": "per-column category tables (grid-bounded: "
     "distinct langs/sources/event types)",
     "qa_preflight_report": "per-source entropy fold over the source grid",
+    "ev_rolling_active_users": "the same calendar-bounded day-grid frame "
+    "(delta rows aggregated per day BEFORE the exchange, so the single "
+    "partition receives <= #feed days + 7 rows)",
 }
 
 #: (c) queries allowed BroadcastNestedLoopJoin nodes, with the broadcast
