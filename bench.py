@@ -1388,6 +1388,7 @@ def _window_ledger_update(
     latency: dict | None = None,
     contended: bool | None = None,
     queries: dict | None = None,
+    steal_pct: float | None = None,
 ) -> list[dict]:
     """Append this run to BENCH_WINDOWS.jsonl and return the round's windows.
 
@@ -1469,6 +1470,9 @@ def _window_ledger_update(
         # window-sampled context.
         "sf1_warm_ratio": sf1_warm_ratios,
         "queries": queries,
+        # r16: hypervisor steal share over this window's own duration
+        # (/proc/stat delta) — audit context only; pool filtering unchanged
+        "steal_pct": steal_pct,
     }
     ledger = root / "BENCH_WINDOWS.jsonl"
     windows: list[dict] = []
@@ -1533,6 +1537,18 @@ def _loadavg1() -> float:
         return os.getloadavg()[0]
     except OSError:
         return -1.0
+
+
+def _cpu_totals() -> tuple[int, int]:
+    """(total_jiffies, steal_jiffies) from /proc/stat — r16: this host has
+    bursty hypervisor CPU steal (minutes-long 5-20% storms) that loadavg
+    cannot see; windows record the steal share over their own duration so
+    a storm-contaminated window is auditable in the ledger."""
+    try:
+        vals = [int(x) for x in Path("/proc/stat").read_text().splitlines()[0].split()[1:]]
+        return sum(vals), vals[7] if len(vals) > 7 else 0
+    except Exception:
+        return 0, 0
 
 
 def wait_for_quiet_machine(max_wait_sec: int = 120, threshold: float = 2.0) -> dict:
@@ -1629,6 +1645,7 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     machine = wait_for_quiet_machine()
+    _tot0, _st0 = _cpu_totals()
     # Streaming FIRST, in its own JVM, before the batch parent JVM exists:
     # even a stopped parent SparkSession keeps its py4j JVM (and heap)
     # resident in this process, and a resident 100 GB-heap JVM costs the
@@ -1654,6 +1671,8 @@ def main() -> int:
 
     sf1 = bench_sf1(spark)
     machine["load_at_end"] = round(_loadavg1(), 2)
+    _tot1, _st1 = _cpu_totals()
+    machine["steal_pct"] = round(100.0 * (_st1 - _st0) / max(1, _tot1 - _tot0), 2)
     total = round(sum(timings.values()), 3)
     # Median-of-windows headline (see _window_ledger_update): `value` is
     # the median suite time across this round's bench runs; this run's own
@@ -1671,6 +1690,7 @@ def main() -> int:
         latency=streaming.get("latency_ms") or {},
         contended=machine.get("contended"),
         queries=timings,
+        steal_pct=machine.get("steal_pct"),
     )
     # Every published median pools QUIET windows only (VERDICT r12 #5):
     # contended rows stay in the ledger, the medians drop them, and the

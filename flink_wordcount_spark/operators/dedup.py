@@ -83,7 +83,11 @@ def shingles(
 
 
 def jaccard_pairs(
-    sh: DataFrame, threshold: float, max_shingle_freq: int | None = None
+    sh: DataFrame,
+    threshold: float,
+    max_shingle_freq: int | None = None,
+    *,
+    prefix: bool = False,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs from a (id, shingle) set via inverted index.
 
@@ -113,7 +117,21 @@ def jaccard_pairs(
     oracle instead of by their low-order float bits.  The cost — a pair at
     e.g. 0.7999996 passing a 0.8 gate — is half a rounding ulp of
     similarity, far below the metric's meaningfulness.
+
+    ``prefix=True`` (r16) routes through the EXACT prefix-filtered join
+    (:func:`_prefix_jaccard_pairs`): identical output, but the pair
+    expansion is bounded by per-doc key-order prefixes instead of every
+    co-occurring pair — ~(1−t)² of the inverted-index join's sum-df²
+    shuffle rows on a 100 TB corpus.  Use it for FULL-CORPUS
+    pair generation; leave it off for candidate-bounded verify branches
+    (minhash_verified's semi-joined members), where the input is already
+    pruned and the prefix machinery's extra aggregates cost more than they
+    save.  Requires ``max_shingle_freq is None`` (the cap's
+    lower-bound-n_shared semantics would need capped-stream prefixes with
+    uncapped denominators — unimplemented until a caller needs both).
     """
+    if prefix and max_shingle_freq is None:
+        return _prefix_jaccard_pairs(sh, threshold)
     return _similar_pairs(
         sh,
         threshold,
@@ -178,6 +196,81 @@ def _similar_pairs(
         )
         .filter(F.col(out_col) >= threshold)
         .select("id_a", "id_b", "n_shared", out_col)
+    )
+
+
+def _prefix_jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard pairs via PREFIX FILTERING (AllPairs / PPJoin prefix
+    principle: Chaudhuri et al. ICDE'06, Xiao et al. WWW'08) — same output
+    as the plain inverted-index join, shuffle rows bounded by prefixes.
+
+    Principle: under ANY global total order of the key universe, two sets
+    with |A∩B| >= α must share an element inside their (|A|−α+1)-prefixes.
+    A pair passing ``round(jaccard,6) >= t`` has true similarity
+    >= t − 5e-7, hence overlap s >= ceil(t_eff·|A|) with t_eff = t − 1e-6
+    (s >= t_eff·|A∪B| >= t_eff·|A| and s integral; the 1e-6 slack keeps the
+    round-before-compare convention's boundary pairs inside the filter).
+    So candidate generation only joins each doc's (n − ceil(t_eff·n) + 1)
+    smallest keys — ~(1−t)·n + 1 of them — and every qualifying pair is
+    still produced: recall is EXACT, by pigeonhole, not probabilistic.
+
+    The global order is (document frequency, key) — rarest-first, the
+    classic choice: corpus-hot shingles (stopword n-grams, boilerplate)
+    sort LAST and almost never enter a prefix, so the in-prefix join loses
+    the df² term that motivates this operator (r16 probe at synthetic sf1:
+    pair multiplicity 29.7M → 254k, max per-key fan 164 → 22 under
+    df-order vs ~0.04× under the key's natural order;
+    plans/r16/probe_ngram_prefix.json).  The df tag comes from
+    ``count() over (partition by key)`` — ONE shuffle+sort of the stream —
+    not from a separate df aggregate joined back (that three-arm A/B lost
+    to the window form at both scales: plans/r16/ab_ngram_windf.json).
+
+    Candidates are then verified EXACTLY from per-doc key-set arrays (one
+    groupBy(id) builds both the (df,key)-sorted array that yields the
+    prefix and, via transform, the full key set): n_shared =
+    size(array_intersect), sizes = array sizes — no separate sizes
+    branch, and the only corpus-width shuffles are the window by key and
+    the groupBy(id).  Requires the per-(id,key) DISTINCT stream every
+    jaccard_pairs consumer already provides (the count semantics assume
+    it).
+    """
+    from pyspark.sql import Window
+
+    from ..hints import maybe_broadcast
+
+    key = "h" if "h" in sh.columns else "shingle"
+    t_eff = threshold - 1e-6
+    tagged = sh.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy(key))
+    )
+    packed = tagged.groupBy("id").agg(
+        F.sort_array(F.collect_list(F.struct(F.col("_df"), F.col(key)))).alias(
+            "sk"
+        )
+    )
+    n = F.size("sk")
+    plen = (n - F.ceil(F.lit(t_eff) * n) + 1).cast("int")
+    pref = packed.select(
+        "id", F.explode(F.slice("sk", F.lit(1), plen)).alias("s")
+    ).select("id", F.col(f"s.{key}").alias(key))
+    cand = (
+        pref.select(F.col("id").alias("id_a"), key)
+        .join(pref.select(F.col("id").alias("id_b"), key), key)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = packed.select("id", F.transform("sk", lambda x: x[key]).alias("hs"))
+    s = F.size(F.array_intersect("ha", "hb")).cast("bigint")
+    sim = F.round(
+        s / (F.size("ha").cast("bigint") + F.size("hb").cast("bigint") - s), 6
+    )
+    return (
+        maybe_broadcast(cand)
+        .join(sets.withColumnsRenamed({"id": "id_a", "hs": "ha"}), "id_a")
+        .join(sets.withColumnsRenamed({"id": "id_b", "hs": "hb"}), "id_b")
+        .select("id_a", "id_b", s.alias("n_shared"), sim.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )
 
 

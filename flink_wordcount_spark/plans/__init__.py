@@ -51,6 +51,12 @@ _MODIFIED_THIS_ROUND: list[str] = [
     "dedup_shared_spans",  # r16: same rollup helper (string-keyed twin)
     "ev_rolling_active_users",  # r16: interval-delta rollup, no x7 fan
     "q5_local_supplier_volume",  # r16: base-table dim broadcasts, SMJ gone
+    # r16: prefix-filtered exact Jaccard join (operators/dedup.
+    # _prefix_jaccard_pairs) — every full-corpus jaccard_pairs caller:
+    "dedup_ngram_jaccard",
+    "dedup_cluster_representatives",
+    "dedup_keep_list",
+    "dedup_rate_by_source",
     # curation_end_to_end: NOT modified — connected_components round
     # batching was rejected by its own probe (fixpoint converges in 1-2
     # rounds at both scales; plans/r16/cc_batching_probe.json).  It stays

@@ -545,7 +545,8 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     sh = shingle_hashes(d, "text", "doc_id", n=_SHINGLE_N)
-    pairs = jaccard_pairs(sh, 0.8).select("id_a", "id_b")
+    # r16: prefix-filtered pair generation (see dedup_ngram_jaccard)
+    pairs = jaccard_pairs(sh, 0.8, prefix=True).select("id_a", "id_b")
     src = d.select("doc_id", "source")
     return (
         pairs.join(src.withColumnsRenamed({"doc_id": "id_a", "source": "src_a"}), "id_a")

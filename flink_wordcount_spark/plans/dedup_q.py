@@ -91,7 +91,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     sh = shingle_hashes(d, "text", "doc_id", n=_SHINGLE_N)
-    return jaccard_pairs(sh, _THRESHOLD)
+    # r16: prefix-filtered exact join (guide §2.3/§3.4) — same pairs, the
+    # full-corpus df² pair expansion replaced by df-ordered prefixes (sf1
+    # warm ratio was 14.8 with quiet-host steal accounting; the pair
+    # multiplicity probe and A/B are under plans/r16/).
+    return jaccard_pairs(sh, _THRESHOLD, prefix=True)
 
 
 @query("dedup_minhash_verified", oracle=_JACCARD_ORACLE)
@@ -140,7 +144,8 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     recursive CTE, so a non-converged answer fails the value hash."""
     d = table(spark, sf_dir, "documents")
     sh = shingle_hashes(d, "text", "doc_id", n=_SHINGLE_N)
-    pairs = jaccard_pairs(sh, _THRESHOLD).select("id_a", "id_b")
+    # r16: prefix-filtered pair generation (see dedup_ngram_jaccard)
+    pairs = jaccard_pairs(sh, _THRESHOLD, prefix=True).select("id_a", "id_b")
     return connected_components(pairs)
 
 
@@ -216,7 +221,8 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     sh = shingle_hashes(d, "text", "doc_id", n=_SHINGLE_N)
-    pairs = jaccard_pairs(sh, _THRESHOLD).select("id_a", "id_b")
+    # r16: prefix-filtered pair generation (see dedup_ngram_jaccard)
+    pairs = jaccard_pairs(sh, _THRESHOLD, prefix=True).select("id_a", "id_b")
     drop = connected_components(pairs).filter(F.col("rep_id") != F.col("doc_id"))
     return d.join(maybe_broadcast(drop.select("doc_id")), "doc_id", "leftanti").select(
         "doc_id", F.col("n_chars").cast("bigint").alias("n_chars")
